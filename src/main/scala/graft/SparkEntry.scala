@@ -1,13 +1,190 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TradingOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Float-determinism policy for oracle-checked queries: money/quantity sums
+  * accumulate in DECIMAL (exact, order-independent — immune to partitioning)
+  * and cast back to DOUBLE; per-row double arithmetic (products, divisions)
+  * is IEEE-deterministic and bit-identical across Spark and DuckDB. Columns
+  * are aliased identically on both sides (driver hash-compares by sorted
+  * column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the complete "Evenly Spaced Buys" strategy valuation
+    * (/root/reference/main.py:366-390) over the candle series — scan, cast,
+    * window aggregation, stride signals, top-k, projection, exact sum,
+    * last-by-time, portfolio fold in one lazy plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TradingOps.portfolioEvenlySpaced(
+      Tables.candles(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A: aggregation over lineitem (TPC-H Q1 shape) -------------------
+    "q1_agg" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double")
+            .as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // ---- S: candle construction (event-time resample of `events`) --------
+    "candles" -> ((s, dir) => Tables.candles(s, dir)),
+
+    // ---- P2: inclusive date-range filter ---------------------------------
+    "p2_date_range" -> ((s, dir) =>
+      TradingOps.dateRange(
+        Tables.table(s, dir, "events"),
+        "2024-01-10 00:00:00", "2024-01-20 23:59:59")),
+
+    // ---- P4: JSON predicate DSL ------------------------------------------
+    "p4_json_filter" -> ((s, dir) =>
+      TradingOps.jsonFilter(
+        Tables.table(s, dir, "lineitem"),
+        """{"l_quantity": {"gt": 30}, "l_discount": {"lt": 0.05}}""")),
+
+    // ---- W1/W2 + W3/W4: rolling means + crossover signals ----------------
+    "ma_crossover" -> ((s, dir) =>
+      TradingOps.crossoverSignals(
+        TradingOps.movingAverages(Tables.candles(s, dir)))
+        .select(
+          col("symbol"), col("ts"),
+          round(col("short_ma"), 6).as("short_ma"),
+          round(col("long_ma"), 6).as("long_ma"),
+          col("buy_signal"), col("sell_signal"))),
+
+    // ---- W5: evenly-spaced stride signals --------------------------------
+    "w5_stride_signals" -> ((s, dir) =>
+      TradingOps.evenlySpacedSignals(Tables.candles(s, dir), Some(25))
+        .select(col("symbol"), col("ts"), col("close"), col("buy_signal"))),
+
+    // ---- W6: first-K-by-time per symbol ----------------------------------
+    "w6_head_k" -> ((s, dir) =>
+      TradingOps.headK(Tables.candles(s, dir), 12)),
+
+    // ---- A3: last close by time per symbol -------------------------------
+    "a3_last_close" -> ((s, dir) =>
+      TradingOps.lastClose(Tables.candles(s, dir))),
+
+    // ---- Full evenly-spaced strategy valuation (P5→W7→W6→P7→A1→A3→A5) ---
+    "portfolio_evenly_spaced" -> ((s, dir) =>
+      TradingOps.portfolioEvenlySpaced(
+        Tables.candles(s, dir), 10000.0, 1000.0, Some(8)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "candles" -> Tables.candlesSql,
+
+    "p2_date_range" ->
+      """SELECT * FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'""".stripMargin,
+
+    "p4_json_filter" ->
+      "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",
+
+    "ma_crossover" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |ma AS (
+         |  SELECT symbol, ts,
+         |    round(avg(close) OVER w5, 6) AS short_ma,
+         |    round(avg(close) OVER w20, 6) AS long_ma,
+         |    avg(close) OVER w5 AS s_raw, avg(close) OVER w20 AS l_raw
+         |  FROM candles
+         |  WINDOW
+         |    w5 AS (PARTITION BY symbol ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |    w20 AS (PARTITION BY symbol ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT symbol, ts, short_ma, long_ma,
+         |  coalesce(lag(s_raw) OVER w <= lag(l_raw) OVER w AND s_raw > l_raw, false) AS buy_signal,
+         |  coalesce(lag(s_raw) OVER w >= lag(l_raw) OVER w AND s_raw < l_raw, false) AS sell_signal
+         |FROM ma
+         |WINDOW w AS (PARTITION BY symbol ORDER BY ts)""".stripMargin,
+
+    "w5_stride_signals" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |numbered AS (
+         |  SELECT symbol, ts, close,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY symbol) AS n
+         |  FROM candles
+         |)
+         |SELECT symbol, ts, close,
+         |  (rn - 1) % greatest(n // 25, 1) = 0 AS buy_signal
+         |FROM numbered""".stripMargin,
+
+    "w6_head_k" ->
+      s"""WITH candles AS (${Tables.candlesSql})
+         |SELECT symbol, ts, open, high, low, close, volume FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+         |  FROM candles
+         |) WHERE rn <= 12""".stripMargin,
+
+    "a3_last_close" ->
+      s"""WITH candles AS (${Tables.candlesSql})
+         |SELECT symbol, arg_max(close, ts) AS last_close
+         |FROM candles GROUP BY symbol""".stripMargin,
+
+    "portfolio_evenly_spaced" -> portfolioOracleSql(10000.0, 1000.0, Some(8))
+  )
+
+  /** DuckDB mirror of [[TradingOps.portfolioEvenlySpaced]] (same DECIMAL
+    * accumulation for order-independent share sums).
+    */
+  private def portfolioOracleSql(
+      budget: Double, perTrade: Double, maxTrades: Option[Int]): String = {
+    val affordable = math.floor(budget / perTrade).toLong
+    val cap = maxTrades.map(k => math.min(k.toLong, affordable)).getOrElse(affordable)
+    val step = maxTrades.map(k => s"greatest(n // $k, 1)").getOrElse("10")
+    s"""WITH candles AS (${Tables.candlesSql}),
+       |numbered AS (
+       |  SELECT symbol, ts, close,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+       |    count(*) OVER (PARTITION BY symbol) AS n
+       |  FROM candles
+       |),
+       |buys AS (
+       |  SELECT symbol, ts, close,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS brn
+       |  FROM numbered WHERE (rn - 1) % $step = 0
+       |),
+       |bought AS (
+       |  SELECT symbol, count(*) AS num_trades,
+       |    CAST(sum(CAST($perTrade / close AS DECIMAL(28,10))) AS DOUBLE) AS total_shares
+       |  FROM buys WHERE brn <= $cap GROUP BY symbol
+       |),
+       |lastc AS (
+       |  SELECT symbol, arg_max(close, ts) AS last_close
+       |  FROM candles GROUP BY symbol
+       |)
+       |SELECT b.symbol, b.num_trades,
+       |  round(b.total_shares, 6) AS total_shares,
+       |  round($budget - b.num_trades * $perTrade + b.total_shares * l.last_close, 6) AS final_value,
+       |  round((b.total_shares * l.last_close - b.num_trades * $perTrade) / $budget * 100.0, 6) AS roi
+       |FROM bought b JOIN lastc l USING (symbol)""".stripMargin
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core data model + sources.
+  *
+  * The reference's single abstraction is a time-indexed single-symbol OHLCV
+  * pandas frame loaded from a schema-ful CSV scan
+  * (/root/reference/main.py:296-311). We generalize to a multi-symbol,
+  * partition-friendly `DataFrame` with an ordinary `ts` column (Spark has no
+  * index; ordering is declared per-operator via `Window.orderBy`/`orderBy`),
+  * plus a `symbol` column so every operator parallelizes across symbols at
+  * 100 TB scale (1 symbol = reference semantics, N symbols = scale path).
+  */
+object Tables {
+
+  /** Raw OHLCV CSV contract of the reference (main.py:299-307):
+    * header row, epoch-ms int64 `time`, float64 OHLCV. Schema is explicit —
+    * never inferred — matching the reference's dtype dict.
+    */
+  val ohlcvCsvSchema: StructType = StructType(Seq(
+    StructField("time", LongType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume", DoubleType)
+  ))
+
+  /** Canonical candle schema: symbol, event-time ts, OHLCV doubles. */
+  val candleSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("ts", TimestampType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume", DoubleType)
+  ))
+
+  /** Driver parquet table reader (TESTDATA.md): `region nation customer
+    * supplier part orders lineitem events documents embeddings`.
+    * Parquet scan ⇒ Catalyst column pruning + predicate pushdown for free —
+    * the reference needed manual `usecols` (main.py:307) for the same effect.
+    *
+    * `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark only
+    * reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * [[graft.Sessions]]); the long is normalized back to a microsecond
+    * timestamp here with integral division (`div`, not `/` — double division
+    * loses precision above 2^53). All ns values in the testdata are
+    * µs-aligned, so the truncation is lossless and matches DuckDB's read.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Schema-ful OHLCV CSV scan (reference S3-S5, main.py:296-311):
+    * explicit schema (no inference pass), epoch-ms → timestamp, canonical
+    * column order. A `symbol` column is derived from the file name
+    * (the reference keys a whole app run on one file; we keep provenance so
+    * a glob over thousands of per-symbol CSVs is a single scan).
+    * No eager sort: ordering is an operator concern (`Window.orderBy($"ts")`),
+    * and at scale the physical analog of the reference's sorted index is
+    * date-partitioned storage + parquet min/max pruning.
+    */
+  def ohlcvCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(ohlcvCsvSchema)
+      .csv(path)
+      .select(
+        regexp_replace(element_at(split(input_file_name(), "/"), -1), "\\.csv$", "")
+          .as("symbol"),
+        timestamp_millis(col("time")).as("ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** Multi-symbol candle series derived from the driver's `events` table —
+    * the OHLCV stand-in (FIXTURES.md §B): `event_type` is the symbol, `value`
+    * is the price, candles are 1-hour event-time tumbling windows (the
+    * resampling the reference's minute-resolution input implies,
+    * README.md:17-29). open/close are first/last price in the bucket by
+    * arrival order (`event_id` — unique, so deterministic under any
+    * partitioning); volume = trade count.
+    *
+    * Scale: one hash-shuffle on (symbol, hour); Catalyst plans
+    * partial_min_by/max_by map-side, so the exchange carries one row per
+    * (symbol, hour) per input partition, not the raw events.
+    */
+  def candles(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(
+        col("event_type").as("symbol"),
+        date_trunc("hour", col("ts")).as("ts"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).cast(DoubleType).as("volume"))
+
+  /** DuckDB-equivalent SQL for [[candles]], inlined as a CTE by queries that
+    * build on the candle series (tumbling 1-hour buckets ≡
+    * `date_trunc('hour', ts)`; the streaming path uses the equivalent
+    * `window($"ts", "1 hour")`).
+    */
+  val candlesSql: String =
+    """SELECT event_type AS symbol, date_trunc('hour', ts) AS ts,
+      |  arg_min("value", event_id) AS open, max("value") AS high,
+      |  min("value") AS low, arg_max("value", event_id) AS close,
+      |  CAST(count(*) AS DOUBLE) AS volume
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Relational trading operators (SURVEY.md §2.2, §2.4, §2.5).
+  *
+  * All operators are pure `DataFrame => DataFrame` (lazy logical-plan
+  * constructors) over the canonical candle schema
+  * `(symbol, ts, open, high, low, close, volume)`. Everything here is
+  * built-in Catalyst expressions — no UDFs — so whole-stage codegen and
+  * predicate pushdown apply end-to-end. Every window partitions by `symbol`:
+  * at 100 TB / many symbols the plan shuffles once on symbol and runs each
+  * series independently (the reference is the degenerate 1-symbol case,
+  * where a single-partition window is the faithful semantic mapping).
+  */
+object TradingOps {
+
+  private val bySymbolTs = Window.partitionBy("symbol").orderBy("ts")
+  private val bySymbol = Window.partitionBy("symbol")
+
+  /** P2 — inclusive-both-ends time-range filter, matching pandas
+    * `.loc[start:end]` slice semantics (/root/reference/main.py:318-320).
+    * At scale: the predicate pushes to the parquet scan (min/max pruning),
+    * the Catalyst analog of the reference's sorted-index slicing.
+    */
+  def dateRange(df: DataFrame, start: String, end: String): DataFrame =
+    df.filter(col("ts") >= lit(start).cast("timestamp") &&
+              col("ts") <= lit(end).cast("timestamp"))
+
+  /** P4 — the reference's JSON predicate DSL (/root/reference/main.py:265-289):
+    * grammar is exactly `{col: {"gt"|"lt"|"eq": number}}`, AND-conjunction
+    * only. Compiled straight to a `Column` tree so Catalyst can push each
+    * conjunct down to the scan — the reference instead string-built a pandas
+    * `query()` and forced a 10-partition materialize.
+    */
+  def compileFilter(spec: Map[String, Map[String, Double]]): Column =
+    spec.toSeq.sortBy(_._1).flatMap { case (c, ops) =>
+      ops.toSeq.sortBy(_._1).map {
+        case ("gt", v) => col(c) > lit(v)
+        case ("lt", v) => col(c) < lit(v)
+        case ("eq", v) => col(c) === lit(v)
+        case (op, _) =>
+          throw new IllegalArgumentException(s"unsupported predicate op: $op")
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** P4 applied — parse the JSON spec text and filter. Jackson ships with
+    * Spark, so the control-plane parse adds no dependency.
+    */
+  def jsonFilter(df: DataFrame, specJson: String): DataFrame =
+    df.filter(compileFilter(parseFilterSpec(specJson)))
+
+  private[graft] def parseFilterSpec(json: String): Map[String, Map[String, Double]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val it = root.fields()
+    val b = Map.newBuilder[String, Map[String, Double]]
+    while (it.hasNext) {
+      val e = it.next()
+      val inner = Map.newBuilder[String, Double]
+      val oit = e.getValue.fields()
+      while (oit.hasNext) {
+        val o = oit.next()
+        inner += o.getKey -> o.getValue.asDouble()
+      }
+      b += e.getKey -> inner.result()
+    }
+    b.result()
+  }
+
+  /** W5 — evenly-spaced every-Nth-row buy signals
+    * (/root/reference/main.py:349-364): `step = max(n / maxTrades, 1)` when
+    * maxTrades is set, else 10; rows at stride offsets 0, step, 2·step, …
+    * get `buy_signal = true`. The reference's two passes (len, then stride)
+    * fuse into one window stage here: `count().over(symbol)` and
+    * `row_number()` share the same shuffle.
+    */
+  def evenlySpacedSignals(df: DataFrame, maxTrades: Option[Int]): DataFrame = {
+    val n = count(lit(1)).over(bySymbol)
+    val step = maxTrades
+      .map(k => greatest(floor(n / lit(k)), lit(1L)))
+      .getOrElse(lit(10L))
+    df.withColumn("buy_signal",
+      (row_number().over(bySymbolTs) - 1) % step === 0)
+  }
+
+  /** W1/W2 — trailing rolling means over close
+    * (/root/reference/main.py:403-404). `rowsBetween(-(n-1), 0)` with Spark's
+    * natural shrinking frame at the partition head exactly reproduces pandas
+    * `rolling(n, min_periods=1)` — no null-padding emulation (SURVEY.md §4).
+    */
+  def movingAverages(df: DataFrame, shortN: Int = 5, longN: Int = 20): DataFrame =
+    df.withColumn("short_ma",
+        avg(col("close")).over(bySymbolTs.rowsBetween(-(shortN - 1), 0)))
+      .withColumn("long_ma",
+        avg(col("close")).over(bySymbolTs.rowsBetween(-(longN - 1), 0)))
+
+  /** W3/W4 — lag pair + crossover predicates
+    * (/root/reference/main.py:409-423): golden cross (buy) =
+    * prev_short ≤ prev_long ∧ short > long; death cross (sell) = mirrored.
+    * First row of each series has no lag ⇒ null ⇒ false, matching the
+    * reference loop starting at i=1.
+    */
+  def crossoverSignals(df: DataFrame): DataFrame = {
+    val prevS = lag(col("short_ma"), 1).over(bySymbolTs)
+    val prevL = lag(col("long_ma"), 1).over(bySymbolTs)
+    df.withColumn("buy_signal",
+        coalesce(prevS <= prevL && col("short_ma") > col("long_ma"), lit(false)))
+      .withColumn("sell_signal",
+        coalesce(prevS >= prevL && col("short_ma") < col("long_ma"), lit(false)))
+  }
+
+  /** W6 — first K rows chronologically, per symbol
+    * (/root/reference/main.py:381,465). Window top-k rather than global
+    * sort+limit so it stays parallel across symbols.
+    */
+  def headK(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("rn", row_number().over(bySymbolTs))
+      .filter(col("rn") <= k)
+      .drop("rn")
+
+  /** A3 — final mark price: last close by time per symbol
+    * (/root/reference/main.py:383,433,478). `max_by` = one hash-agg, no sort.
+    */
+  def lastClose(df: DataFrame): DataFrame =
+    df.groupBy(col("symbol"))
+      .agg(max_by(col("close"), col("ts")).as("last_close"))
+
+  /** "Evenly Spaced Buys" strategy valuation, per symbol, as ONE lazy
+    * DataFrame expression (/root/reference/main.py:366-390):
+    *
+    *   buys        = rows with buy_signal, in time order
+    *   num_trades  = min(|buys|, maxTrades, ⌊budget / perTrade⌋)   (main.py:380)
+    *   shares      = Σ perTrade / close over the first num_trades buys
+    *   final_value = (budget − num_trades·perTrade) + shares·lastClose
+    *   roi         = (final_value − budget) / budget · 100
+    *
+    * Float determinism for the oracle: the per-row `perTrade/close` doubles
+    * are bit-identical across engines; summing them is made order-independent
+    * by accumulating in DECIMAL(28,10) (exact) and casting back to double —
+    * so the result doesn't depend on partitioning (the reference's own
+    * benchmark invariant, main.py:606-616).
+    */
+  def portfolioEvenlySpaced(
+      candles: DataFrame,
+      budget: Double = 10000.0,
+      perTrade: Double = 1000.0,
+      maxTrades: Option[Int] = None): DataFrame = {
+    val affordable = math.floor(budget / perTrade).toLong
+    val capCol = maxTrades
+      .map(k => least(lit(k.toLong), lit(affordable)))
+      .getOrElse(lit(affordable))
+    val buys = evenlySpacedSignals(candles, maxTrades)
+      .filter(col("buy_signal"))
+      .withColumn("rn", row_number().over(bySymbolTs))
+      .filter(col("rn") <= capCol)
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("num_trades"),
+        sum((lit(perTrade) / col("close")).cast("decimal(28,10)"))
+          .cast(DoubleType).as("total_shares"))
+    buys
+      .join(lastClose(candles), Seq("symbol"))
+      .select(
+        col("symbol"),
+        col("num_trades"),
+        round(col("total_shares"), 6).as("total_shares"),
+        round(lit(budget) - col("num_trades") * lit(perTrade) +
+              col("total_shares") * col("last_close"), 6).as("final_value"),
+        round((col("total_shares") * col("last_close") -
+               col("num_trades") * lit(perTrade)) / lit(budget) * 100.0, 6)
+          .as("roi"))
+  }
+}
