@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TradingOps
+import graft.operators.{Backtest, TradingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -82,7 +82,21 @@ object SparkEntry {
     // ---- Full evenly-spaced strategy valuation (P5→W7→W6→P7→A1→A3→A5) ---
     "portfolio_evenly_spaced" -> ((s, dir) =>
       TradingOps.portfolioEvenlySpaced(
-        Tables.candles(s, dir), 10000.0, 1000.0, Some(8)))
+        Tables.candles(s, dir), 10000.0, 1000.0, Some(8))),
+
+    // ---- §2.6 stateful MA-crossover backtest fold ------------------------
+    "backtest_positions" -> ((s, dir) =>
+      Backtest.positions(Tables.candles(s, dir)).toDF()),
+
+    "backtest_positions_capped" -> ((s, dir) =>
+      Backtest.positions(
+        Tables.candles(s, dir),
+        Backtest.Config(maxTrades = Some(5))).toDF()),
+
+    "backtest_summary" -> ((s, dir) =>
+      Backtest.summary(
+        Tables.candles(s, dir),
+        Backtest.Config(maxTrades = Some(8))))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,8 +163,103 @@ object SparkEntry {
          |SELECT symbol, arg_max(close, ts) AS last_close
          |FROM candles GROUP BY symbol""".stripMargin,
 
-    "portfolio_evenly_spaced" -> portfolioOracleSql(10000.0, 1000.0, Some(8))
+    "portfolio_evenly_spaced" -> portfolioOracleSql(10000.0, 1000.0, Some(8)),
+
+    // backtest_positions (uncapped) has NO oracle: the budget gate binds on
+    // this data (cumulative losses exceed budget−perTrade), and the gate is
+    // genuinely sequential — the driver records a rows-only check.
+
+    "backtest_positions_capped" -> backtestPositionsSql(1000.0, Some(5)),
+
+    "backtest_summary" ->
+      s"""WITH positions AS (${backtestPositionsSql(1000.0, Some(8))})
+         |SELECT symbol, count(*) AS num_trades,
+         |  round(10000.0 + CAST(sum(CAST(exit_price * 1000.0 / entry_price - 1000.0 AS DECIMAL(28,10))) AS DOUBLE), 6) AS final_value,
+         |  round(CAST(sum(CAST(exit_price * 1000.0 / entry_price - 1000.0 AS DECIMAL(28,10))) AS DOUBLE) / 10000.0 * 100.0, 6) AS roi
+         |FROM positions GROUP BY symbol""".stripMargin
   )
+
+  /** DuckDB mirror of the §2.6 stateful fold. Although the fold holds
+    * budget/position state, its trace is SQL-expressible because a death
+    * cross unconditionally closes any open position — so the machine is
+    * FLAT after every sell-cross event. Hence: the opening buy-crosses are
+    * exactly the first buy-cross in each group delimited by sell-crosses
+    * (gaps-and-islands), each position exits at the first sell-cross after
+    * its entry (else forced liquidation at the last row), and a
+    * `maxTrades` cap keeps the first K opens, with the K-th always exiting
+    * by liquidation (the reference BREAKS the loop after the K-th open,
+    * main.py:407-408, so that position can never see its death cross).
+    * The budget gate (main.py:415) PROVABLY never binds when
+    * K ≤ budget/perTrade − 1: before the K-th open the budget has taken at
+    * most K−1 debits of perTrade and only non-negative credits, so
+    * budget ≥ initial − (K−1)·perTrade ≥ perTrade. The uncapped machine has
+    * no such bound (the gate does bind on this data), so only capped
+    * variants carry an oracle.
+    */
+  private def backtestPositionsSql(perTrade: Double, maxTrades: Option[Int]): String = {
+    val exitTs = maxTrades match {
+      case Some(k) =>
+        s"CASE WHEN o.open_rank < $k THEN coalesce(x.ts, lr.lts) ELSE lr.lts END"
+      case None => "coalesce(x.ts, lr.lts)"
+    }
+    val exitPrice = maxTrades match {
+      case Some(k) =>
+        s"CASE WHEN o.open_rank < $k THEN coalesce(x.close, lr.lclose) ELSE lr.lclose END"
+      case None => "coalesce(x.close, lr.lclose)"
+    }
+    val cap = maxTrades.map(k => s"WHERE o.open_rank <= $k").getOrElse("")
+    s"""WITH candles AS (${Tables.candlesSql}),
+       |ma AS (
+       |  SELECT symbol, ts, close,
+       |    avg(close) OVER (PARTITION BY symbol ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s,
+       |    avg(close) OVER (PARTITION BY symbol ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+       |  FROM candles
+       |),
+       |lagged AS (
+       |  SELECT symbol, ts, close, s, l,
+       |    lag(s) OVER w AS ps, lag(l) OVER w AS pl,
+       |    row_number() OVER w AS rn
+       |  FROM ma WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+       |),
+       |ev AS (
+       |  SELECT symbol, ts, close,
+       |    CASE WHEN ps <= pl AND s > l THEN 'B' ELSE 'S' END AS kind
+       |  FROM lagged
+       |  WHERE rn > 1 AND ((ps <= pl AND s > l) OR (ps >= pl AND s < l))
+       |),
+       |grp AS (
+       |  SELECT *, count(CASE WHEN kind = 'S' THEN 1 END) OVER
+       |    (PARTITION BY symbol ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sgrp
+       |  FROM ev
+       |),
+       |opens AS (
+       |  SELECT symbol, ts AS entry_ts, close AS entry_price,
+       |    row_number() OVER (PARTITION BY symbol, sgrp ORDER BY ts) AS r
+       |  FROM grp WHERE kind = 'B'
+       |),
+       |ranked AS (
+       |  SELECT symbol, entry_ts, entry_price,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY entry_ts) AS open_rank
+       |  FROM opens WHERE r = 1
+       |),
+       |closes AS (SELECT symbol, ts, close FROM ev WHERE kind = 'S'),
+       |lastrow AS (
+       |  SELECT symbol, max(ts) AS lts, arg_max(close, ts) AS lclose
+       |  FROM candles GROUP BY symbol
+       |)
+       |SELECT o.symbol, o.entry_ts, o.entry_price,
+       |  $exitTs AS exit_ts,
+       |  $exitPrice AS exit_price,
+       |  $perTrade / o.entry_price AS shares
+       |FROM ranked o
+       |JOIN lastrow lr USING (symbol)
+       |LEFT JOIN LATERAL (
+       |  SELECT ts, close FROM closes c
+       |  WHERE c.symbol = o.symbol AND c.ts > o.entry_ts
+       |  ORDER BY ts LIMIT 1
+       |) x ON true
+       |$cap""".stripMargin
+  }
 
   /** DuckDB mirror of [[TradingOps.portfolioEvenlySpaced]] (same DECIMAL
     * accumulation for order-independent share sums).

@@ -92,11 +92,14 @@ object TradingOps {
     * natural shrinking frame at the partition head exactly reproduces pandas
     * `rolling(n, min_periods=1)` — no null-padding emulation (SURVEY.md §4).
     */
-  def movingAverages(df: DataFrame, shortN: Int = 5, longN: Int = 20): DataFrame =
+  def movingAverages(df: DataFrame, shortN: Int, longN: Int): DataFrame =
     df.withColumn("short_ma",
         avg(col("close")).over(bySymbolTs.rowsBetween(-(shortN - 1), 0)))
       .withColumn("long_ma",
         avg(col("close")).over(bySymbolTs.rowsBetween(-(longN - 1), 0)))
+
+  /** Reference window sizes (main.py:403-404). */
+  def movingAverages(df: DataFrame): DataFrame = movingAverages(df, 5, 20)
 
   /** W3/W4 — lag pair + crossover predicates
     * (/root/reference/main.py:409-423): golden cross (buy) =

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TradingOps
+
+class TradingOpsSpec extends SparkSpec {
+
+  test("dateRange is inclusive on both bounds (pandas .loc parity)") {
+    val df = candleFrame(Map("a" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0)))
+    // rows at :01 and :03 minutes are the exact bounds
+    val got = TradingOps.dateRange(df, "2024-01-01 00:01:00", "2024-01-01 00:03:00")
+      .select("close").collect().map(_.getDouble(0)).sorted
+    assert(got.toSeq == Seq(2.0, 3.0, 4.0))
+  }
+
+  test("compileFilter: gt/lt/eq conjunction; unknown op rejected") {
+    val df = candleFrame(Map("a" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0)))
+    val spec = Map("close" -> Map("gt" -> 1.0, "lt" -> 5.0))
+    val got = df.filter(TradingOps.compileFilter(spec))
+      .select("close").collect().map(_.getDouble(0)).sorted
+    assert(got.toSeq == Seq(2.0, 3.0, 4.0))
+    val eq = df.filter(TradingOps.compileFilter(Map("close" -> Map("eq" -> 3.0))))
+    assert(eq.count() == 1)
+    intercept[IllegalArgumentException] {
+      TradingOps.compileFilter(Map("close" -> Map("ge" -> 1.0)))
+    }
+  }
+
+  test("jsonFilter parses the reference's spec grammar") {
+    val df = candleFrame(Map("a" -> Seq(10.0, 20.0, 30.0)))
+    val got = TradingOps.jsonFilter(df, """{"close": {"gt": 15.0}}""")
+    assert(got.count() == 2)
+  }
+
+  test("evenlySpacedSignals: step = max(n/k, 1), default 10, per symbol") {
+    // n=10, k=3 -> step=3 -> rows 1,4,7,10 flagged
+    val df = candleFrame(Map("a" -> (1 to 10).map(_.toDouble)))
+    val flagged = TradingOps.evenlySpacedSignals(df, Some(3))
+      .filter(col("buy_signal")).select("close")
+      .collect().map(_.getDouble(0)).sorted
+    assert(flagged.toSeq == Seq(1.0, 4.0, 7.0, 10.0))
+    // n=4 < k=10 -> step clamps to 1 -> all rows flagged
+    val small = candleFrame(Map("a" -> (1 to 4).map(_.toDouble)))
+    assert(TradingOps.evenlySpacedSignals(small, Some(10))
+      .filter(col("buy_signal")).count() == 4)
+    // no maxTrades -> step=10 -> rows 1 and 11 of 12
+    val twelve = candleFrame(Map("a" -> (1 to 12).map(_.toDouble)))
+    assert(TradingOps.evenlySpacedSignals(twelve, None)
+      .filter(col("buy_signal")).count() == 2)
+  }
+
+  test("movingAverages reproduces pandas rolling(min_periods=1)") {
+    val df = candleFrame(Map("a" -> Seq(2.0, 4.0, 6.0, 8.0)))
+    val got = TradingOps.movingAverages(df, 2, 3)
+      .orderBy("ts").select("short_ma", "long_ma")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // short (w=2): 2, 3, 5, 7 ; long (w=3): 2, 3, 4, 6
+    assert(got.toSeq == Seq((2.0, 2.0), (3.0, 3.0), (5.0, 4.0), (7.0, 6.0)))
+  }
+
+  test("headK keeps first K per symbol chronologically") {
+    val df = candleFrame(Map(
+      "a" -> Seq(1.0, 2.0, 3.0), "b" -> Seq(9.0, 8.0)))
+    val got = TradingOps.headK(df, 2).groupBy("symbol").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L))
+  }
+
+  test("lastClose = close at max ts per symbol") {
+    val df = candleFrame(Map("a" -> Seq(5.0, 7.0, 3.0), "b" -> Seq(1.0)))
+    val got = TradingOps.lastClose(df)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 3.0, "b" -> 1.0))
+  }
+
+  test("portfolioEvenlySpaced matches hand computation") {
+    // closes 10,20,40,80; k=2 -> step=2 -> buys at rows 1,3 (close 10,40)
+    // shares = 1000/10 + 1000/40 = 125; last=80
+    // final = 10000 - 2000 + 125*80 = 18000; roi = 80%
+    val df = candleFrame(Map("a" -> Seq(10.0, 20.0, 40.0, 80.0)))
+    val r = TradingOps.portfolioEvenlySpaced(df, 10000.0, 1000.0, Some(2))
+      .collect().head
+    assert(r.getAs[Long]("num_trades") == 2L)
+    assert(math.abs(r.getAs[Double]("total_shares") - 125.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("final_value") - 18000.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("roi") - 80.0) < 1e-9)
+  }
+
+  test("portfolio result is invariant to input partitioning (reference X4)") {
+    val df = candleFrame(Map("a" -> (1 to 97).map(i => 50.0 + (i * 37 % 23))))
+    val base = TradingOps.portfolioEvenlySpaced(df, 10000.0, 1000.0, Some(7))
+      .collect().head.toSeq
+    for (p <- Seq(1, 3, 8)) {
+      val got = TradingOps.portfolioEvenlySpaced(
+        df.repartition(p), 10000.0, 1000.0, Some(7)).collect().head.toSeq
+      assert(got == base, s"partitions=$p")
+    }
+  }
+}
