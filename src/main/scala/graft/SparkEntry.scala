@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Backtest, TradingOps}
+import graft.operators.{Analytics, Backtest, TradingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,17 +29,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A: aggregation over lineitem (TPC-H Q1 shape) -------------------
-    "q1_agg" -> ((s, dir) =>
-      Tables.table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
-            .as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double")
-            .as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
-          count(lit(1)).as("count_order"))),
+    "q1_agg" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
+
+    // ---- joins / set ops / windows over the star schema ------------------
+    "q3_top_revenue" -> ((s, dir) => Analytics.topRevenueOrders(s, dir)),
+    "q5_local_supplier" -> ((s, dir) => Analytics.localSupplierVolume(s, dir)),
+    "semi_join_customers" -> ((s, dir) => Analytics.customersWithOrders(s, dir)),
+    "anti_join_customers" -> ((s, dir) => Analytics.customersWithoutPendingOrders(s, dir)),
+    "rollup_orders" -> ((s, dir) => Analytics.ordersRollup(s, dir)),
+    "window_order_ranks" -> ((s, dir) => Analytics.customerOrderRanks(s, dir)),
+    "parts_above_avg" -> ((s, dir) => Analytics.partsAboveAveragePrice(s, dir)),
+    "except_customers" -> ((s, dir) => Analytics.orderingNonBuildingCustomers(s, dir)),
+    "intersect_customers" -> ((s, dir) => Analytics.orderingBuildingCustomers(s, dir)),
+    "brand_stats" -> ((s, dir) => Analytics.brandStats(s, dir)),
 
     // ---- S: candle construction (event-time resample of `events`) --------
     "candles" -> ((s, dir) => Tables.candles(s, dir)),
@@ -110,6 +112,82 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(revenue_dec AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS revenue_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY 1, 2, 3
+        |) ORDER BY revenue_dec DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "semi_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "anti_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "window_order_ranks" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, price_rank, running_spend
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |  FROM orders
+        |) WHERE price_rank <= 3""".stripMargin,
+
+    "parts_above_avg" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(20,4))) AS DOUBLE) / count(*)
+        |  FROM part)""".stripMargin,
+
+    "except_customers" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT c_custkey AS custkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "intersect_customers" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT DISTINCT c_custkey AS custkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "brand_stats" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
 
     "candles" -> Tables.candlesSql,
 

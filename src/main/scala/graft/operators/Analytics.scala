@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational query surface over the driver's TPC-H-ish star schema
+  * (SURVEY.md §2.3 note: the reference is single-table, so joins/group-bys
+  * come "for free" as built-ins — this module pins down the shapes, their
+  * scale story, and their oracle contracts).
+  *
+  * Scale design notes, applied throughout:
+  *   - `nation`/`region` are bounded dimensions (25/5 rows at ANY scale) —
+  *     always `broadcast()`, never shuffled.
+  *   - fact⋈fact joins (lineitem⋈orders) shuffle on the join key; AQE
+  *     handles skew/coalescing at runtime.
+  *   - money aggregates accumulate in DECIMAL: exact, order-independent
+  *     (same result under any partitioning — and hash-identical to the
+  *     DuckDB oracle), then cast back to DOUBLE at the boundary.
+  *   - top-k is ORDER BY an exact (decimal) measure with a unique key
+  *     tie-break, so the selected set is deterministic across engines.
+  */
+object Analytics {
+  import Tables.table
+
+  /** TPC-H Q1 shape: scan-side partial aggregation; one shuffle of
+    * pre-aggregated partials per (returnflag, linestatus) — 6 groups.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double")
+          .as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: top-10 orders by revenue for one market segment.
+    * lineitem⋈orders shuffles on orderkey; the filtered customer side is
+    * small after the segment filter — AQE picks a broadcast at runtime.
+    * The limit orders by the EXACT decimal revenue with orderkey tie-break.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String,
+      segment: String = "BUILDING", k: Int = 10): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === segment)
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(24,8)")).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("revenue_dec").cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q5 shape: revenue by nation where the supplier is local to the
+    * customer. Two fact shuffles (orderkey, suppkey); nation and region are
+    * broadcast — at 100 TB those joins never touch the network beyond the
+    * tiny dim broadcast itself.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String,
+      regionName: String = "ASIA"): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    val s = table(spark, dir, "supplier")
+    val n = broadcast(table(spark, dir, "nation"))
+    val r = broadcast(table(spark, dir, "region")
+      .filter(col("r_name") === regionName))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+               c("c_nationkey") === s("s_nationkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(24,8)")).cast("double").as("revenue"))
+  }
+
+  /** Left-semi: customers with at least one order (EXISTS). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-anti: customers with no PENDING order (NOT EXISTS with a
+    * pushed-down filter on the probe side — every customer has some order
+    * in this data, so the unfiltered variant would be vacuously empty).
+    */
+  def customersWithoutPendingOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** ROLLUP over (status, priority): count + exact money sum per level. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).cast("double")
+          .as("sum_price"))
+
+  /** Window ranking + exact running total per customer. The running-sum
+    * frame orders by (date, orderkey) — unique — so the prefix is
+    * well-defined; accumulation in DECIMAL keeps it engine-exact.
+    */
+  def customerOrderRanks(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "orders")
+      .withColumn("price_rank", rank().over(byPrice))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(20,4)")).over(byDate)
+          .cast("double"))
+      .filter(col("price_rank") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("price_rank"), col("running_spend"))
+  }
+
+  /** Scalar-subquery shape: parts priced above the mean retail price.
+    * The mean is computed as exact-decimal sum / count, in double at the
+    * boundary — a 1-row broadcast join, not a driver collect.
+    */
+  def partsAboveAveragePrice(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    val avgPrice = p.agg(
+      (sum(col("p_retailprice").cast("decimal(20,4)")).cast("double") /
+        count(lit(1))).as("avg_price"))
+    p.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+  }
+
+  /** Set ops on a high-cardinality key (stays non-empty at every scale,
+    * unlike nation-level differences which vanish as data densifies):
+    * customers who placed orders EXCEPT/INTERSECT the BUILDING segment.
+    */
+  private def orderingCustkeys(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+
+  private def buildingCustkeys(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey")).distinct()
+
+  def orderingNonBuildingCustomers(spark: SparkSession, dir: String): DataFrame =
+    orderingCustkeys(spark, dir).except(buildingCustkeys(spark, dir))
+
+  def orderingBuildingCustomers(spark: SparkSession, dir: String): DataFrame =
+    orderingCustkeys(spark, dir).intersect(buildingCustkeys(spark, dir))
+
+  /** Broadcast dim⋈fact: per-brand sales stats (part is the small side). */
+  def brandStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
+          .as("sum_qty"),
+        (sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double") /
+          count(lit(1))).as("avg_price"))
+}
