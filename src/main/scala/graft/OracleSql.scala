@@ -1,0 +1,204 @@
+package graft
+
+/** DuckDB oracle SQL for the LLM-pipeline operators (dedup, similarity,
+  * text analysis). Each string mirrors its Spark query EXACTLY — same
+  * normalization, same hash construction (md5-derived, engine-neutral),
+  * same arithmetic shape (integer counts, DECIMAL accumulation, single
+  * final double ops) — so results hash-match bit-for-bit.
+  */
+object OracleSql {
+
+  /** Normalized text: lowercase, trim, collapse whitespace ('g' = all). */
+  val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Whitespace tokens of the normalized text ("" → [], not [""]). */
+  val toks =
+    s"CASE WHEN length($norm) = 0 THEN [] ELSE string_split($norm, ' ') END"
+
+  /** Distinct word 3-gram shingles (whole text if < 3 words). */
+  val shingles3 =
+    s"""CASE WHEN len(t) >= 3
+       |  THEN list_distinct(list_transform(range(0, len(t)-2),
+       |         i -> array_to_string(t[i+1:i+3], ' ')))
+       |  ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  /** (doc_id, n_sh, shingle) exploded distinct-shingle table. */
+  val shingleTable =
+    s"""SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM (
+       |  SELECT doc_id, $shingles3 AS shl
+       |  FROM (SELECT doc_id, $toks AS t FROM documents))""".stripMargin
+
+  /** Exact-Jaccard pair query over [[shingleTable]]. */
+  def jaccardPairs(minJ: Double): String =
+    s"""WITH sh AS ($shingleTable)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(CAST(count(*) AS DOUBLE) /
+       |          CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) AS jaccard
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+       |WHERE jaccard >= $minJ""".stripMargin
+
+  /** md5-derived 60-bit hash family (≡ Spark's
+    * conv(substr(md5(seed||':'||s),1,15),16,10)).
+    */
+  def seedHash(seedExpr: String, sExpr: String): String =
+    s"CAST('0x' || substr(md5($seedExpr || ':' || $sExpr), 1, 15) AS BIGINT)"
+
+  /** Relational MinHash signature table (doc_id, seed, minhash). */
+  def minhashSignatures(k: Int): String =
+    s"""SELECT doc_id, seed,
+       |  min(${seedHash("seed", "shingle")}) AS minhash
+       |FROM ($shingleTable) sh
+       |CROSS JOIN (SELECT unnest(range(0, $k)) AS seed) seeds
+       |GROUP BY doc_id, seed""".stripMargin
+
+  /** MinHash LSH candidate pairs verified by true Jaccard. */
+  def minhashLshPairs(k: Int, rowsPerBand: Int, minJ: Double): String =
+    s"""WITH sigs AS (${minhashSignatures(k)}),
+       |buckets AS (
+       |  SELECT doc_id, seed // $rowsPerBand AS band,
+       |    md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
+       |  FROM sigs GROUP BY doc_id, seed // $rowsPerBand),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |jac AS (${jaccardPairs(minJ)})
+       |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j
+       |WHERE EXISTS (SELECT 1 FROM cand c
+       |              WHERE c.doc_a = j.doc_a AND c.doc_b = j.doc_b)""".stripMargin
+
+  /** Relational recomputation of the SimHash64 Catalyst expression:
+    * per-token md5-60-bit hash, ±1 votes per bit, bit set iff votes > 0.
+    */
+  val simhashFingerprints: String =
+    s"""SELECT doc_id,
+       |  sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+       |FROM (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM (SELECT doc_id,
+       |          CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h FROM (
+       |          SELECT doc_id, unnest($toks) AS token FROM documents))
+       |  CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+       |  GROUP BY doc_id, b)
+       |GROUP BY doc_id""".stripMargin
+
+  /** SimHash band-LSH near-dup pairs (exact recall for maxHamming<bands). */
+  def simhashNearDupPairs(maxHamming: Int, bands: Int, bandBits: Int): String = {
+    val mask = (1L << bandBits) - 1
+    s"""WITH fp AS ($simhashFingerprints),
+       |banded AS (
+       |  SELECT doc_id, simhash, band,
+       |    (simhash >> (band * $bandBits)) & $mask AS key
+       |  FROM fp CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) t),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming""".stripMargin
+  }
+
+  /** Exact-decimal list arithmetic for cosine similarity (mirrors
+    * Similarity.dotDecimal: DECIMAL(19,18) terms, exact sum).
+    */
+  private def dot(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |  p -> CAST(p[1] * p[2] AS DECIMAL(19,18)))) AS DOUBLE)""".stripMargin
+  private def normSq(a: String): String =
+    s"""CAST(list_sum(list_transform($a,
+       |  x -> CAST(x * x AS DECIMAL(19,18)))) AS DOUBLE)""".stripMargin
+  private def cosine(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${normSq(a)}) * sqrt(${normSq(b)}))"
+
+  /** Brute-force cosine top-k: queries vec_id < nQ vs the rest. */
+  def annTopK(nQ: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQ),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $nQ),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${cosine("qv", "v")} AS sim
+       |  FROM c CROSS JOIN q)
+       |SELECT q_id, vec_id, rank, round(sim, 6) AS sim FROM (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Label-blocked embedding near-dup pairs above a cosine threshold. */
+  def embeddingNearDup(minSim: Double): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings)
+       |SELECT label, vec_a, vec_b, sim FROM (
+       |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${cosine("a.v", "b.v")}, 6) AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE sim >= $minSim""".stripMargin
+
+  /** Text-analysis mirrors. */
+  val tokenStats: String =
+    s"""SELECT doc_id, length(text) AS n_chars,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens
+       |FROM (SELECT doc_id, text, $toks AS t FROM documents)""".stripMargin
+
+  val enStops = "(the|and|of|to|in|is|that|it|for|with)"
+
+  val qualityScore: String =
+    s"""SELECT doc_id, round(
+       |  0.3 * least(CAST(1.0 AS DOUBLE), toks / 50.0) +
+       |  0.2 * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE),
+       |    punct / greatest(CAST(nlen AS DOUBLE), CAST(1.0 AS DOUBLE)) * 5.0)) +
+       |  0.2 * least(CAST(1.0 AS DOUBLE),
+       |    stops * 10.0 / greatest(toks, CAST(1.0 AS DOUBLE))) +
+       |  0.3 * (dst / greatest(toks, CAST(1.0 AS DOUBLE))), 6) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS DOUBLE) AS toks,
+       |    CAST(len(regexp_extract_all(n, '([^a-z0-9 ])', 1)) AS DOUBLE) AS punct,
+       |    CAST(len(regexp_extract_all(n, '\\b$enStops\\b', 1)) AS DOUBLE) AS stops,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) AS dst,
+       |    length(n) AS nlen
+       |  FROM (SELECT doc_id, $norm AS n, $toks AS t FROM documents))""".stripMargin
+
+  val langMarkersSql: Seq[(String, String)] = Seq(
+    "en" -> enStops,
+    "de" -> "(der|die|das|und|ist|nicht|mit|ein|zu|den)",
+    "es" -> "(el|la|que|y|en|un|es|se|no|los)",
+    "fr" -> "(le|les|et|des|une|est|dans|pour|qui|sur)")
+
+  val languageId: String = {
+    val counts = langMarkersSql.map { case (l, p) =>
+      s"len(regexp_extract_all(n, '\\b$p\\b', 1)) AS c_$l"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id, lang AS lang_declared,
+       |  CASE
+       |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |    WHEN c_es >= c_fr THEN 'es'
+       |    ELSE 'fr' END AS lang_pred
+       |FROM (SELECT doc_id, lang,
+       |    $counts
+       |  FROM (SELECT doc_id, lang, $norm AS n FROM documents))""".stripMargin
+  }
+
+  val fingerprint: String =
+    s"""SELECT doc_id, md5($norm) AS fingerprint,
+       |  substr(md5($norm), 1, 8) AS bucket8
+       |FROM documents""".stripMargin
+
+  val exactDuplicates: String =
+    s"""SELECT md5($norm) AS fingerprint, min(doc_id) AS rep_doc_id,
+       |  count(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  val eventsPropsJson: String =
+    """SELECT event_type, sum(k) AS sum_k, count(k) AS n_with_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+}

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Backtest, TradingOps}
+import graft.functions.TextAnalysis
+import graft.operators.{Analytics, Backtest, Dedup, Similarity, TradingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -98,7 +99,47 @@ object SparkEntry {
     "backtest_summary" -> ((s, dir) =>
       Backtest.summary(
         Tables.candles(s, dir),
-        Backtest.Config(maxTrades = Some(8))))
+        Backtest.Config(maxTrades = Some(8)))),
+
+    // ---- text analysis (documents) ---------------------------------------
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.table(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.table(s, dir, "documents"))),
+    "text_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.table(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.table(s, dir, "documents"))),
+    "events_props_json" -> ((s, dir) =>
+      Tables.table(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"),
+          max(col("k")).as("max_k"))),
+
+    // ---- deduplication (documents) ---------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(Tables.table(s, dir, "documents"))),
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.table(s, dir, "documents"), 3, 0.5)),
+    "minhash_signatures" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.table(s, dir, "documents"), 3, 16)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.table(s, dir, "documents"), 3, 16, 4, 0.5)),
+    "simhash_fingerprints" -> ((s, dir) =>
+      Dedup.simhashFingerprints(Tables.table(s, dir, "documents"))),
+    "simhash_neardup_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.table(s, dir, "documents"), 3, 4, 15)),
+
+    // ---- similarity search (embeddings) ----------------------------------
+    "ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(Tables.table(s, dir, "embeddings"), 8, 5)),
+    "embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.table(s, dir, "embeddings"), 0.3)),
+    // approximate by construction -> rows-only check, no oracle
+    "ann_topk_ivf" -> ((s, dir) =>
+      Similarity.annTopKIvf(Tables.table(s, dir, "embeddings"), 8, 5))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,6 +283,20 @@ object SparkEntry {
          |FROM candles GROUP BY symbol""".stripMargin,
 
     "portfolio_evenly_spaced" -> portfolioOracleSql(10000.0, 1000.0, Some(8)),
+
+    "text_token_stats" -> OracleSql.tokenStats,
+    "text_quality" -> OracleSql.qualityScore,
+    "text_lang_id" -> OracleSql.languageId,
+    "text_fingerprint" -> OracleSql.fingerprint,
+    "events_props_json" -> OracleSql.eventsPropsJson,
+    "dedup_exact" -> OracleSql.exactDuplicates,
+    "dedup_jaccard_pairs" -> OracleSql.jaccardPairs(0.5),
+    "minhash_signatures" -> OracleSql.minhashSignatures(16),
+    "dedup_minhash_lsh" -> OracleSql.minhashLshPairs(16, 4, 0.5),
+    "simhash_fingerprints" -> OracleSql.simhashFingerprints,
+    "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(3, 4, 15),
+    "ann_topk" -> OracleSql.annTopK(8, 5),
+    "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
 
     // backtest_positions (uncapped) has NO oracle: the budget gate binds on
     // this data (cumulative losses exceed budget−perTrade), and the gate is

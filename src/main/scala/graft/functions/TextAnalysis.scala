@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-pipeline curation over the `documents`
+  * table (north-star scope; no reference analog — the reference's only
+  * string op is a filename substring match, main.py:216-218).
+  *
+  * Everything here is built-in Catalyst expressions (regexp/length/split
+  * arithmetic) — codegen'd, no UDFs — and every formula is written
+  * identically in the DuckDB oracle SQL (same operation order, so the
+  * double arithmetic is bit-identical). Per-row map-side work only: at
+  * 100 TB these ops pipeline inside the scan stage with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization: lowercase, trim, collapse whitespace. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text ("" → empty, not [""]). */
+  def tokens(c: Column): Column =
+    when(length(normText(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(normText(c), " "))
+
+  /** Stopword lists for the language-ID heuristic (tiny n-gram-free
+    * variant: count language-specific function words).
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "(the|and|of|to|in|is|that|it|for|with)",
+    "de" -> "(der|die|das|und|ist|nicht|mit|ein|zu|den)",
+    "es" -> "(el|la|que|y|en|un|es|se|no|los)",
+    "fr" -> "(le|les|et|des|une|est|dans|pour|qui|sur)")
+
+  private def markerCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(normText(c), lit("\\b" + pattern + "\\b"), lit(1)))
+
+  /** Token/char statistics per document. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long")
+        .as("n_distinct_tokens"))
+
+  /** Heuristic quality score in [0,1]: length signal, punctuation penalty,
+    * English-stopword signal, type-token ratio. Weights sum to 1; the
+    * exact expression (including evaluation order) is mirrored in SQL.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = size(tokens(col("text"))).cast("double")
+    val punct = size(regexp_extract_all(
+      normText(col("text")), lit("([^a-z0-9 ])"), lit(1))).cast("double")
+    val stops = markerCount(col("text"), langMarkers.head._2).cast("double")
+    val distinct = size(array_distinct(tokens(col("text")))).cast("double")
+    docs.select(
+      col("doc_id"),
+      round(
+        lit(0.3) * least(lit(1.0), toks / lit(50.0)) +
+        lit(0.2) * (lit(1.0) - least(lit(1.0),
+          punct / greatest(length(normText(col("text"))).cast("double"), lit(1.0)) * lit(5.0))) +
+        lit(0.2) * least(lit(1.0), stops * lit(10.0) / greatest(toks, lit(1.0))) +
+        lit(0.3) * (distinct / greatest(toks, lit(1.0))), 6).as("quality"))
+  }
+
+  /** Language ID by marker-word counts with a fixed priority tie-break
+    * (en > de > es > fr), written as the same CASE chain in SQL.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val counts = langMarkers.map { case (l, p) =>
+      l -> markerCount(col("text"), p)
+    }
+    val Seq(en, de, es, fr) = counts.map(_._2)
+    docs.select(
+      col("doc_id"), col("lang").as("lang_declared"),
+      when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr").as("lang_pred"))
+  }
+
+  /** Stable 128-bit content fingerprint of the normalized text (md5 is
+    * identical across engines, so this doubles as the exact-dedup key).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fingerprint"),
+      substring(md5(normText(col("text"))), 1, 8).as("bucket8"))
+
+  /** DuckDB mirrors (shared with SparkEntry.oracleSql). */
+  val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  val toksSql =
+    s"CASE WHEN length($normSql) = 0 THEN [] ELSE string_split($normSql, ' ') END"
+}

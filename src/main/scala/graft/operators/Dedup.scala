@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.functions.TextAnalysis.{normText, tokens}
+
+/** Deduplication operators over `documents` (LLM-data-pipeline north star).
+  *
+  * Scale design:
+  *   - Exact dedup: one hash-aggregate on a 128-bit content fingerprint —
+  *     the canonical 100 TB dedup pass (shuffle carries only
+  *     (hash, doc_id), never text).
+  *   - Shingle/Jaccard: explode → shingle-key equi-join → count. The join
+  *     key is the shingle hash, not the string. Hot (stop-)shingles are
+  *     the classic skew source — `maxShingleDf` drops shingles seen in
+  *     more than a fraction of docs (they carry no dedup signal and cause
+  *     O(n²) pair blowup); AQE skew-join splits whatever remains.
+  *   - MinHash: kept fully RELATIONAL — explode(shingle) × seed,
+  *     min-aggregate per (doc, seed) — instead of a per-row loop, so
+  *     Catalyst plans map-side partial mins and the same SQL runs on the
+  *     DuckDB oracle. Hashes derive from md5 (identical in any engine):
+  *     h_i(s) = int64(hex(md5(i ‖ ':' ‖ s))[0..15)).
+  *   - LSH: band signature rows (seed div rowsPerBand), hash each band's
+  *     ordered minhash vector to a bucket key, self-join buckets →
+  *     candidate pairs ≪ n², then verify with true Jaccard.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the normalized text, deduplicated per doc.
+    * Docs shorter than n words get their whole text as the single shingle
+    * (so short near-identical docs still collide).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** Exact duplicates: group by content fingerprint, keep the smallest
+    * doc_id as representative (deterministic winner).
+    */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normText(col("text"))).as("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct-shingle table: (doc_id, n_shingles, shingle). */
+  private def shingleTable(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    sh
+  }
+
+  /** Document-frequency pruning: drop shingles occurring in more than
+    * `maxDf` documents (stop-shingles: no signal, quadratic join blowup).
+    */
+  private def pruneHotShingles(sh: DataFrame, maxDf: Long): DataFrame = {
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    sh.join(hot, Seq("shingle"), "left_anti")
+  }
+
+  /** N-gram Jaccard near-duplicate pairs:
+    * J(A,B) = |A∩B| / (|A|+|B|−|A∩B|) over distinct word n-gram sets,
+    * emitted for J ≥ minJaccard with doc_a < doc_b. Intersection counts
+    * are integers and the division is a single double op — bit-identical
+    * to the oracle.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.08,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = {
+      val t = shingleTable(docs, n)
+      if (maxDf == Long.MaxValue) t else pruneHotShingles(t, maxDf)
+    }
+    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** md5-derived 60-bit hash family: h_i(s) = first 15 hex chars of
+    * md5(i:s) parsed base-16 (identical in Spark and DuckDB).
+    */
+  private def seedHash(seed: Column, s: Column): Column =
+    conv(substring(md5(concat(seed, lit(":"), s)), 1, 15), 16, 10).cast("long")
+
+  /** Relational MinHash signatures: one row per (doc_id, seed 0..k-1) with
+    * the min hash over the doc's shingle set. Map-side partial min, one
+    * shuffle on (doc_id, seed).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val seeds = spark.range(k).select(col("id").cast("int").as("seed"))
+    shingleTable(docs, n)
+      .crossJoin(broadcast(seeds))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(seedHash(col("seed"), col("shingle"))).as("minhash"))
+  }
+
+  /** LSH banding: bucket key per (doc, band) = md5 of the band's ordered
+    * minhash vector. Docs sharing any bucket are candidate pairs.
+    */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    signatures
+      .groupBy(col("doc_id"), expr(s"seed div $rowsPerBand").as("band"))
+      .agg(md5(concat_ws(",",
+        transform(
+          array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash").cast("string")))).as("bucket"))
+
+  /** MinHash+LSH near-duplicate pairs, verified with true Jaccard:
+    * candidates from shared LSH buckets (distinct over bands), then the
+    * exact Jaccard join restricted to candidates.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+      rowsPerBand: Int = 4, minJaccard: Double = 0.05): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(docs, n, k), rowsPerBand)
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardPairs(docs, n, minJaccard)
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** 60-bit SimHash fingerprints via the codegen'd [[graft.functions.SimHash64]]
+    * expression — one pass over the scan, no shuffle.
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("simhash64", tokens(col("text"))).as("simhash"))
+  }
+
+  /** SimHash near-duplicates: pairs at Hamming distance ≤ `maxHamming`,
+    * found via band LSH on `bands` disjoint `bandBits`-bit slices. With
+    * maxHamming < bands, pigeonhole guarantees at least one clean band, so
+    * recall is exact — candidate generation is an equi-join on
+    * (band, slice), never O(n²).
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, bandBits: Int = 15): DataFrame = {
+    val fp = simhashFingerprints(docs)
+    val mask = (1L << bandBits) - 1
+    val banded = fp
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("key", expr(s"(simhash >> (band * $bandBits)) & $mask"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

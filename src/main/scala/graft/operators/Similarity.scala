@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table
+  * (`embedding: ARRAY<FLOAT>`, LLM-pipeline north star).
+  *
+  * Float policy: dot products and squared norms accumulate in
+  * DECIMAL(38,18) via `aggregate` lambdas over the double-cast arrays —
+  * exact, order-independent, and bit-identical to the DuckDB oracle's
+  * `list_sum(list_transform(...))` over the same decimals. The final
+  * divide/sqrt are single IEEE ops on identical inputs. So ranking by
+  * similarity is deterministic across engines — no tolerance games.
+  *
+  * Scale: the query set is broadcast; candidate scoring is map-side over
+  * the corpus scan. Top-k uses a two-phase (per-input-partition pre-top-k,
+  * then global) so the full corpus is never shuffled — the classic
+  * brute-force ANN baseline. The LSH/blocked variants bound pair
+  * generation for near-dup search.
+  */
+object Similarity {
+
+  private def vec(c: Column): Column = c.cast("array<double>")
+
+  /** Exact-decimal dot product of two double arrays. Unit-scale products
+    * (|x·y| < 10) keep every addition inside DECIMAL(28,18) with no scale
+    * loss; the merge cast back to the accumulator type is lossless, so the
+    * fold is exact and order-independent.
+    */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(vec(a), vec(b), (x, y) => (x * y).cast("decimal(19,18)")),
+      lit(0).cast("decimal(28,18)"),
+      (acc, x) => (acc + x).cast("decimal(28,18)")).cast("double")
+
+  /** Exact-decimal squared norm. */
+  def normSqDecimal(a: Column): Column =
+    aggregate(
+      transform(vec(a), x => (x * x).cast("decimal(19,18)")),
+      lit(0).cast("decimal(28,18)"),
+      (acc, x) => (acc + x).cast("decimal(28,18)")).cast("double")
+
+  /** Cosine similarity with exact-decimal accumulation. */
+  def cosine(a: Column, b: Column): Column =
+    dotDecimal(a, b) / (sqrt(normSqDecimal(a)) * sqrt(normSqDecimal(b)))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors (vec_id ≥ nQueries).
+    *
+    * Two-phase top-k: phase 1 keeps k per (query, input partition) —
+    * map-side, no data movement beyond k·P rows; phase 2 ranks the tiny
+    * survivor set globally. Result is identical to the naive single
+    * window but shuffles O(q·k·P) instead of O(q·N).
+    */
+  def annTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val queries = broadcast(
+      embeddings.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val corpus = embeddings.filter(col("vec_id") >= nQueries)
+    val scored = corpus.crossJoin(queries)
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+    val partial = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id"), col("pid"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("prn") <= k)
+    partial
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Near-duplicate embedding pairs above a cosine threshold, blocked by
+    * `label` (the pair-pruning key: near-dups share a block, so pair
+    * generation is O(Σ block²) not O(n²) — the blocking analog of LSH
+    * for this labeled corpus).
+    */
+  def nearDupPairs(embeddings: DataFrame, minSim: Double = 0.3): DataFrame = {
+    val a = embeddings.select(col("label"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("label"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Scale-path ANN: cluster-pruned search (IVF-style) using the sign
+    * pattern of the first `signBits` components as a deterministic coarse
+    * quantizer. Probes = the query's own cell plus cells at Hamming
+    * distance ≤ 1 (recall knob). Returns the same schema as [[annTopK]];
+    * recall is approximate by construction.
+    */
+  def annTopKIvf(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
+      signBits: Int = 8): DataFrame = {
+    def cell(v: Column): Column =
+      concat_ws("", transform(slice(vec(v), 1, signBits),
+        x => when(x >= 0, lit("1")).otherwise(lit("0"))))
+    def flip(cellCol: Column, i: Column): Column = concat(
+      cellCol.substr(lit(1), i - 1),
+      translate(cellCol.substr(i, lit(1)), "01", "10"),
+      cellCol.substr(i + 1, lit(signBits)))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        cell(col("embedding")).as("q_cell"))
+    // probe cells: exact cell + all 1-bit flips (Hamming-1 neighborhood)
+    val probed = queries.select(col("q_id"), col("q_vec"),
+      explode(concat(array(col("q_cell")),
+        transform(sequence(lit(1), lit(signBits)),
+          i => flip(col("q_cell"), i))))
+        .as("cell"))
+    val corpus = embeddings.filter(col("vec_id") >= nQueries)
+      .withColumn("cell", cell(col("embedding")))
+    corpus.join(broadcast(probed), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+}

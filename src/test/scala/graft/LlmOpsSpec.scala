@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash64, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  test("tokens: empty and whitespace-only text yield empty arrays") {
+    val got = docs(0L -> "", 1L -> "   ", 2L -> "  a  b ")
+      .select(size(TextAnalysis.tokens(col("text"))))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 2))
+  }
+
+  test("languageId prefers the language with most marker words") {
+    val got = docs(
+      0L -> "the cat and the dog of the house",
+      1L -> "der hund und die katze ist nicht da")
+      .withColumn("lang", lit("xx"))
+      .transform(TextAnalysis.languageId)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(0L -> "en", 1L -> "de"))
+  }
+
+  test("exactDuplicates groups by normalized text") {
+    val got = Dedup.exactDuplicates(docs(
+      0L -> "Hello  World", 1L -> "hello world", 2L -> "other text"))
+    val byHash = got.collect().map(r =>
+      r.getAs[Long]("rep_doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byHash == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("jaccardPairs: identical docs score 1.0, disjoint docs absent") {
+    val d = docs(
+      0L -> "a b c d e f", 1L -> "a b c d e f", 2L -> "x y z w q v")
+    val got = Dedup.jaccardPairs(d, 3, 0.5).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("doc_a") == 0L)
+    assert(got.head.getAs[Long]("doc_b") == 1L)
+    assert(got.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhashLshPairs finds identical docs via banded signatures") {
+    val d = docs(
+      0L -> "a b c d e f g h", 1L -> "a b c d e f g h", 2L -> "p q r s t u v w")
+    val got = Dedup.minhashLshPairs(d, 3, 16, 4, 0.5).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+
+  test("SimHash64.compute matches an independent md5 reference") {
+    def refHash(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      BigInt(d.take(8).map(b => f"$b%02x").mkString, 16).toLong >>> 4
+    }
+    def refSimhash(tokens: Seq[String]): Long = {
+      val votes = Array.fill(60)(0)
+      tokens.foreach { t =>
+        val h = refHash(t)
+        (0 until 60).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 60).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val toks = Seq("spark", "query", "engine", "spark")
+    val got = docs(0L -> toks.mkString(" "))
+      .transform(Dedup.simhashFingerprints)
+      .collect().head.getLong(1)
+    assert(got == refSimhash(toks))
+  }
+
+  test("simhashNearDupPairs: identical docs at hamming 0") {
+    val d = docs(
+      0L -> "one two three four five six",
+      1L -> "one two three four five six",
+      2L -> "alpha beta gamma delta eps zeta")
+    val got = Dedup.simhashNearDupPairs(d, 3, 4, 15).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue)).toSeq
+      == Seq((0L, 1L, 0L)))
+  }
+
+  test("cosine: identity 1, orthogonal 0 (exact decimal accumulation)") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("id", "a", "b")
+      .select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(df(0L) - 1.0) < 1e-12)
+    assert(math.abs(df(1L)) < 1e-12)
+  }
+
+  test("annTopK ranks by cosine and is invariant to partitioning") {
+    // queries: ids 0,1; corpus 2..5 with known alignment to query 0 = (1,0)
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.0f, 1.0f), 9),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(-1.0f, 0.0f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val expect = Map((0L, 1) -> 2L, (0L, 2) -> 3L, (0L, 3) -> 4L, (0L, 4) -> 5L,
+      (1L, 1) -> 4L, (1L, 2) -> 3L, (1L, 3) -> 2L, (1L, 4) -> 5L)
+    for (p <- Seq(1, 4)) {
+      val got = Similarity.annTopK(df.repartition(p), 2, 4)
+        .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+      assert(got == expect, s"partitions=$p")
+    }
+  }
+
+  test("annTopKIvf returns the true nearest neighbor for aligned vectors") {
+    val rows = Seq(
+      (0L, Array.fill(8)(0.5f) ++ Array.fill(56)(0.1f), 9),
+      (2L, Array.fill(8)(0.5f) ++ Array.fill(56)(0.1f), 1),
+      (3L, Array.fill(8)(-0.5f) ++ Array.fill(56)(0.1f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.annTopKIvf(df, 1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 2L)))
+  }
+}
