@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+
+/** Structured Streaming surface (SURVEY.md §2.8 — additive: the reference
+  * is batch-only over historical CSVs; these are the event-time streaming
+  * analogs of its resample/backtest semantics, over the `events` table
+  * replayed as a file stream).
+  *
+  * Scale: streaming state is keyed by (symbol[, window]) — partitioned
+  * across executors by the state-store; watermarks bound state size, and
+  * late rows beyond the watermark are dropped instead of buffered forever.
+  */
+object EventStreams {
+
+  /** Schema of the driver's `events` parquet (ts normalized from the
+    * TIMESTAMP(NANOS) physical type by the nanosAsLong session conf).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long, normalized below
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over an events directory (one-file-per-batch keeps
+    * tests deterministic; in production this is the drop-folder / table
+    * ingestion pattern).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming candle construction — the event-time mirror of
+    * [[graft.Tables.candles]]: tumbling 1-hour windows per symbol with a
+    * watermark for late data. Append mode emits each candle exactly once,
+    * when its window falls behind the watermark.
+    */
+  def candleStream(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(
+        col("event_type").as("symbol"),
+        window(col("ts"), "1 hour"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).cast(DoubleType).as("volume"))
+      .select(col("symbol"), col("window.start").as("ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** Sliding event-time aggregate: per-symbol mean value over a 2-hour
+    * window sliding hourly (the streaming analog of the rolling mean W1/W2).
+    */
+  def slidingMean(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(
+        col("event_type").as("symbol"),
+        window(col("ts"), "2 hours", "1 hour"))
+      .agg(avg(col("value")).as("mean_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("symbol"), col("window.start").as("ts"),
+        col("mean_value"), col("n_events"))
+
+  // ---- stateful streaming backtest -------------------------------------
+
+  case class Tick(symbol: String, ts: Timestamp, close: Double)
+
+  /** Carried crossover/backtest state between micro-batches — the same
+    * machine as graft.operators.Backtest but with the rolling-mean windows
+    * folded into the state (ring buffer of the last longN closes), since a
+    * stream can't look back.
+    */
+  case class BtState(
+      recent: List[Double], // newest first, bounded by longN
+      prevShort: Double, prevLong: Double, seeded: Boolean,
+      inPos: Boolean, entryTs: Long, entryPrice: Double,
+      budget: Double, trades: Int)
+
+  case class StreamPosition(
+      symbol: String, entry_ts: Timestamp, entry_price: Double,
+      exit_ts: Timestamp, exit_price: Double)
+
+  /** Streaming MA-crossover backtest via flatMapGroupsWithState keyed by
+    * symbol. Rows inside each micro-batch are processed in event-time
+    * order; cross-batch disorder is accepted as-at-arrival (documented
+    * streaming semantics — the batch fold is the exact-order reference).
+    * Emits closed positions as they happen (no forced liquidation — the
+    * stream has no "last row").
+    */
+  def backtestStream(ticks: Dataset[Tick],
+      budget: Double = 10000.0, perTrade: Double = 1000.0,
+      shortN: Int = 5, longN: Int = 20): Dataset[StreamPosition] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, rows: Iterator[Tick], state: GroupState[BtState]) =>
+          var st = state.getOption.getOrElse(
+            BtState(Nil, 0.0, 0.0, seeded = false, inPos = false, 0L, 0.0,
+              budget, 0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StreamPosition]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { t =>
+            val recent = (t.close :: st.recent).take(longN)
+            val s = recent.take(shortN).sum / math.min(recent.size, shortN)
+            val l = recent.sum / recent.size
+            if (st.seeded) {
+              if (!st.inPos && st.prevShort <= st.prevLong && s > l &&
+                  st.budget >= perTrade) {
+                st = st.copy(inPos = true, entryTs = t.ts.getTime,
+                  entryPrice = t.close, budget = st.budget - perTrade,
+                  trades = st.trades + 1)
+              } else if (st.inPos && st.prevShort >= st.prevLong && s < l) {
+                st = st.copy(inPos = false,
+                  budget = st.budget + perTrade / st.entryPrice * t.close)
+                out += StreamPosition(symbol, new Timestamp(st.entryTs),
+                  st.entryPrice, t.ts, t.close)
+              }
+            }
+            st = st.copy(recent = recent, prevShort = s, prevLong = l,
+              seeded = true)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

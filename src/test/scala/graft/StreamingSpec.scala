@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("streaming candles match the batch candle derivation") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStreams.candleStream(
+      EventStreams.eventsStream(spark, dir))
+    // complete-equivalent: append emits only below-watermark windows, so
+    // compare on the common (closed) prefix
+    runToMemory(stream, "stream_candles", "append")
+    val streamed = spark.table("stream_candles")
+    val batch = Tables.candles(spark, dir)
+    val joined = streamed.alias("s")
+      .join(batch.alias("b"), Seq("symbol", "ts"))
+      .filter(col("s.open") === col("b.open") &&
+        col("s.high") === col("b.high") && col("s.low") === col("b.low") &&
+        col("s.close") === col("b.close") &&
+        col("s.volume") === col("b.volume"))
+    val n = streamed.count()
+    assert(n > 100, s"expected a substantial closed-window prefix, got $n")
+    assert(joined.count() == n, "every emitted candle must match batch")
+  }
+
+  test("sliding window emits overlapping per-symbol aggregates") {
+    val dir = "/root/testdata/sf0.001"
+    runToMemory(
+      EventStreams.slidingMean(EventStreams.eventsStream(spark, dir)),
+      "stream_sliding", "append")
+    val rows = spark.table("stream_sliding")
+    assert(rows.count() > 100)
+    // hourly slide of a 2h window -> consecutive windows share events:
+    // per symbol, #windows must exceed #distinct hours with events - 1
+    val perSym = rows.groupBy("symbol").count().collect()
+    assert(perSym.nonEmpty && perSym.forall(_.getLong(1) > 100))
+  }
+
+  test("stateful streaming backtest closes positions across micro-batches") {
+    val closes = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 5.0, 5.0, 5.0, 30.0, 2.0)
+    val base = 1704067200000L
+    val ticks = closes.zipWithIndex.map { case (c, i) =>
+      EventStreams.Tick("x", new Timestamp(base + i * 60000L), c)
+    }
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Tick](spark)
+    // two micro-batches to force state carry-over
+    ms.addData(ticks.take(5))
+    val q = EventStreams.backtestStream(ms.toDS(), shortN = 2, longN = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_bt").start()
+    q.processAllAvailable()
+    ms.addData(ticks.drop(5))
+    q.processAllAvailable()
+    q.stop()
+    val positions = spark.table("stream_bt")
+      .as[EventStreams.StreamPosition].collect()
+    // batch reference on the same series (without forced liquidation):
+    val batchPos = operators.Backtest.positions(
+      candleFrame(Map("x" -> closes)),
+      operators.Backtest.Config(shortN = 2, longN = 3)).collect()
+    assert(positions.nonEmpty)
+    // every streamed position must appear in the batch trace
+    val batchSet = batchPos.map(p =>
+      (p.entry_ts.getTime, p.entry_price, p.exit_ts.get.getTime)).toSet
+    assert(positions.forall(p =>
+      batchSet.contains((p.entry_ts.getTime, p.entry_price, p.exit_ts.getTime))))
+  }
+}
