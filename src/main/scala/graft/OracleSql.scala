@@ -39,19 +39,23 @@ object OracleSql {
        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
        |WHERE jaccard >= $minJ""".stripMargin
 
-  /** md5-derived 60-bit hash family (≡ Spark's
-    * conv(substr(md5(seed||':'||s),1,15),16,10)).
+  /** Relational MinHash signature table (doc_id, seed, minhash), using the
+    * identical Mersenne-31 family as Dedup.minhashSignatures: one
+    * md5-60-bit base hash per shingle, then (a_i·h32 + b_i) mod 2^31−1
+    * with the (a, b) parameters inlined from the shared generator.
     */
-  def seedHash(seedExpr: String, sExpr: String): String =
-    s"CAST('0x' || substr(md5($seedExpr || ':' || $sExpr), 1, 15) AS BIGINT)"
-
-  /** Relational MinHash signature table (doc_id, seed, minhash). */
-  def minhashSignatures(k: Int): String =
-    s"""SELECT doc_id, seed,
-       |  min(${seedHash("seed", "shingle")}) AS minhash
-       |FROM ($shingleTable) sh
-       |CROSS JOIN (SELECT unnest(range(0, $k)) AS seed) seeds
+  def minhashSignatures(k: Int): String = {
+    val p = graft.operators.Dedup.MersennePrime
+    val seedRows = graft.operators.Dedup.minhashSeeds(k)
+      .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""SELECT doc_id, seed, min((a * h32 + b) % $p) AS minhash
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $p AS h32
+       |  FROM ($shingleTable) sh)
+       |CROSS JOIN (VALUES $seedRows) seeds(seed, a, b)
        |GROUP BY doc_id, seed""".stripMargin
+  }
 
   /** MinHash LSH candidate pairs verified by true Jaccard. */
   def minhashLshPairs(k: Int, rowsPerBand: Int, minJ: Double): String =

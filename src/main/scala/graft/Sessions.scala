@@ -16,6 +16,14 @@ object Sessions {
       // is a capacity-planning knob; AQE coalesces small partitions anyway.
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate clones the full generator expression into
+      // a pre-Generate filter; for explode(expensive-higher-order-expr)
+      // (the shingle pipeline) that re-evaluates the whole expression tree
+      // per row several times over — measured 5× slower at sf0.1. The
+      // rule only saves work when generators commonly yield empty arrays,
+      // which ours never do.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is TIMESTAMP(NANOS) parquet — see Tables.table.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -82,6 +82,16 @@ object SparkEntry {
     "a3_last_close" -> ((s, dir) =>
       TradingOps.lastClose(Tables.candles(s, dir))),
 
+    // ---- P3: time-index min/max (date-picker seeding, main.py:257-258) ---
+    "p3_ts_minmax" -> ((s, dir) =>
+      Tables.table(s, dir, "events")
+        .agg(min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"))),
+
+    // ---- X1: explicit repartition is value-invariant (main.py:606-616) --
+    "portfolio_parallel" -> ((s, dir) =>
+      TradingOps.portfolioEvenlySpaced(
+        Tables.candles(s, dir).repartition(16), 10000.0, 1000.0, None)),
+
     // ---- Full evenly-spaced strategy valuation (P5→W7→W6→P7→A1→A3→A5) ---
     "portfolio_evenly_spaced" -> ((s, dir) =>
       TradingOps.portfolioEvenlySpaced(
@@ -283,6 +293,11 @@ object SparkEntry {
          |FROM candles GROUP BY symbol""".stripMargin,
 
     "portfolio_evenly_spaced" -> portfolioOracleSql(10000.0, 1000.0, Some(8)),
+
+    "p3_ts_minmax" ->
+      "SELECT min(ts) AS ts_min, max(ts) AS ts_max FROM events",
+
+    "portfolio_parallel" -> portfolioOracleSql(10000.0, 1000.0, None),
 
     "text_token_stats" -> OracleSql.tokenStats,
     "text_quality" -> OracleSql.qualityScore,

@@ -103,6 +103,32 @@ object Tables {
         max_by(col("value"), col("event_id")).as("close"),
         count(lit(1)).cast(DoubleType).as("volume"))
 
+  /** S7 — CSV sink (reference: `export_df.to_csv`, main.py:515-534). One
+    * header-ful CSV per partition; `coalesce(1)` only for small exports —
+    * at scale you keep the parallel files (the reference's single-file
+    * export does not survive 100 TB).
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S8 — JSON template source (main.py:536-555): flat scalar config
+    * `{"initial_budget": N, "investment_per_trade": N, "max_trades": N|""}`
+    * parsed to the typed backtest config (control-plane, driver-side).
+    */
+  def parseTemplate(json: String): graft.operators.Backtest.Config = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    def num(k: String, default: Double): Double =
+      Option(root.get(k)).filter(_.isNumber).map(_.asDouble).getOrElse(default)
+    val maxTrades = Option(root.get("max_trades"))
+      .filter(_.isNumber).map(_.asInt)
+    graft.operators.Backtest.Config(
+      initialBudget = num("initial_budget", 10000.0),
+      perTrade = num("investment_per_trade", 1000.0),
+      maxTrades = maxTrades)
+  }
+
   /** DuckDB-equivalent SQL for [[candles]], inlined as a CTE by queries that
     * build on the candle series (tumbling 1-hour buckets ≡
     * `date_trunc('hour', ts)`; the streaming path uses the equivalent

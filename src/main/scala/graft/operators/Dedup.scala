@@ -28,18 +28,26 @@ import graft.functions.TextAnalysis.{normText, tokens}
   */
 object Dedup {
 
-  /** Word n-gram shingles of the normalized text, deduplicated per doc.
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column.
+    * Critical: the argument must be a projected attribute, not the raw
+    * tokenization expression — Catalyst re-evaluates expression subtrees
+    * referenced inside higher-order-function lambdas once per element, so
+    * inlining `tokens(text)` here would re-run the regexp+split per
+    * shingle (measured 5× slowdown at sf0.1).
     * Docs shorter than n words get their whole text as the single shingle
     * (so short near-identical docs still collide).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val w = tokens(c)
+  def shinglesFromTokens(w: Column, n: Int): Column =
     when(size(w) >= n,
       array_distinct(transform(
         sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
       .otherwise(array(concat_ws(" ", w)))
-  }
+
+  /** Convenience form over raw text — prefer the staged
+    * [[shinglesFromTokens]] inside pipelines (see its scaladoc).
+    */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
   /** Exact duplicates: group by content fingerprint, keep the smallest
     * doc_id as representative (deterministic winner).
@@ -50,12 +58,15 @@ object Dedup {
         min(col("doc_id")).as("rep_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle table: (doc_id, n_shingles, shingle). */
-  private def shingleTable(docs: DataFrame, n: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    sh
-  }
+  /** Distinct-shingle table: (doc_id, n_shingles, shingle). Tokenization
+    * and shingling are staged as separate projections so each expression
+    * evaluates exactly once per row (see [[shinglesFromTokens]]).
+    */
+  private def shingleTable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
 
   /** Document-frequency pruning: drop shingles occurring in more than
     * `maxDf` documents (stop-shingles: no signal, quadratic join blowup).
@@ -84,6 +95,11 @@ object Dedup {
     val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      // size-compatibility prune: J ≥ τ needs min(|A|,|B|) ≥ τ·max(|A|,|B|)
+      // — drops hopeless pairs map-side BEFORE the count shuffle; the
+      // final threshold makes this a pure optimization (same result set).
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(minJaccard) * greatest(col("n_a"), col("n_b")).cast("double"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
       .select(col("doc_a"), col("doc_b"),
@@ -93,23 +109,46 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** md5-derived 60-bit hash family: h_i(s) = first 15 hex chars of
-    * md5(i:s) parsed base-16 (identical in Spark and DuckDB).
+  /** Mersenne-31 universal hash family over a single md5-derived base
+    * hash: h32(s) = md5-60-bit(s) mod 2^31−1, then
+    * h_i(s) = (a_i·h32 + b_i) mod 2^31−1. One md5 per shingle (not per
+    * shingle×seed — 16× less digest work) and pure int64 arithmetic for
+    * the family, reproducible in any engine (values stay < 2^62).
     */
-  private def seedHash(seed: Column, s: Column): Column =
-    conv(substring(md5(concat(seed, lit(":"), s)), 1, 15), 16, 10).cast("long")
+  val MersennePrime: Long = (1L << 31) - 1
+
+  /** Deterministic (a, b) parameters per seed — shared with the oracle SQL
+    * generator so both engines use the identical family.
+    */
+  def minhashSeeds(k: Int): Seq[(Int, Long, Long)] =
+    (0 until k).map { i =>
+      // fixed LCG over the seed index; any fixed in-range values work
+      val a = 1L + ((i * 2654435761L + 1013904223L) % (MersennePrime - 1))
+      val b = (i * 1103515245L + 12345L) % MersennePrime
+      (i, a, b)
+    }
+
+  /** 60-bit md5 base hash (≡ conv(substr(md5(s),1,15),16,10)). */
+  private def md5Base60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Relational MinHash signatures: one row per (doc_id, seed 0..k-1) with
-    * the min hash over the doc's shingle set. Map-side partial min, one
-    * shuffle on (doc_id, seed).
+    * the min hash over the doc's shingle set. The base hash is computed
+    * once per shingle; the broadcast seed table fans out k derived hashes;
+    * map-side partial min, one shuffle on (doc_id, seed).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
     val spark = docs.sparkSession
-    val seeds = spark.range(k).select(col("id").cast("int").as("seed"))
+    import spark.implicits._
+    val seeds = broadcast(
+      minhashSeeds(k).toDF("seed", "a", "b"))
     shingleTable(docs, n)
-      .crossJoin(broadcast(seeds))
+      .select(col("doc_id"),
+        (md5Base60(col("shingle")) % MersennePrime).as("h32"))
+      .crossJoin(seeds)
       .groupBy(col("doc_id"), col("seed"))
-      .agg(min(seedHash(col("seed"), col("shingle"))).as("minhash"))
+      .agg(min((col("a") * col("h32") + col("b")) % MersennePrime)
+        .as("minhash"))
   }
 
   /** LSH banding: bucket key per (doc, band) = md5 of the band's ordered
@@ -123,20 +162,35 @@ object Dedup {
           array_sort(collect_list(struct(col("seed"), col("minhash")))),
           x => x.getField("minhash").cast("string")))).as("bucket"))
 
-  /** MinHash+LSH near-duplicate pairs, verified with true Jaccard:
-    * candidates from shared LSH buckets (distinct over bands), then the
-    * exact Jaccard join restricted to candidates.
+  /** MinHash+LSH near-duplicate pairs, verified with true Jaccard.
+    * The exact-Jaccard count runs ONLY over the candidate pairs from
+    * shared LSH buckets (join candidates → shingle sets → count common),
+    * never over the full pair stream — that restriction is the whole
+    * point of LSH at scale. Result set ≡ (all-pairs Jaccard ≥ τ) ∩
+    * candidates, which is what the oracle computes.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       rowsPerBand: Int = 4, minJaccard: Double = 0.05): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(docs, n, k), rowsPerBand)
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val ba = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val bb = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = ba.join(bb, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    jaccardPairs(docs, n, minJaccard)
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    val sh = shingleTable(docs, n)
+    val verified = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    verified
   }
 
   /** 60-bit SimHash fingerprints via the codegen'd [[graft.functions.SimHash64]]

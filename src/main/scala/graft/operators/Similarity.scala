@@ -46,6 +46,13 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotDecimal(a, b) / (sqrt(normSqDecimal(a)) * sqrt(normSqDecimal(b)))
 
+  /** Fast approximate dot product (plain double fold — no decimal boxing);
+    * used only as a conservative prefilter, never for final values.
+    */
+  private def dotDouble(a: Column, b: Column): Column =
+    aggregate(zip_with(vec(a), vec(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors (vec_id ≥ nQueries).
     *
@@ -57,11 +64,15 @@ object Similarity {
   def annTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val queries = broadcast(
       embeddings.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          sqrt(normSqDecimal(col("embedding"))).as("q_norm")))
     val corpus = embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(normSqDecimal(col("embedding"))).as("c_norm"))
     val scored = corpus.crossJoin(queries)
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_vec"), col("embedding")).as("sim"))
+        (dotDecimal(col("q_vec"), col("embedding")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
     val partial = scored
       .withColumn("pid", spark_partition_id())
       .withColumn("prn", row_number().over(
@@ -83,14 +94,24 @@ object Similarity {
     * for this labeled corpus).
     */
   def nearDupPairs(embeddings: DataFrame, minSim: Double = 0.3): DataFrame = {
-    val a = embeddings.select(col("label"),
-      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("label"),
-      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    // norms once per vector (n rows), not once per pair (n² rows)
+    val withNorm = embeddings.select(col("label"), col("vec_id"),
+      col("embedding"), sqrt(normSqDecimal(col("embedding"))).as("nrm"))
+    val a = withNorm.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = withNorm.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
+      // two-stage scoring: cheap double dot prunes the pair stream with a
+      // 1e-5 safety margin (double-vs-decimal divergence is ~1e-13, and
+      // the final value is rounded at 1e-6), then the exact decimal
+      // cosine decides — the result set is identical to single-stage.
+      .filter(dotDouble(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+        round(dotDecimal(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("OHLCV CSV round-trip: sink then schema-ful glob scan (S1-S5, S7)") {
+    val dir = Files.createTempDirectory("graft-csv").toFile
+    val out = s"${dir.getAbsolutePath}/btcusd"
+    import spark.implicits._
+    val frame = Seq(
+      (1704067200000L, 1.0, 2.0, 0.5, 1.5, 100.0),
+      (1704067260000L, 1.5, 3.0, 1.0, 2.5, 200.0))
+      .toDF("time", "open", "high", "low", "close", "volume")
+    Tables.writeCsv(frame, out, singleFile = true)
+    val got = Tables.ohlcvCsv(spark, s"${dir.getAbsolutePath}/*/*.csv")
+      .orderBy("ts").collect()
+    assert(got.length == 2)
+    assert(got.head.getAs[java.sql.Timestamp]("ts").getTime == 1704067200000L)
+    assert(got.head.getAs[Double]("close") == 1.5)
+    assert(got.map(_.getAs[String]("symbol")).distinct.nonEmpty)
+  }
+
+  test("epoch-ms cast and column order match the reference contract") {
+    val dir = Files.createTempDirectory("graft-csv2").toFile
+    val p = s"${dir.getAbsolutePath}/x.csv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      "time,open,high,low,close,volume\n1704067200000,1,2,0.5,1.5,10\n")
+    val df = Tables.ohlcvCsv(spark, p)
+    assert(df.columns.toSeq ==
+      Seq("symbol", "ts", "open", "high", "low", "close", "volume"))
+    val r = df.collect().head
+    assert(r.getAs[String]("symbol") == "x")
+    assert(r.getAs[Double]("volume") == 10.0)
+  }
+
+  test("template JSON parses to the typed backtest config (S8)") {
+    val cfg = Tables.parseTemplate(
+      """{"initial_budget": 5000, "investment_per_trade": 500, "max_trades": 3}""")
+    assert(cfg.initialBudget == 5000.0 && cfg.perTrade == 500.0 &&
+      cfg.maxTrades.contains(3))
+    // empty-string max_trades (the reference's unset marker) -> None
+    val cfg2 = Tables.parseTemplate(
+      """{"initial_budget": 5000, "investment_per_trade": 500, "max_trades": ""}""")
+    assert(cfg2.maxTrades.isEmpty)
+    // missing keys -> reference defaults (main.py:38-40)
+    val cfg3 = Tables.parseTemplate("{}")
+    assert(cfg3.initialBudget == 10000.0 && cfg3.perTrade == 1000.0)
+  }
+}
