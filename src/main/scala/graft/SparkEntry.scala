@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Analytics, Backtest, Dedup, Similarity, TradingOps}
+import graft.operators.{Analytics, Backtest, Dedup, Similarity, TimeSeriesOps, TradingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -110,6 +110,25 @@ object SparkEntry {
       Backtest.summary(
         Tables.candles(s, dir),
         Backtest.Config(maxTrades = Some(8)))),
+
+    // ---- time-series: as-of join, sessionization, cube -------------------
+    "asof_join_candles" -> ((s, dir) =>
+      TimeSeriesOps.asofJoinBackward(
+        Tables.table(s, dir, "events")
+          .select(col("event_id"), col("event_type").as("symbol"),
+            col("ts"), col("value")),
+        Tables.candles(s, dir).select(col("symbol"), col("ts"), col("close")),
+        "symbol", "ts")),
+
+    "sessionize_events" -> ((s, dir) =>
+      TimeSeriesOps.sessionize(Tables.table(s, dir, "events"), 30)),
+
+    "cube_orders" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double")
+            .as("sum_price"))),
 
     // ---- text analysis (documents) ---------------------------------------
     "text_token_stats" -> ((s, dir) =>
@@ -298,6 +317,37 @@ object SparkEntry {
       "SELECT min(ts) AS ts_min, max(ts) AS ts_max FROM events",
 
     "portfolio_parallel" -> portfolioOracleSql(10000.0, 1000.0, None),
+
+    "asof_join_candles" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |ev AS (SELECT event_id, event_type AS symbol, ts, "value" FROM events)
+         |SELECT e.event_id, e.symbol, e.ts, e."value",
+         |  c.ts AS asof_ts, c.close
+         |FROM ev e ASOF LEFT JOIN candles c
+         |  ON e.symbol = c.symbol AND e.ts >= c.ts""".stripMargin,
+
+    "sessionize_events" ->
+      """SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT user_id, event_id, ts, "value",
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, "value",
+        |      CASE WHEN lag(ts) OVER w IS NULL
+        |             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |           THEN 1 ELSE 0 END AS newf
+        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |GROUP BY user_id, session_id""".stripMargin,
+
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "text_token_stats" -> OracleSql.tokenStats,
     "text_quality" -> OracleSql.qualityScore,

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = 1704067200000L
+  private def ts(m: Int) = new Timestamp(base + m * 60000L)
+
+  test("asofJoinBackward: inclusive ties, latest-prior match, null before first") {
+    val left = Seq(
+      ("a", ts(0), 100L),  // before any right row -> null
+      ("a", ts(5), 101L),  // exactly at right row 5 -> inclusive match
+      ("a", ts(7), 102L),  // between 5 and 10 -> match 5
+      ("a", ts(12), 103L), // after 10 -> match 10
+      ("b", ts(7), 104L))  // other key, matches b's row at 6
+      .toDF("symbol", "ts", "event_id")
+    val right = Seq(
+      ("a", ts(5), 1.5), ("a", ts(10), 2.5), ("b", ts(6), 9.0))
+      .toDF("symbol", "ts", "px")
+    val got = TimeSeriesOps.asofJoinBackward(left, right, "symbol", "ts")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Timestamp]("asof_ts")).map(_.getTime),
+         Option(r.getAs[Any]("px")))).toMap
+    assert(got(100L) == (None, None))
+    assert(got(101L) == (Some(base + 5 * 60000L), Some(1.5)))
+    assert(got(102L) == (Some(base + 5 * 60000L), Some(1.5)))
+    assert(got(103L) == (Some(base + 10 * 60000L), Some(2.5)))
+    assert(got(104L) == (Some(base + 6 * 60000L), Some(9.0)))
+  }
+
+  test("asofJoinBackward is invariant to input partitioning") {
+    val left = (1 to 200).map(i => ("k" + (i % 3), ts(i), i.toLong))
+      .toDF("symbol", "ts", "event_id")
+    val right = (1 to 50).map(i => ("k" + (i % 3), ts(i * 4), i * 1.0))
+      .toDF("symbol", "ts", "px")
+    val expect = TimeSeriesOps.asofJoinBackward(left, right, "symbol", "ts")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val got = TimeSeriesOps.asofJoinBackward(
+      left.repartition(7), right.repartition(3), "symbol", "ts")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == expect)
+  }
+
+  test("sessionize splits on inactivity gaps and aggregates per session") {
+    val events = Seq(
+      // user 1: minutes 0,10,20 (one session), 100,105 (second session)
+      (1L, ts(0), 10.0, 0L), (1L, ts(10), 10.0, 1L), (1L, ts(20), 10.0, 2L),
+      (1L, ts(100), 5.0, 3L), (1L, ts(105), 5.0, 4L),
+      // user 2: single event
+      (2L, ts(50), 7.0, 5L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = TimeSeriesOps.sessionize(events, 30)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+         r.getAs[Long]("duration_us"))).toMap
+    assert(got.size == 3)
+    assert(got((1L, 1L)) == (3L, 30.0, 20L * 60 * 1000000))
+    assert(got((1L, 2L)) == (2L, 10.0, 5L * 60 * 1000000))
+    assert(got((2L, 1L)) == (1L, 7.0, 0L))
+  }
+}
