@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Backtest, Dedup, TradingOps}
+
+/** Property tests (SURVEY.md §5): partition invariance — the reference's
+  * own X4 determinism check — plus stride/backtest invariants, over
+  * ScalaCheck-generated inputs sampled with fixed seeds (no bridge
+  * artifact in the offline cache, so sampling is driven manually).
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val closesGen: Gen[List[Double]] =
+    Gen.chooseNum(5, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1.0, 500.0).map(d => math.rint(d * 100) / 100)))
+
+  test("stride signal count = ceil(n / step) for every n, k") {
+    val cases = samples(Gen.zip(Gen.chooseNum(1, 200), Gen.chooseNum(1, 30)), 10)
+    cases.foreach { case (n, k) =>
+      val df = candleFrame(Map("s" -> (1 to n).map(_.toDouble)))
+      val flagged = TradingOps.evenlySpacedSignals(df, Some(k))
+        .filter(col("buy_signal")).count()
+      val step = math.max(n / k, 1)
+      val expected = (n + step - 1) / step
+      assert(flagged == expected, s"n=$n k=$k step=$step")
+    }
+  }
+
+  test("backtest positions strictly alternate and never overlap in time") {
+    samples(closesGen, 8).filter(_.size >= 5).foreach { closes =>
+      val ps = Backtest.positions(
+        candleFrame(Map("s" -> closes)),
+        Backtest.Config(shortN = 2, longN = 4))
+        .collect().sortBy(_.entry_ts.getTime)
+      ps.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.exit_ts.get.getTime <= b.entry_ts.getTime)
+        case _ =>
+      }
+      ps.foreach(p =>
+        assert(p.entry_ts.getTime <= p.exit_ts.get.getTime))
+    }
+  }
+
+  test("portfolio valuation is partition-invariant on generated walks") {
+    val cases = samples(Gen.zip(closesGen, Gen.chooseNum(1, 9)), 8)
+    cases.filter(_._1.size >= 5).foreach { case (closes, p) =>
+      val df = candleFrame(Map("s" -> closes))
+      val a = TradingOps.portfolioEvenlySpaced(df, 10000.0, 1000.0, Some(5))
+        .collect().map(_.toSeq).toSeq
+      val b = TradingOps.portfolioEvenlySpaced(
+        df.repartition(p), 10000.0, 1000.0, Some(5))
+        .collect().map(_.toSeq).toSeq
+      assert(a == b, s"p=$p")
+    }
+  }
+
+  test("exact dedup representative is always the minimum doc_id of its group") {
+    import spark.implicits._
+    samples(Gen.listOfN(20,
+      Gen.oneOf("alpha beta", "gamma delta", "eps zeta")), 6)
+      .foreach { texts =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val groups = Dedup.exactDuplicates(docs).collect()
+        val byText = texts.zipWithIndex.groupBy(_._1)
+        assert(groups.map(_.getAs[Long]("n_copies")).sum == texts.size)
+        val reps = groups.map(_.getAs[Long]("rep_doc_id")).toSet
+        val expectedReps = byText.values.map(_.map(_._2).min.toLong).toSet
+        assert(reps == expectedReps)
+      }
+  }
+}
