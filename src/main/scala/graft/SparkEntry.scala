@@ -111,6 +111,13 @@ object SparkEntry {
         Tables.candles(s, dir),
         Backtest.Config(maxTrades = Some(8)))),
 
+    // same machine exposed as a SQL-callable UDAF (groupBy.agg surface);
+    // shares backtest_summary's oracle because the results are identical
+    "backtest_udaf" -> ((s, dir) =>
+      operators.BacktestAggregator.summaryViaUdaf(
+        Tables.candles(s, dir),
+        Backtest.Config(maxTrades = Some(8)))),
+
     // ---- time-series: as-of join, sessionization, cube -------------------
     "asof_join_candles" -> ((s, dir) =>
       TimeSeriesOps.asofJoinBackward(
@@ -368,6 +375,13 @@ object SparkEntry {
     // genuinely sequential — the driver records a rows-only check.
 
     "backtest_positions_capped" -> backtestPositionsSql(1000.0, Some(5)),
+
+    "backtest_udaf" ->
+      s"""WITH positions AS (${backtestPositionsSql(1000.0, Some(8))})
+         |SELECT symbol, count(*) AS num_trades,
+         |  round(10000.0 + CAST(sum(CAST(exit_price * 1000.0 / entry_price - 1000.0 AS DECIMAL(28,10))) AS DOUBLE), 6) AS final_value,
+         |  round(CAST(sum(CAST(exit_price * 1000.0 / entry_price - 1000.0 AS DECIMAL(28,10))) AS DOUBLE) / 10000.0 * 100.0, 6) AS roi
+         |FROM positions GROUP BY symbol""".stripMargin,
 
     "backtest_summary" ->
       s"""WITH positions AS (${backtestPositionsSql(1000.0, Some(8))})

@@ -93,8 +93,16 @@ object Backtest {
         round(col("pnl") / lit(cfg.initialBudget) * 100.0, 6).as("roi"))
 
   private def fold(
-      symbol: String, rows: Iterator[MaRow], cfg: Config): Iterator[Position] = {
-    if (!rows.hasNext) return Iterator.empty
+      symbol: String, rows: Iterator[MaRow], cfg: Config): Iterator[Position] =
+    foldCore(rows, cfg)._2.iterator.map(p => p.copy(symbol = symbol))
+
+  /** The state machine itself, symbol-agnostic: consumes time-ordered rows,
+    * returns (final budget, positions). Shared by the flatMapSortedGroups
+    * fold and the SQL-callable Aggregator.
+    */
+  private[operators] def foldCore(
+      rows: Iterator[MaRow], cfg: Config): (Double, Seq[Position]) = {
+    if (!rows.hasNext) return (cfg.initialBudget, Nil)
     var prev = rows.next()
     var lastTs = prev.ts
     var lastClose = prev.close
@@ -124,15 +132,17 @@ object Backtest {
                    cur.short_ma < cur.long_ma) {
           inPos = false
           budget += cfg.perTrade / entryPrice * cur.close
-          out += Position(symbol, entryTs, entryPrice,
+          out += Position(null, entryTs, entryPrice,
             Some(cur.ts), Some(cur.close), cfg.perTrade / entryPrice)
         }
       }
       prev = cur
     }
-    if (inPos)
-      out += Position(symbol, entryTs, entryPrice,
+    if (inPos) {
+      budget += cfg.perTrade / entryPrice * lastClose
+      out += Position(null, entryTs, entryPrice,
         Some(lastTs), Some(lastClose), cfg.perTrade / entryPrice)
-    out.iterator
+    }
+    (budget, out.toSeq)
   }
 }
