@@ -103,6 +103,29 @@ object Tables {
         max_by(col("value"), col("event_id")).as("close"),
         count(lit(1)).cast(DoubleType).as("volume"))
 
+  /** S1/S2 — recursive CSV catalog listing with case-insensitive filename
+    * substring filter (reference: `os.walk` + `query in basename`,
+    * main.py:202-221). Catalog-level, not data-level: returns paths for a
+    * subsequent [[ohlcvCsv]] scan. Uses the Hadoop FS API so the same code
+    * lists HDFS/S3 at scale.
+    */
+  def listCsvFiles(spark: SparkSession, root: String,
+      nameQuery: String = ""): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(path, /* recursive = */ true)
+    val q = nameQuery.toLowerCase
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.toLowerCase.endsWith(".csv") &&
+          (q.isEmpty || name.toLowerCase.contains(q)))
+        out += f.getPath.toString
+    }
+    out.result().sorted
+  }
+
   /** S7 — CSV sink (reference: `export_df.to_csv`, main.py:515-534). One
     * header-ful CSV per partition; `coalesce(1)` only for small exports —
     * at scale you keep the parallel files (the reference's single-file

@@ -172,11 +172,19 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       rowsPerBand: Int = 4, minJaccard: Double = 0.05): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(docs, n, k), rowsPerBand)
-    val ba = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val bb = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val candidates = ba.join(bb, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // candidate pairs by grouping each bucket's member list and exploding
+    // its 2-combinations — the signature pipeline runs ONCE (a self-join
+    // would recompute it per side: Spark's exchange reuse does not fire
+    // through the collect_list aggregates). Bucket membership is small by
+    // LSH construction, so the quadratic explode is per-bucket-bounded.
+    val members = buckets.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val candidates = members
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
     val sh = shingleTable(docs, n)
     val verified = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),

@@ -36,6 +36,19 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[Double]("volume") == 10.0)
   }
 
+  test("catalog listing filters by case-insensitive substring (S1/S2)") {
+    val dir = Files.createTempDirectory("graft-catalog").toFile
+    val sub = new java.io.File(dir, "nested"); sub.mkdirs()
+    for (n <- Seq("BTCUSD_1m.csv", "ethusd_1m.csv", "notes.txt"))
+      Files.writeString(java.nio.file.Paths.get(dir.getAbsolutePath, n), "x")
+    Files.writeString(java.nio.file.Paths.get(sub.getAbsolutePath, "SOLusd.csv"), "x")
+    val all = Tables.listCsvFiles(spark, dir.getAbsolutePath)
+    assert(all.size == 3 && all.forall(_.endsWith(".csv")))
+    val filtered = Tables.listCsvFiles(spark, dir.getAbsolutePath, "USD_1M")
+    assert(filtered.size == 2)
+    assert(Tables.listCsvFiles(spark, dir.getAbsolutePath, "sol").size == 1)
+  }
+
   test("template JSON parses to the typed backtest config (S8)") {
     val cfg = Tables.parseTemplate(
       """{"initial_budget": 5000, "investment_per_trade": 500, "max_trades": 3}""")
