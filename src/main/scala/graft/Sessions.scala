@@ -32,6 +32,7 @@ object Sessions {
   def get(appName: String): SparkSession = {
     val spark = builder().appName(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

@@ -10,5 +10,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "decimal_dot", exprs => DecimalDotProduct(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over the `embeddings` table
   * (`embedding: ARRAY<FLOAT>`, LLM-pipeline north star).
   *
@@ -24,23 +26,19 @@ object Similarity {
 
   private def vec(c: Column): Column = c.cast("array<double>")
 
-  /** Exact-decimal dot product of two double arrays. Unit-scale products
-    * (|x·y| < 10) keep every addition inside DECIMAL(28,18) with no scale
-    * loss; the merge cast back to the accumulator type is lossless, so the
-    * fold is exact and order-independent.
+  /** Exact-decimal dot product of two double arrays via the codegen'd
+    * [[graft.functions.DecimalDotProduct]] expression: per-element products
+    * rounded to scale 18 (HALF_UP — Spark's own double→decimal cast
+    * semantics), summed exactly, returned as double. Order-independent
+    * and bit-identical to the DuckDB oracle's decimal list_sum.
     */
-  def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(vec(a), vec(b), (x, y) => (x * y).cast("decimal(19,18)")),
-      lit(0).cast("decimal(28,18)"),
-      (acc, x) => (acc + x).cast("decimal(28,18)")).cast("double")
+  def dotDecimal(a: Column, b: Column): Column = {
+    call_function("decimal_dot", vec(a), vec(b))
+  }
 
-  /** Exact-decimal squared norm. */
+  /** Exact-decimal squared norm (dot of the vector with itself). */
   def normSqDecimal(a: Column): Column =
-    aggregate(
-      transform(vec(a), x => (x * x).cast("decimal(19,18)")),
-      lit(0).cast("decimal(28,18)"),
-      (acc, x) => (acc + x).cast("decimal(28,18)")).cast("double")
+    call_function("decimal_dot", vec(a), vec(a))
 
   /** Cosine similarity with exact-decimal accumulation. */
   def cosine(a: Column, b: Column): Column =
@@ -62,6 +60,7 @@ object Similarity {
     * window but shuffles O(q·k·P) instead of O(q·N).
     */
   def annTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val queries = broadcast(
       embeddings.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
@@ -94,6 +93,7 @@ object Similarity {
     * for this labeled corpus).
     */
   def nearDupPairs(embeddings: DataFrame, minSim: Double = 0.3): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     // norms once per vector (n rows), not once per pair (n² rows)
     val withNorm = embeddings.select(col("label"), col("vec_id"),
       col("embedding"), sqrt(normSqDecimal(col("embedding"))).as("nrm"))
@@ -123,6 +123,7 @@ object Similarity {
     */
   def annTopKIvf(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5,
       signBits: Int = 8): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     def cell(v: Column): Column =
       concat_ws("", transform(slice(vec(v), 1, signBits),
         x => when(x >= 0, lit("1")).otherwise(lit("0"))))
