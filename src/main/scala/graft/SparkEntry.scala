@@ -130,6 +130,25 @@ object SparkEntry {
     "sessionize_events" -> ((s, dir) =>
       TimeSeriesOps.sessionize(Tables.table(s, dir, "events"), 30)),
 
+    // exact interpolated median (percentile) per group
+    "median_prices" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6)
+          .as("median_price"),
+          count(lit(1)).as("n"))),
+
+    // sketches: approximate distinct + quantiles (rows-only check — HLL /
+    // KLL sketch outputs are engine-specific by construction; the unit
+    // test bounds them against exact values instead)
+    "approx_sketches" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median"))),
+
     "cube_orders" -> ((s, dir) =>
       Tables.table(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -350,6 +369,12 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END AS newf
         |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
         |GROUP BY user_id, session_id""".stripMargin,
+
+    "median_prices" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

@@ -74,6 +74,16 @@ object EventStreams {
       .select(col("symbol"), col("window.start").as("ts"),
         col("mean_value"), col("n_events"))
 
+  /** Streaming exact dedup on event_id — the streaming analog of the batch
+    * exact-dedup pass: state holds ids only within the watermark horizon,
+    * so memory is bounded while duplicates arriving within the lateness
+    * window are dropped exactly once.
+    */
+  def dedupStream(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- stateful streaming backtest -------------------------------------
 
   case class Tick(symbol: String, ts: Timestamp, close: Double)

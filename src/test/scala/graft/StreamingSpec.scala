@@ -54,6 +54,35 @@ class StreamingSpec extends SparkSpec {
     assert(perSym.nonEmpty && perSym.forall(_.getLong(1) > 100))
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val dir = "/root/testdata/sf0.001"
+    // replay the same parquet twice by unioning the stream with itself:
+    // easier — duplicate via a projection union in one batch is not
+    // possible on a stream; instead run dedup over the (already unique)
+    // events and assert count parity, then unit-drive duplicates through
+    // a MemoryStream
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val base = 1704067200000L
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(base)),
+      (2L, new java.sql.Timestamp(base + 60000)),
+      (1L, new java.sql.Timestamp(base)), // duplicate id in same batch
+      (3L, new java.sql.Timestamp(base + 120000)))
+    ms.addData(rows.take(3))
+    val dedup = EventStreams.dedupStream(
+      ms.toDF().toDF("event_id", "ts"), "1 hour")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    q.processAllAvailable()
+    ms.addData(rows.drop(3) :+ ((2L, new java.sql.Timestamp(base + 60000)))) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("stream_dedup").collect()
+      .map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("stateful streaming backtest closes positions across micro-batches") {
     val closes = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 5.0, 5.0, 5.0, 30.0, 2.0)
     val base = 1704067200000L
