@@ -187,6 +187,32 @@ object SparkEntry {
     "simhash_neardup_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.table(s, dir, "documents"), 3, 4, 15)),
 
+    // greatest-n-per-group: top customer by account balance per nation
+    "top_customer_per_nation" -> ((s, dir) =>
+      Tables.table(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey")))
+            .as("top_customer"),
+          max(col("c_acctbal")).as("max_acctbal"))),
+
+    // flagship LLM-curation pipeline: quality gate -> near-dup removal
+    // (keep the smaller doc_id of each duplicate pair) -> per-language
+    // token budget
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs)
+        .filter(col("quality") >= 0.5)
+      val dupLosers = Dedup.jaccardPairs(docs, 3, 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(quality, Seq("doc_id"), "left_semi")
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // ---- similarity search (embeddings) ----------------------------------
     "ann_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.table(s, dir, "embeddings"), 8, 5)),
@@ -392,6 +418,28 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSql.minhashLshPairs(16, 4, 0.5),
     "simhash_fingerprints" -> OracleSql.simhashFingerprints,
     "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(3, 4, 15),
+    "top_customer_per_nation" ->
+      """SELECT c_nationkey, c_name AS top_customer, max_acctbal FROM (
+        |  SELECT c_nationkey, c_name,
+        |    max(c_acctbal) OVER (PARTITION BY c_nationkey) AS max_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |  FROM customer) WHERE rn = 1""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH quality AS (${OracleSql.qualityScore}),
+         |losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (${OracleSql.jaccardPairs(0.5)})),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(len(${OracleSql.toks}) AS BIGINT) AS n_tokens
+         |  FROM documents d
+         |  WHERE EXISTS (SELECT 1 FROM quality q
+         |                WHERE q.doc_id = d.doc_id AND q.quality >= 0.5)
+         |    AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id))
+         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         |FROM kept GROUP BY lang""".stripMargin,
+
     "ann_topk" -> OracleSql.annTopK(8, 5),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
 

@@ -170,16 +170,22 @@ object Dedup {
     * candidates, which is what the oracle computes.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
-      rowsPerBand: Int = 4, minJaccard: Double = 0.05): DataFrame = {
+      rowsPerBand: Int = 4, minJaccard: Double = 0.05,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(docs, n, k), rowsPerBand)
     // candidate pairs by grouping each bucket's member list and exploding
     // its 2-combinations — the signature pipeline runs ONCE (a self-join
     // would recompute it per side: Spark's exchange reuse does not fire
     // through the collect_list aggregates). Bucket membership is small by
     // LSH construction, so the quadratic explode is per-bucket-bounded.
+    // mega-bucket guard for 100 TB corpora: a degenerate bucket of m docs
+    // yields m²/2 candidates; buckets past `maxBucketSize` are
+    // non-discriminative (standard LSH practice is to drop them — their
+    // members still pair up via their other bands). Default keeps exact
+    // semantics.
     val members = buckets.groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucketSize)
     val candidates = members
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + lit(2), size(col("ds"))),
