@@ -187,6 +187,33 @@ object SparkEntry {
     "simhash_neardup_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.table(s, dir, "documents"), 3, 4, 15)),
 
+    // PIVOT: order counts by priority × status (explicit value list keeps
+    // the column set deterministic; fill 0 to match FILTER-count semantics)
+    "pivot_orders" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L)),
+
+    // UNION ALL across entity tables with provenance tag
+    "union_parties" -> ((s, dir) =>
+      Tables.table(s, dir, "customer")
+        .select(col("c_name").as("name"), lit("customer").as("kind"))
+        .unionByName(Tables.table(s, dir, "supplier")
+          .select(col("s_name").as("name"), lit("supplier").as("kind")))),
+
+    // lead / first_value / nth_value family over the candle series
+    "window_leads" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("ts"))
+      Tables.candles(s, dir)
+        .select(col("symbol"), col("ts"), col("close"),
+          lead(col("close"), 1).over(w).as("next_close"),
+          first_value(col("close")).over(w).as("first_close"),
+          nth_value(col("close"), 3).over(w).as("third_close"))
+    }),
+
     // greatest-n-per-group: top customer by account balance per nation
     "top_customer_per_nation" -> ((s, dir) =>
       Tables.table(s, dir, "customer")
@@ -418,6 +445,27 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSql.minhashLshPairs(16, 4, 0.5),
     "simhash_fingerprints" -> OracleSql.simhashFingerprints,
     "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(3, 4, 15),
+    "pivot_orders" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "union_parties" ->
+      """SELECT c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, 'supplier' AS kind FROM supplier""".stripMargin,
+
+    "window_leads" ->
+      s"""WITH candles AS (${Tables.candlesSql})
+         |SELECT symbol, ts, close,
+         |  lead(close, 1) OVER w AS next_close,
+         |  first_value(close) OVER w AS first_close,
+         |  nth_value(close, 3) OVER w AS third_close
+         |FROM candles
+         |WINDOW w AS (PARTITION BY symbol ORDER BY ts)""".stripMargin,
+
     "top_customer_per_nation" ->
       """SELECT c_nationkey, c_name AS top_customer, max_acctbal FROM (
         |  SELECT c_nationkey, c_name,
