@@ -182,6 +182,9 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.table(s, dir, "documents"), 3, 16)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.table(s, dir, "documents"), 3, 16, 4, 0.5)),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(Tables.table(s, dir, "documents"), 3, 0.5)),
+
     "simhash_fingerprints" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.table(s, dir, "documents"))),
     "simhash_neardup_pairs" -> ((s, dir) =>
@@ -443,6 +446,19 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> OracleSql.jaccardPairs(0.5),
     "minhash_signatures" -> OracleSql.minhashSignatures(16),
     "dedup_minhash_lsh" -> OracleSql.minhashLshPairs(16, 4, 0.5),
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |jac AS (${OracleSql.jaccardPairs(0.5)}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |  UNION SELECT doc_b, doc_a FROM jac),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |FROM reach GROUP BY src""".stripMargin,
+
     "simhash_fingerprints" -> OracleSql.simhashFingerprints,
     "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(3, 4, 15),
     "pivot_orders" ->

@@ -207,6 +207,52 @@ object Dedup {
     verified
   }
 
+  /** Transitive near-duplicate clusters: connected components over the
+    * Jaccard pair graph, each labeled by its minimum doc_id — the step a
+    * production dedup keys on (A≈B and B≈C must collapse to ONE kept doc
+    * even when A≉C directly). Output: (doc_id, cluster_rep) for every doc
+    * that appears in at least one pair.
+    *
+    * Algorithm: min-label propagation — each node repeatedly adopts the
+    * smallest label in its closed neighborhood until fixpoint. Iterations
+    * = component diameter (near-dup clusters are shallow); each round is
+    * one self-join + aggregate, and `localCheckpoint` truncates the plan
+    * so lineage doesn't grow per round (the driver-loop-with-actions shape
+    * is the standard Spark iterative-graph pattern; large-star/small-star
+    * is the drop-in upgrade if components ever get deep).
+    */
+  def nearDupClusters(docs: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.5, maxIters: Int = 20): DataFrame = {
+    val pairs = jaccardPairs(docs, n, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = updated.toDF("doc_id", "new_label")
+        .join(labels, Seq("doc_id"))
+        .filter(col("new_label") =!= col("label")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** 60-bit SimHash fingerprints via the codegen'd [[graft.functions.SimHash64]]
     * expression — one pass over the scan, no shuffle.
     */

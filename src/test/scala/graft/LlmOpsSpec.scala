@@ -53,6 +53,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
   }
 
+  test("nearDupClusters merges transitive chains to the min doc_id") {
+    // 0≈1 and 1≈2 but 0 and 2 share little; 5≈6 separately
+    val d = docs(
+      0L -> "a b c d e f g h i j",
+      1L -> "a b c d e f x y z w",
+      2L -> "c d e f x y z w q r",
+      5L -> "m n o p m n o p m n",
+      6L -> "m n o p m n o p m n",
+      9L -> "lone words without any pair here")
+    val got = graft.operators.Dedup.nearDupClusters(d, 3, 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("SimHash64.compute matches an independent md5 reference") {
     def refHash(tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
