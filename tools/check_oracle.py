@@ -26,7 +26,7 @@ def canon(rows, cols):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return f"{v:.9g}"
+            return repr(v)  # full round-trip precision: bit-exact compare
         return repr(v)
 
     out = [tuple(cell(r[i]) for i in order) for r in rows]
