@@ -79,3 +79,62 @@ object DecimalDotProduct {
     java.lang.Double.valueOf(acc.doubleValue())
   }
 }
+
+/** Plain-IEEE double dot product (sequential fold) — the codegen'd form of
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`. NOT oracle-exact across
+  * engines (summation order sensitivity); used only for conservative
+  * prefilters ahead of [[DecimalDotProduct]].
+  */
+case class DoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"double_dot requires two array<double>, got " +
+          s"${l.simpleString(10)}, ${r.simpleString(10)}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DoubleDotProduct.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val compute = DoubleDotProduct.getClass.getName.stripSuffix("$")
+    val boxed = ctx.freshName("ddotBoxed")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double $boxed = $compute.compute($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DoubleDotProduct {
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}

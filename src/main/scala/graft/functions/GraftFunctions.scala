@@ -13,5 +13,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "decimal_dot", exprs => DecimalDotProduct(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_dot", exprs => DoubleDotProduct(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -239,15 +239,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
+      // the changed flag rides along in the same projection, so each round
+      // costs one shuffle + one checkpoint — no separate convergence join
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+            .as("label"),
+          coalesce(col("nlabel") < col("label"), lit(false)).as("changed"))
         .localCheckpoint()
-      converged = updated.toDF("doc_id", "new_label")
-        .join(labels, Seq("doc_id"))
-        .filter(col("new_label") =!= col("label")).isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
       iter += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_rep"))

@@ -44,12 +44,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotDecimal(a, b) / (sqrt(normSqDecimal(a)) * sqrt(normSqDecimal(b)))
 
-  /** Fast approximate dot product (plain double fold — no decimal boxing);
-    * used only as a conservative prefilter, never for final values.
+  /** Fast approximate dot product (codegen'd plain-double fold); used only
+    * as a conservative prefilter, never for final values.
     */
   private def dotDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(vec(a), vec(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("double_dot", vec(a), vec(b))
 
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors (vec_id ≥ nQueries).
