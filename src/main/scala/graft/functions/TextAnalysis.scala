@@ -90,8 +90,4 @@ object TextAnalysis {
       md5(normText(col("text"))).as("fingerprint"),
       substring(md5(normText(col("text"))), 1, 8).as("bucket8"))
 
-  /** DuckDB mirrors (shared with SparkEntry.oracleSql). */
-  val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-  val toksSql =
-    s"CASE WHEN length($normSql) = 0 THEN [] ELSE string_split($normSql, ' ') END"
 }

@@ -9,10 +9,10 @@ import graft.functions.GraftFunctions
 /** Similarity search over the `embeddings` table
   * (`embedding: ARRAY<FLOAT>`, LLM-pipeline north star).
   *
-  * Float policy: dot products and squared norms accumulate in
-  * DECIMAL(38,18) via `aggregate` lambdas over the double-cast arrays —
-  * exact, order-independent, and bit-identical to the DuckDB oracle's
-  * `list_sum(list_transform(...))` over the same decimals. The final
+  * Float policy: dot products and squared norms accumulate exactly in
+  * decimal via the codegen'd [[graft.functions.DecimalDotProduct]] —
+  * order-independent, and bit-identical to the DuckDB oracle's
+  * `list_sum(list_transform(...))` over DECIMAL(19,18). The final
   * divide/sqrt are single IEEE ops on identical inputs. So ranking by
   * similarity is deterministic across engines — no tolerance games.
   *
