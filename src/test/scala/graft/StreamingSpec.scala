@@ -83,6 +83,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("streaming candles recover from a checkpoint without duplicates") {
+    val dir = "/root/testdata/sf0.001"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-stream-out").toString
+    def run(): Unit = {
+      val q = EventStreams.candleStream(
+        EventStreams.eventsStream(spark, dir))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run() // first run consumes everything below the watermark
+    val n1 = spark.read.parquet(out).count()
+    run() // restart from checkpoint: no new input -> no new rows
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 > 100)
+    assert(n2 == n1, s"restart produced duplicates: $n1 -> $n2")
+  }
+
   test("stateful streaming backtest closes positions across micro-batches") {
     val closes = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 5.0, 5.0, 5.0, 30.0, 2.0)
     val base = 1704067200000L
