@@ -97,6 +97,14 @@ object SparkEntry {
       TradingOps.portfolioEvenlySpaced(
         Tables.candles(s, dir), 10000.0, 1000.0, Some(8))),
 
+    // ---- export-table projection (main.py:515-534) -----------------------
+    "export_signals" -> ((s, dir) =>
+      TradingOps.exportSignals(Tables.candles(s, dir), 1000.0, Some(20))),
+
+    // ---- gap-filled (LOCF) candle series ---------------------------------
+    "candles_gapfill" -> ((s, dir) =>
+      TradingOps.gapFillCandles(Tables.candles(s, dir))),
+
     // ---- §2.6 stateful MA-crossover backtest fold ------------------------
     "backtest_positions" -> ((s, dir) =>
       Backtest.positions(Tables.candles(s, dir)).toDF()),
@@ -506,6 +514,40 @@ object SparkEntry {
 
     "ann_topk" -> OracleSql.annTopK(8, 5),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
+
+    "export_signals" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |numbered AS (
+         |  SELECT symbol, ts, close,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY symbol) AS n
+         |  FROM candles
+         |)
+         |SELECT symbol, ts, close, CAST(1000.0 AS DOUBLE) AS trade_amount,
+         |  round(1000.0 / close, 6) AS shares
+         |FROM numbered
+         |WHERE (rn - 1) % greatest(n // 20, 1) = 0""".stripMargin,
+
+    "candles_gapfill" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |span AS (
+         |  SELECT symbol, min(ts) AS t0, max(ts) AS t1
+         |  FROM candles GROUP BY symbol),
+         |spine AS (
+         |  SELECT symbol,
+         |    unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+         |  FROM span),
+         |filled AS (
+         |  SELECT s.symbol, s.ts, c.close AS raw_close, c.volume
+         |  FROM spine s LEFT JOIN candles c
+         |    ON s.symbol = c.symbol AND s.ts = c.ts)
+         |SELECT symbol, ts,
+         |  last_value(raw_close IGNORE NULLS) OVER (
+         |    PARTITION BY symbol ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+         |  coalesce(volume, 0.0) AS volume,
+         |  raw_close IS NULL AS gap_filled
+         |FROM filled""".stripMargin,
 
     // backtest_positions (uncapped) has NO oracle: the budget gate binds on
     // this data (cumulative losses exceed budget−perTrade), and the gate is

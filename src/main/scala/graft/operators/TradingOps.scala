@@ -132,6 +132,40 @@ object TradingOps {
     df.groupBy(col("symbol"))
       .agg(max_by(col("close"), col("ts")).as("last_close"))
 
+  /** Export-table projection (reference main.py:515-534): signal rows with
+    * the derived `trade_amount` and `shares = trade_amount / close`
+    * columns — the payload its CSV export writes.
+    */
+  def exportSignals(candles: DataFrame, perTrade: Double,
+      maxTrades: Option[Int]): DataFrame =
+    evenlySpacedSignals(candles, maxTrades)
+      .filter(col("buy_signal"))
+      .select(col("symbol"), col("ts"), col("close"),
+        lit(perTrade).as("trade_amount"),
+        round(lit(perTrade) / col("close"), 6).as("shares"))
+
+  /** Gap-filled candle series: one row per (symbol, hour) over each
+    * symbol's active span, carrying the last close forward through silent
+    * hours (LOCF) with zero volume — resampling semantics minute-data
+    * pipelines rely on. The hour spine is generated per symbol with
+    * `sequence` (no driver loop); the fill is one `last(ignoreNulls)`
+    * window over the same symbol partitioning as every other operator.
+    */
+  def gapFillCandles(candles: DataFrame): DataFrame = {
+    val spine = candles.groupBy(col("symbol"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("symbol"),
+        explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 HOUR"))).as("ts"))
+    val filled = spine.join(candles, Seq("symbol", "ts"), "left")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.select(col("symbol"), col("ts"),
+      last(col("close"), ignoreNulls = true).over(w).as("close"),
+      coalesce(col("volume"), lit(0.0)).as("volume"),
+      col("close").isNull.as("gap_filled"))
+  }
+
   /** "Evenly Spaced Buys" strategy valuation, per symbol, as ONE lazy
     * DataFrame expression (/root/reference/main.py:366-390):
     *
