@@ -153,14 +153,19 @@ object Dedup {
 
   /** LSH banding: bucket key per (doc, band) = md5 of the band's ordered
     * minhash vector. Docs sharing any bucket are candidate pairs.
+    * The in-band vector is pivoted with per-slot conditional MIN (exactly
+    * one seed hits each slot) instead of collect_list+sort — a plain
+    * codegen'd HashAggregate with map-side partials, no object buffers.
     */
-  def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame =
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val slots = (0 until rowsPerBand).map { j =>
+      min(when(expr(s"seed % $rowsPerBand") === j, col("minhash")))
+        .cast("string")
+    }
     signatures
       .groupBy(col("doc_id"), expr(s"seed div $rowsPerBand").as("band"))
-      .agg(md5(concat_ws(",",
-        transform(
-          array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash").cast("string")))).as("bucket"))
+      .agg(md5(concat_ws(",", slots: _*)).as("bucket"))
+  }
 
   /** MinHash+LSH near-duplicate pairs, verified with true Jaccard.
     * The exact-Jaccard count runs ONLY over the candidate pairs from
