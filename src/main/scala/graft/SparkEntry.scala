@@ -157,6 +157,17 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
             .as("approx_median"))),
 
+    // GROUPING SETS through the SQL surface (status totals + priority
+    // totals in one pass)
+    "grouping_sets_orders" -> ((s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    }),
+
     "cube_orders" -> ((s, dir) =>
       Tables.table(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -439,6 +450,12 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "grouping_sets_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
 
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
