@@ -184,6 +184,10 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents"))),
+    "train_val_split" -> ((s, dir) =>
+      TextAnalysis.trainValSplit(Tables.table(s, dir, "documents"), 90)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))),
     "events_props_json" -> ((s, dir) =>
       Tables.table(s, dir, "events")
         .select(col("event_type"),
@@ -467,6 +471,13 @@ object SparkEntry {
     "text_lang_id" -> OracleSql.languageId,
     "text_fingerprint" -> OracleSql.fingerprint,
     "events_props_json" -> OracleSql.eventsPropsJson,
+
+    "train_val_split" ->
+      """SELECT lang,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+        |       THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "dedup_exact" -> OracleSql.exactDuplicates,
     "dedup_jaccard_pairs" -> OracleSql.jaccardPairs(0.5),
     "minhash_signatures" -> OracleSql.minhashSignatures(16),

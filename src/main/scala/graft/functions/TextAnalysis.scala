@@ -81,6 +81,18 @@ object TextAnalysis {
         .otherwise("fr").as("lang_pred"))
   }
 
+  /** Deterministic train/validation split: bucket = md5(doc_id) mod 100,
+    * train iff bucket < trainPct. Content-independent, reproducible on any
+    * engine and any partitioning — the sharding primitive for dataset
+    * versioning (no RNG, no sampleBy seed drift across runs).
+    */
+  def trainValSplit(docs: DataFrame, trainPct: Int = 90): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 100
+    docs.select(col("doc_id"), col("lang"),
+      when(bucket < trainPct, "train").otherwise("val").as("split"))
+  }
+
   /** Stable 128-bit content fingerprint of the normalized text (md5 is
     * identical across engines, so this doubles as the exact-dedup key).
     */
