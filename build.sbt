@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output must reach stdout RAW: the bench/verify driver
+// parses the JSON line Bench prints, and sbt's default logger wraps every
+// line in "[info] " (and appends "[success] Total time ..."), which breaks
+// `json.loads` on the tail of the output (BENCH_r01.json: "parsed": null).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

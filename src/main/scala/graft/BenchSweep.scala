@@ -25,9 +25,13 @@ object BenchSweep {
       val t0 = System.nanoTime()
       val agg = TradingOps.portfolioEvenlySpaced(
           candles.repartition(p), 10000.0, 1000.0, None)
+        // accumulate the cross-symbol totals in DECIMAL too: a plain double
+        // sum() adds in nondeterministic across-partition order, which can
+        // flap the "same value at every level" invariant in the last ULP
         .agg(
-          sum(col("final_value")).as("fv"),
-          sum(col("roi")).as("roi"))
+          sum(col("final_value").cast("decimal(28,10)")).cast("double")
+            .as("fv"),
+          sum(col("roi").cast("decimal(28,10)")).cast("double").as("roi"))
         .collect().head
       val sec = (System.nanoTime() - t0) / 1e9
       s"""{"partitions":$p,"exec_sec":$sec,"final_value":${agg.getDouble(0)},"roi":${agg.getDouble(1)}}"""

@@ -78,7 +78,8 @@ object OracleSql {
     */
   val simhashFingerprints: String =
     s"""SELECT doc_id,
-       |  sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+       |  CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)
+       |       AS BIGINT) AS simhash
        |FROM (
        |  SELECT doc_id, b,
        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -200,7 +201,8 @@ object OracleSql {
        |FROM documents GROUP BY 1""".stripMargin
 
   val eventsPropsJson: String =
-    """SELECT event_type, sum(k) AS sum_k, count(k) AS n_with_k, max(k) AS max_k
+    """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  count(k) AS n_with_k, max(k) AS max_k
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events)

@@ -439,8 +439,9 @@ object SparkEntry {
         |  CAST(sum(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT user_id, event_id, ts, "value",
-        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
         |  FROM (
         |    SELECT user_id, event_id, ts, "value",
         |      CASE WHEN lag(ts) OVER w IS NULL
@@ -537,7 +538,8 @@ object SparkEntry {
          |  WHERE EXISTS (SELECT 1 FROM quality q
          |                WHERE q.doc_id = d.doc_id AND q.quality >= 0.5)
          |    AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id))
-         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM kept GROUP BY lang""".stripMargin,
 
     "ann_topk" -> OracleSql.annTopK(8, 5),

@@ -70,9 +70,12 @@ object Multimodal {
     media
       .withColumn("n_frames",
         floor((length(col("payload")) - lit(8)) / lit(frameBytes)))
+      // payloads with zero complete frames must yield NO sampled frames:
+      // without this filter, sequence(0, greatest(n-1, 0)) still emits
+      // frame_idx 0 whose byte_offset points past the payload's frame data
+      .filter(col("n_frames") > 0)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
-          lit(stride))))
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("frame_idx"),
         (lit(8) + col("frame_idx") * lit(frameBytes)).as("byte_offset"))
 

@@ -42,6 +42,15 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 8L), (10L, 8L + 2560L), (20L, 8L + 5120L)))
   }
 
+  test("sampleFrameOffsets yields no frames for payloads shorter than one frame") {
+    val media = Seq(
+      Media(10L, "video", payload(1, 1, 0, 100)), // < 1 full frame
+      Media(11L, "video", payload(1, 1, 0, 256))).toDS()
+    val got = Multimodal.sampleFrameOffsets(media.toDF(), 256, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((11L, 0L, 8L)))
+  }
+
   test("features flow into the Similarity operators as embeddings") {
     val media = (0L to 9L).map(i =>
       Media(i, "image", payload(8, 8, i.toInt, 512))).toDS()

@@ -34,6 +34,24 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
+def kind(t):
+    """Collapse a DuckDB type to the rendering class the driver's
+    arrow/pandas fetch uses: HUGEINT and DECIMAL render differently from
+    BIGINT/DOUBLE (8.0 vs 8), so a kind mismatch = driver hash mismatch
+    even when fetchall() values look identical."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s == "HUGEINT":
+        return "hugeint"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    return s
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -46,10 +64,21 @@ def main(sf_dir, out_dir):
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols, grows = canon(got.fetchall(), got.columns)
+            gtypes = dict(zip(got.columns, got.types))
             exp = con.sql(sql)
             ecols, erows = canon(exp.fetchall(), exp.columns)
+            etypes = dict(zip(exp.columns, exp.types))
         except Exception as e:
             print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        bad_types = [
+            (c, gtypes[c], etypes[c]) for c in gcols
+            if c in etypes and kind(gtypes[c]) != kind(etypes[c])]
+        if bad_types:
+            c, gt, et = bad_types[0]
+            print(f"FAIL {name}: type mismatch on '{c}': spark parquet "
+                  f"{gt} vs duckdb {et} (add a CAST in the oracle SQL)")
             n_fail += 1
             continue
         if gcols != ecols:
