@@ -22,9 +22,15 @@ object OracleSql {
        |         i -> array_to_string(t[i+1:i+3], ' ')))
        |  ELSE [array_to_string(t, ' ')] END""".stripMargin
 
-  /** (doc_id, n_sh, shingle) exploded distinct-shingle table. */
+  /** (doc_id, n_sh, shash) exploded distinct-shingle table. Distinctness
+    * is over shingle STRINGS, then each shingle is carried as the same
+    * 60-bit md5-derived int64 the Spark side uses (Dedup.shingleTable) —
+    * both engines join/count over the identical hashed domain.
+    */
   val shingleTable =
-    s"""SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS shingle FROM (
+    s"""SELECT doc_id, len(shl) AS n_sh,
+       |  CAST('0x' || substr(md5(unnest(shl)), 1, 15) AS BIGINT) AS shash
+       |FROM (
        |  SELECT doc_id, $shingles3 AS shl
        |  FROM (SELECT doc_id, $toks AS t FROM documents))""".stripMargin
 
@@ -35,7 +41,7 @@ object OracleSql {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    round(CAST(count(*) AS DOUBLE) /
        |          CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) AS jaccard
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
        |WHERE jaccard >= $minJ""".stripMargin
 
@@ -50,14 +56,25 @@ object OracleSql {
       .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
     s"""SELECT doc_id, seed, min((a * h32 + b) % $p) AS minhash
        |FROM (
-       |  SELECT doc_id,
-       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $p AS h32
+       |  SELECT doc_id, shash % $p AS h32
        |  FROM ($shingleTable) sh)
        |CROSS JOIN (VALUES $seedRows) seeds(seed, a, b)
        |GROUP BY doc_id, seed""".stripMargin
   }
 
-  /** MinHash LSH candidate pairs verified by true Jaccard. */
+  /** Per-doc hashed shingle LIST — the un-exploded sibling of
+    * [[shingleTable]] (mirrors Dedup.shingleArrays).
+    */
+  val shingleArrays =
+    s"""SELECT doc_id, list_transform(shl,
+       |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS sha
+       |FROM (
+       |  SELECT doc_id, $shingles3 AS shl
+       |  FROM (SELECT doc_id, $toks AS t FROM documents))""".stripMargin
+
+  /** MinHash LSH candidate pairs verified by true Jaccard over the hashed
+    * shingle lists (list_intersect dedups — same as Spark array_intersect).
+    */
   def minhashLshPairs(k: Int, rowsPerBand: Int, minJ: Double): String =
     s"""WITH sigs AS (${minhashSignatures(k)}),
        |buckets AS (
@@ -68,10 +85,17 @@ object OracleSql {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a JOIN buckets b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |jac AS (${jaccardPairs(minJ)})
-       |SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j
-       |WHERE EXISTS (SELECT 1 FROM cand c
-       |              WHERE c.doc_a = j.doc_a AND c.doc_b = j.doc_b)""".stripMargin
+       |arr AS ($shingleArrays)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(CAST(len(list_intersect(a.sha, b.sha)) AS DOUBLE) /
+       |          CAST(len(a.sha) + len(b.sha)
+       |               - len(list_intersect(a.sha, b.sha)) AS DOUBLE), 6)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN arr a ON a.doc_id = c.doc_a
+       |  JOIN arr b ON b.doc_id = c.doc_b)
+       |WHERE jaccard >= $minJ""".stripMargin
 
   /** Relational recomputation of the SimHash64 Catalyst expression:
     * per-token md5-60-bit hash, ±1 votes per bit, bit set iff votes > 0.

@@ -58,25 +58,45 @@ object Dedup {
         min(col("doc_id")).as("rep_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle table: (doc_id, n_shingles, shingle). Tokenization
+  /** Distinct-shingle table: (doc_id, n_shingles, shash). Tokenization
     * and shingling are staged as separate projections so each expression
     * evaluates exactly once per row (see [[shinglesFromTokens]]).
+    *
+    * Shingles are carried as a 60-bit md5-derived int64 (`shash`), not the
+    * string: every downstream consumer (the Jaccard self-join, MinHash,
+    * LSH verification) only needs equality on the shingle, and an 8-byte
+    * join/shuffle key beats a ~30-byte string at any scale. Distinctness
+    * is taken over the STRINGS first (inside [[shinglesFromTokens]]), then
+    * hashed — and the DuckDB oracle applies the identical
+    * `md5[0:15) → int64` map, so both engines operate on the same hashed
+    * domain and agree bit-for-bit even in the (≈2⁻⁶⁵·n²) collision case.
     */
   private def shingleTable(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), md5Base60(col("shingle")).as("shash"))
+
+  /** Per-doc hashed shingle ARRAY (doc_id, sha) — the un-exploded sibling
+    * of [[shingleTable]], for consumers that compare whole sets per pair
+    * (candidate verification) rather than equi-joining on single shingles.
+    * ~1-2 KB per doc; shuffles as one row per doc.
+    */
+  private def shingleArrays(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => md5Base60(s)).as("sha"))
 
   /** Document-frequency pruning: drop shingles occurring in more than
     * `maxDf` documents (stop-shingles: no signal, quadratic join blowup).
     */
   private def pruneHotShingles(sh: DataFrame, maxDf: Long): DataFrame = {
-    val hot = sh.groupBy(col("shingle"))
+    val hot = sh.groupBy(col("shash"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("shingle"))
-    sh.join(hot, Seq("shingle"), "left_anti")
+      .select(col("shash"))
+    sh.join(hot, Seq("shash"), "left_anti")
   }
 
   /** N-gram Jaccard near-duplicate pairs:
@@ -91,15 +111,31 @@ object Dedup {
       val t = shingleTable(docs, n)
       if (maxDf == Long.MaxValue) t else pruneHotShingles(t, maxDf)
     }
-    val a = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    // One-sided pair generation: group each shingle's (doc, set-size) list
+    // and explode its ordered 2-combinations — the shingle pipeline runs
+    // ONCE (a self-join evaluates it per side; Catalyst's exchange reuse
+    // does not fire across differently-aliased subtrees) and the shuffle
+    // carries 12-byte rows. Per-shingle member lists are bounded by the
+    // shingle's document frequency, so the quadratic explode is df-bounded
+    // — at corpus scale combine with `maxDf` pruning, which caps it.
+    val pairs = sh
+      .groupBy(col("shash"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(
+            x.getField("doc_id").as("doc_a"), x.getField("n_sh").as("n_a"),
+            y.getField("doc_id").as("doc_b"), y.getField("n_sh").as("n_b"))))))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_a"), col("p.n_b"))
       // size-compatibility prune: J ≥ τ needs min(|A|,|B|) ≥ τ·max(|A|,|B|)
       // — drops hopeless pairs map-side BEFORE the count shuffle; the
       // final threshold makes this a pure optimization (same result set).
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         lit(minJaccard) * greatest(col("n_a"), col("n_b")).cast("double"))
+    pairs
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
       .select(col("doc_a"), col("doc_b"),
@@ -143,8 +179,7 @@ object Dedup {
     val seeds = broadcast(
       minhashSeeds(k).toDF("seed", "a", "b"))
     shingleTable(docs, n)
-      .select(col("doc_id"),
-        (md5Base60(col("shingle")) % MersennePrime).as("h32"))
+      .select(col("doc_id"), (col("shash") % MersennePrime).as("h32"))
       .crossJoin(seeds)
       .groupBy(col("doc_id"), col("seed"))
       .agg(min((col("a") * col("h32") + col("b")) % MersennePrime)
@@ -196,14 +231,20 @@ object Dedup {
         transform(slice(col("ds"), i + lit(2), size(col("ds"))),
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
-    val sh = shingleTable(docs, n)
+    // Verification compares whole shingle SETS per candidate pair
+    // (array_intersect over the hashed arrays) instead of re-exploding and
+    // equi-joining shingle rows twice — two slim joins carrying one array
+    // row per doc, and per-pair O(|A|+|B|) set intersection. The DuckDB
+    // oracle mirrors with list_intersect over the same hashed lists.
+    val arr = shingleArrays(docs, n)
     val verified = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
-        col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
-        col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(arr.select(col("doc_id").as("doc_a"), col("sha").as("sha_a")),
+        Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("sha").as("sha_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha_a"), col("sha_b"))).as("n_common"),
+        size(col("sha_a")).as("n_a"), size(col("sha_b")).as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
