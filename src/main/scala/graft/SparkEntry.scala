@@ -138,6 +138,11 @@ object SparkEntry {
     "sessionize_events" -> ((s, dir) =>
       TimeSeriesOps.sessionize(Tables.table(s, dir, "events"), 30)),
 
+    // same sessions via Spark's NATIVE session_window aggregate (the
+    // streaming-ready form; touching windows merge — split on gap > 30 min)
+    "session_window_agg" -> ((s, dir) =>
+      TimeSeriesOps.sessionWindowAgg(Tables.table(s, dir, "events"), 30)),
+
     // exact interpolated median (percentile) per group
     "median_prices" -> ((s, dir) =>
       Tables.table(s, dir, "lineitem")
@@ -449,6 +454,24 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END AS newf
         |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
         |GROUP BY user_id, session_id""".stripMargin,
+
+    "session_window_agg" ->
+      """SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts, "value",
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, ts, "value",
+        |      CASE WHEN lag(ts) OVER w IS NULL
+        |             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |           THEN 1 ELSE 0 END AS newf
+        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |GROUP BY user_id, sid""".stripMargin,
 
     "median_prices" ->
       """SELECT l_returnflag,

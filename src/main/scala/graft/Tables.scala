@@ -135,6 +135,32 @@ object Tables {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Bucketed + sorted storage for symbol-keyed series — the physical
+    * analog of the reference's sorted index (`set_index(sorted=True)`,
+    * main.py:310) at cluster scale. Writing a table `bucketBy(n, symbol)
+    * .sortBy(symbol, ts)` lets every downstream symbol-clustered operator
+    * (windows, groupBy, self-joins on symbol) read WITHOUT a shuffle:
+    * the scan's hash-partitioning satisfies the operator's required
+    * distribution, so Catalyst elides the Exchange. For multi-year
+    * minute data this removes the per-stage sort+shuffle of the symbol's
+    * whole history (SCALE.md "known costs").
+    *
+    * The pre-write `repartition(n, bucketCol)` uses the SAME hash
+    * Spark's bucketing uses, so each bucket lands in exactly one task →
+    * exactly one file per bucket (the layout that also lets the scan
+    * expose its sort order under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      buckets: Int = 8, bucketCol: String = "symbol",
+      sortCol: String = "ts"): Unit =
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol, sortCol)
+      .saveAsTable(tableName)
+
   /** S8 — JSON template source (main.py:536-555): flat scalar config
     * `{"initial_budget": N, "investment_per_trade": N, "max_trades": N|""}`
     * parsed to the typed backtest config (control-plane, driver-side).

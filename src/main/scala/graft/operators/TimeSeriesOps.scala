@@ -79,4 +79,32 @@ object TimeSeriesOps {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))
   }
+
+  /** Sessionization via Spark's NATIVE session-window aggregate
+    * (`session_window`) — the same gap semantics as [[sessionize]] but as
+    * one `groupBy` with a merging session aggregate instead of
+    * lag+running-sum windows, and the form that runs unchanged under
+    * Structured Streaming with a watermark (EventStreams.sessionStream).
+    *
+    * Boundary semantics: Spark's per-event window is `[ts, ts+gap)` and
+    * sessions merge when windows overlap OR TOUCH (start <= prev end), so
+    * an event exactly `gap` after its predecessor still joins the session
+    * — split on `diff > gap`, identical to [[sessionize]]. (Verified by
+    * the boundary unit test; the DuckDB oracle mirrors with `>`.)
+    *
+    * `session_end` is Spark's window end = last event + gap (the
+    * "session expires after the idle gap" convention), not the last
+    * event's timestamp.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("sum_value"))
 }

@@ -84,6 +84,26 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming sessionization via the native session-window aggregate —
+    * the streaming form of [[graft.operators.TimeSeriesOps.sessionWindowAgg]]
+    * (same gap-merge semantics; identical output schema). Sessions close
+    * and emit (append mode) once the watermark passes their end; state per
+    * open session is one merged accumulator, bounded by the watermark.
+    */
+  def sessionStream(events: DataFrame, gapMinutes: Int = 30,
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   // ---- stateful streaming backtest -------------------------------------
 
   case class Tick(symbol: String, ts: Timestamp, close: Double)

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TradingOps
+
+/** Bucketed + sorted storage (Tables.writeBucketed) must let
+  * symbol-clustered operators run WITHOUT a shuffle — the 100 TB answer
+  * to "every window stage re-shuffles the symbol's history". Plan-level
+  * assertions: the physical plan over the bucketed table has no
+  * ShuffleExchange where the plain-parquet plan has one, and results are
+  * identical.
+  */
+class BucketingSpec extends SparkSpec {
+
+  /** Count hash-partitioning shuffle exchanges in the FINAL (post-AQE)
+    * physical plan — AdaptiveSparkPlanExec hides its input plan from
+    * TreeNode.collect, so execute first and read the final-plan string.
+    */
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  private lazy val bucketed: DataFrame = {
+    val candles = candleFrame(Map(
+      "a" -> (1 to 200).map(_.toDouble),
+      "b" -> (1 to 150).map(i => 300.0 - i),
+      "c" -> (1 to 100).map(i => 50.0 + (i % 7))))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bucketed").toString
+    Tables.writeBucketed(candles, "candles_bucketed", s"$dir/candles", 4)
+    spark.table("candles_bucketed")
+  }
+
+  test("window over bucketed symbol table plans zero shuffles") {
+    val plain = candleFrame(Map("a" -> (1 to 50).map(_.toDouble)))
+    val winPlain = TradingOps.movingAverages(plain)
+    val winBucketed = TradingOps.movingAverages(bucketed)
+    assert(shuffles(winPlain) >= 1, "plain input must need an exchange")
+    assert(shuffles(winBucketed) == 0,
+      s"bucketed scan must satisfy the window's distribution:\n" +
+        winBucketed.queryExecution.executedPlan)
+  }
+
+  test("groupBy(symbol) over bucketed table plans zero shuffles") {
+    val agg = bucketed.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"), max(col("close")).as("mx"))
+    assert(shuffles(agg) == 0,
+      s"bucketed scan must satisfy the aggregate's distribution:\n" +
+        agg.queryExecution.executedPlan)
+  }
+
+  test("bucketed and plain paths produce identical results") {
+    val fromBucketed = TradingOps.crossoverSignals(
+      TradingOps.movingAverages(bucketed))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val plain = candleFrame(Map(
+      "a" -> (1 to 200).map(_.toDouble),
+      "b" -> (1 to 150).map(i => 300.0 - i),
+      "c" -> (1 to 100).map(i => 50.0 + (i % 7))))
+    val fromPlain = TradingOps.crossoverSignals(
+      TradingOps.movingAverages(plain))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(fromBucketed == fromPlain)
+  }
+
+  test("one file per bucket (sort-order-exposing layout)") {
+    // bucket id is encoded in the file name as the _NNNNN suffix; empty
+    // buckets write no file — the invariant is no bucket has TWO files
+    val files = bucketed.inputFiles
+    val bucketIds = files.map { f =>
+      "_(\\d{5})\\.".r.findFirstMatchIn(f).map(_.group(1))
+        .getOrElse(fail(s"no bucket id in $f"))
+    }
+    assert(files.nonEmpty && bucketIds.distinct.length == files.length,
+      s"a bucket has multiple files: ${files.toSeq}")
+  }
+}

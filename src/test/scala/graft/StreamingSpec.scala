@@ -83,6 +83,26 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("streaming session windows match the batch session_window aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    runToMemory(
+      EventStreams.sessionStream(EventStreams.eventsStream(spark, dir)),
+      "stream_sessions", "append")
+    val streamed = spark.table("stream_sessions")
+    val batch = operators.TimeSeriesOps.sessionWindowAgg(
+      Tables.table(spark, dir, "events"), 30)
+    // append emits only sessions closed below the final watermark — every
+    // emitted session must match the batch result exactly
+    val joined = streamed.alias("s")
+      .join(batch.alias("b"), Seq("user_id", "session_start"))
+      .filter(col("s.session_end") === col("b.session_end") &&
+        col("s.n_events") === col("b.n_events") &&
+        col("s.sum_value") === col("b.sum_value"))
+    val n = streamed.count()
+    assert(n > 50, s"expected a substantial closed-session prefix, got $n")
+    assert(joined.count() == n, "every emitted session must match batch")
+  }
+
   test("streaming candles recover from a checkpoint without duplicates") {
     val dir = "/root/testdata/sf0.001"
     val ckpt = java.nio.file.Files

@@ -64,4 +64,39 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got((1L, 2L)) == (2L, 10.0, 5L * 60 * 1000000))
     assert(got((2L, 1L)) == (1L, 7.0, 0L))
   }
+
+  test("sessionWindowAgg: native session windows, touching windows merge") {
+    val events = Seq(
+      // user 1: 0,10,20 then an event at EXACTLY gap distance (minute 50):
+      // windows [20,50) and [50,80) TOUCH and Spark merges them — split
+      // only on diff > gap, same boundary rule as sessionize
+      (1L, ts(0), 10.0, 0L), (1L, ts(10), 10.0, 1L), (1L, ts(20), 10.0, 2L),
+      (1L, ts(50), 5.0, 3L),
+      // user 1: 31-minute gap DOES split (minute 81)
+      (1L, ts(81), 2.0, 6L),
+      // user 2: 29-minute gap stays in one session
+      (2L, ts(0), 7.0, 4L), (2L, ts(29), 7.0, 5L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = TimeSeriesOps.sessionWindowAgg(events, 30)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").getTime) ->
+        (r.getAs[Timestamp]("session_end").getTime,
+         r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    assert(got.size == 3)
+    // session_end = last event + gap
+    assert(got((1L, base)) == (base + 80 * 60000L, 4L, 35.0))
+    assert(got((1L, base + 81 * 60000L)) == (base + 111 * 60000L, 1L, 2.0))
+    assert(got((2L, base)) == (base + 59 * 60000L, 2L, 14.0))
+  }
+
+  test("sessionWindowAgg is invariant to input partitioning") {
+    val events = (1 to 500).map(i =>
+      ((i % 7).toLong, ts(i * 11 % 997), i * 1.0, i.toLong))
+      .toDF("user_id", "ts", "value", "event_id")
+    val expect = TimeSeriesOps.sessionWindowAgg(events, 30)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val got = TimeSeriesOps.sessionWindowAgg(events.repartition(13), 30)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(expect.nonEmpty && got == expect)
+  }
 }
