@@ -168,29 +168,42 @@ object Dedup {
   private def md5Base60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Relational MinHash signatures: one row per (doc_id, seed 0..k-1) with
-    * the min hash over the doc's shingle set. The base hash is computed
-    * once per shingle; the broadcast seed table fans out k derived hashes;
-    * map-side partial min, one shuffle on (doc_id, seed).
+  /** WIDE MinHash signatures: one row per doc with columns m0..m{k-1}.
+    * All k family members are k conditional MIN aggregates over the SAME
+    * shingle rows — one codegen'd hash-aggregate, one shuffle keyed on
+    * doc_id carrying k longs per doc, no k× row fan-out. This is the
+    * shape every consumer wants (banding is then a pure projection); the
+    * narrow (doc, seed, minhash) form below is derived by unpivot.
+    */
+  def minhashWide(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    val h32 = (col("shash") % MersennePrime).as("h32")
+    val mins = minhashSeeds(k).map { case (i, a, b) =>
+      min((lit(a) * col("h32") + lit(b)) % MersennePrime).as(s"m$i")
+    }
+    shingleTable(docs, n)
+      .select(col("doc_id"), h32)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** Relational MinHash signatures (doc_id, seed, minhash) — the narrow
+    * contract form, unpivoted from [[minhashWide]] (a stack projection;
+    * the aggregate still runs once, wide).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val seeds = broadcast(
-      minhashSeeds(k).toDF("seed", "a", "b"))
-    shingleTable(docs, n)
-      .select(col("doc_id"), (col("shash") % MersennePrime).as("h32"))
-      .crossJoin(seeds)
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min((col("a") * col("h32") + col("b")) % MersennePrime)
-        .as("minhash"))
+    val stackArgs = (0 until k).map(i => s"$i, m$i").mkString(", ")
+    minhashWide(docs, n, k)
+      .selectExpr("doc_id",
+        s"stack($k, $stackArgs) AS (seed, minhash)")
   }
 
   /** LSH banding: bucket key per (doc, band) = md5 of the band's ordered
     * minhash vector. Docs sharing any bucket are candidate pairs.
-    * The in-band vector is pivoted with per-slot conditional MIN (exactly
-    * one seed hits each slot) instead of collect_list+sort — a plain
-    * codegen'd HashAggregate with map-side partials, no object buffers.
+    * Accepts the NARROW signature form (external/SQL surface); the
+    * in-band vector is pivoted with per-slot conditional MIN (exactly
+    * one seed hits each slot) — a plain codegen'd HashAggregate.
+    * [[minhashLshPairs]] uses [[bucketsFromWide]] instead, which needs no
+    * aggregate at all.
     */
   def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val slots = (0 until rowsPerBand).map { j =>
@@ -200,6 +213,23 @@ object Dedup {
     signatures
       .groupBy(col("doc_id"), expr(s"seed div $rowsPerBand").as("band"))
       .agg(md5(concat_ws(",", slots: _*)).as("bucket"))
+  }
+
+  /** Band buckets from the wide signature row — a pure PROJECTION
+    * (stack of per-band md5s), no shuffle beyond the signature aggregate
+    * itself.
+    */
+  private def bucketsFromWide(wide: DataFrame, k: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = k / rowsPerBand
+    val bandExprs = (0 until bands).map { b =>
+      val vec = (0 until rowsPerBand)
+        .map(j => s"cast(m${b * rowsPerBand + j} as string)")
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"$b, md5($vec)"
+    }.mkString(", ")
+    wide.selectExpr("doc_id",
+      s"stack($bands, $bandExprs) AS (band, bucket)")
   }
 
   /** MinHash+LSH near-duplicate pairs, verified with true Jaccard.
@@ -212,7 +242,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       rowsPerBand: Int = 4, minJaccard: Double = 0.05,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(docs, n, k), rowsPerBand)
+    val buckets = bucketsFromWide(minhashWide(docs, n, k), k, rowsPerBand)
     // candidate pairs by grouping each bucket's member list and exploding
     // its 2-combinations — the signature pipeline runs ONCE (a self-join
     // would recompute it per side: Spark's exchange reuse does not fire
@@ -271,10 +301,20 @@ object Dedup {
       minJaccard: Double = 0.5, maxIters: Int = 20): DataFrame = {
     val pairs = jaccardPairs(docs, n, minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    val edgesRaw = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint()
+    // Size the iteration width to the PAIR GRAPH, not the corpus: near-dup
+    // edges are orders of magnitude fewer than documents, and each loop
+    // round is join+agg stages over just these edges — running them at
+    // corpus width burns a fixed per-task cost per round for mostly-empty
+    // partitions. ~100k edges per partition; the checkpoint above already
+    // materialized the edge count.
+    val defaultPar = docs.sparkSession.sparkContext.defaultParallelism
+    val parts = math.max(1, math.min(defaultPar,
+      (edgesRaw.count() / 100000L).toInt + 1))
+    val edges = edgesRaw.repartition(parts, col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
