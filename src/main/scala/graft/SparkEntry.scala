@@ -43,6 +43,8 @@ object SparkEntry {
     "except_customers" -> ((s, dir) => Analytics.orderingNonBuildingCustomers(s, dir)),
     "intersect_customers" -> ((s, dir) => Analytics.orderingBuildingCustomers(s, dir)),
     "brand_stats" -> ((s, dir) => Analytics.brandStats(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) => Analytics.smallQuantityRevenue(s, dir)),
+    "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
 
     // ---- S: candle construction (event-time resample of `events`) --------
     "candles" -> ((s, dir) => Tables.candles(s, dir)),
@@ -368,6 +370,25 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (
+        |  SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(20,4)))
+        |                    AS DOUBLE) / count(*)
+        |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS spend_30d
+        |FROM orders""".stripMargin,
 
     "candles" -> Tables.candlesSql,
 

@@ -177,4 +177,42 @@ object Analytics {
           .as("sum_qty"),
         (sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double") /
           count(lit(1))).as("avg_price"))
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): revenue from lineitems
+    * whose quantity is below 20% of their part's average quantity.
+    * Catalyst decorrelates the subquery into an aggregate+join — the
+    * plan-level feature this query pins. Per-part averages accumulate in
+    * DECIMAL (order-independent) before the one double divide, so the
+    * threshold compare is bit-identical to DuckDB's.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    table(spark, dir, "part").createOrReplaceTempView("part_v")
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        |WHERE l_quantity < (
+        |  SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(20,4)))
+        |                    AS DOUBLE) / count(*)
+        |  FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin)
+  }
+
+  /** RANGE-interval window frame: per-customer trailing-30-day spend at
+    * each order (event-time range frame, not a row frame — peers at the
+    * same timestamp aggregate together, so the result is deterministic
+    * under any tie order). DECIMAL accumulation inside the frame.
+    */
+  def trailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS spend_30d
+        |FROM orders_v""".stripMargin)
+  }
 }
