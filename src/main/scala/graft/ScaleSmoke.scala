@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Backtest, TradingOps}
+import graft.operators.{Backtest, Dedup, TradingOps}
 
 /** Scale smoke: synthesize a many-symbol candle corpus far beyond the
   * driver's testdata (default 20M rows × 2000 symbols — 3 orders of
@@ -36,6 +36,23 @@ object ScaleSmoke {
       (name, (System.nanoTime() - t0) / 1e9, n)
     }
 
+    // Synthetic document corpus for the dedup path: 25-token docs, unique
+    // per doc except planted near-dup PAIRS — every 50th doc and its
+    // successor share 24 of 25 tokens (Jaccard 20/26 ≈ 0.77 over
+    // 3-shingles, above the 0.5 threshold; every other pair is disjoint).
+    // Deterministic, no RNG; expected LSH output = nDocs/50 pairs.
+    val nDocs = math.max(10000L, rows / 100L)
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(col("id") % 50L === 1L, col("id") - 1L).otherwise(col("id"))
+        .as("pair_id"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ",
+          (0 until 24).map(j =>
+            concat(lit(s"t${j}x"), col("pair_id"))) :+
+            concat(lit("u"), col("doc_id")): _*).as("text"))
+
     val results = Seq(
       stage("ma_crossover")(
         TradingOps.crossoverSignals(TradingOps.movingAverages(candles))
@@ -45,12 +62,18 @@ object ScaleSmoke {
           .count()),
       stage("backtest_fold")(
         Backtest.summary(candles, Backtest.Config(maxTrades = Some(8)))
-          .count()))
+          .count()),
+      stage("dedup_lsh_docs")(
+        Dedup.minhashLshPairs(docs, 3, 16, 4, 0.5,
+          maxBucketSize = 1000).count()),
+      stage("dedup_exact_docs")(
+        Dedup.exactDuplicates(docs).count()))
 
     val js = results.map { case (n, sec, out) =>
-      s""""$n":{"sec":$sec,"rows_per_sec":${(rows / sec).toLong},"out_rows":$out}"""
+      val base = if (n.endsWith("_docs")) nDocs else rows
+      s""""$n":{"sec":$sec,"rows_per_sec":${(base / sec).toLong},"out_rows":$out}"""
     }.mkString(",")
-    println(s"""{"scale_rows":$rows,"symbols":$symbols,"per_symbol":$perSym,$js}""")
+    println(s"""{"scale_rows":$rows,"symbols":$symbols,"per_symbol":$perSym,"docs":$nDocs,$js}""")
     spark.stop()
   }
 }

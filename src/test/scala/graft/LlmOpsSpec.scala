@@ -53,6 +53,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
   }
 
+  test("dedup pair queries are invariant to input partitioning") {
+    // partitioning must never change results: pair sets, jaccard values,
+    // and signatures are all aggregate/join outputs with no order terms
+    val d = (0L until 60L).map { i =>
+      val fam = i % 5
+      i -> (s"fam $fam shared words ${"w" * (1 + (i % 3).toInt)} " +
+        s"${('a' + fam).toChar} b c d e f g extra$i")
+    }
+    val base = docs(d: _*)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(Dedup.jaccardPairs(base.repartition(7), 3, 0.3)) ==
+      canon(Dedup.jaccardPairs(base, 3, 0.3)))
+    assert(canon(Dedup.minhashSignatures(base.repartition(11), 3, 16)) ==
+      canon(Dedup.minhashSignatures(base, 3, 16)))
+    assert(canon(Dedup.minhashLshPairs(base.repartition(5), 3, 16, 4, 0.3)) ==
+      canon(Dedup.minhashLshPairs(base, 3, 16, 4, 0.3)))
+  }
+
   test("nearDupClusters merges transitive chains to the min doc_id") {
     // 0≈1 and 1≈2 but 0 and 2 share little; 5≈6 separately
     val d = docs(
