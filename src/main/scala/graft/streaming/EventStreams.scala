@@ -104,6 +104,36 @@ object EventStreams {
         col("sw.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream INTERVAL join: for every high-value "signal" event,
+    * the same user's follow-up events within `windowMinutes` after it.
+    * Both sides are watermarked raw streams; the time-bound join condition
+    * lets Spark expire buffered state once the watermark passes each
+    * signal's window — the canonical bounded-state stream-stream join.
+    * Inner join ⇒ streamed output equals the batch join row-for-row.
+    *
+    * @param signals usually the same source as `events` read as a second
+    *                stream (stream self-joins require two source readers).
+    */
+  def signalFollowups(signals: DataFrame, events: DataFrame,
+      threshold: Double = 100.0, windowMinutes: Int = 30,
+      lateness: String = "2 hours"): DataFrame = {
+    val sig = signals
+      .withWatermark("ts", lateness)
+      .filter(col("value") > threshold)
+      .select(col("user_id"), col("ts").as("sig_ts"),
+        col("event_id").as("sig_event_id"),
+        col("value").as("sig_value"))
+    val ev = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    sig.as("s").join(ev.as("e"),
+      expr("s.user_id = e.user_id" +
+        " AND e.ts > s.sig_ts" +
+        s" AND e.ts <= s.sig_ts + INTERVAL $windowMinutes MINUTES"))
+      .select(col("s.user_id"), col("sig_event_id"), col("sig_ts"),
+        col("sig_value"), col("e.event_id"), col("e.ts"), col("e.value"))
+  }
+
   // ---- stateful streaming backtest -------------------------------------
 
   case class Tick(symbol: String, ts: Timestamp, close: Double)

@@ -103,6 +103,33 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() == n, "every emitted session must match batch")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    // self-join needs two independent source readers
+    val joined = EventStreams.signalFollowups(
+      EventStreams.eventsStream(spark, dir),
+      EventStreams.eventsStream(spark, dir),
+      threshold = 100.0, windowMinutes = 30)
+    runToMemory(joined, "stream_followups", "append")
+    val streamed = spark.table("stream_followups")
+    val ev = Tables.table(spark, dir, "events")
+    val batch = ev.filter(col("value") > 100.0)
+      .select(col("user_id"), col("ts").as("sig_ts"),
+        col("event_id").as("sig_event_id"))
+      .as("s")
+      .join(ev.select(col("user_id"), col("ts"), col("event_id")).as("e"),
+        expr("s.user_id = e.user_id AND e.ts > s.sig_ts" +
+          " AND e.ts <= s.sig_ts + INTERVAL 30 MINUTES"))
+    val n = streamed.count()
+    assert(n > 0, "expected interval-join matches in the testdata")
+    assert(n == batch.count(),
+      "inner stream-stream join must equal the batch join")
+    val mismatches = streamed
+      .select(col("sig_event_id"), col("event_id"))
+      .except(batch.select(col("sig_event_id"), col("e.event_id")))
+    assert(mismatches.isEmpty)
+  }
+
   test("streaming candles recover from a checkpoint without duplicates") {
     val dir = "/root/testdata/sf0.001"
     val ckpt = java.nio.file.Files
