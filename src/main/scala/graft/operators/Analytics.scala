@@ -200,6 +200,26 @@ object Analytics {
         |GROUP BY p_brand""".stripMargin)
   }
 
+  /** Salted equi-join for skewed keys: the classic manual skew fix when
+    * AQE's split isn't available (e.g. the skewed side feeds another
+    * co-partitioned op). Each left row gets a deterministic salt in
+    * [0, saltFactor); the right side is replicated once per salt value;
+    * the join key becomes (key, salt) so one hot key spreads over
+    * `saltFactor` reducers. Row-identical to the plain join — the salt
+    * never reaches the output.
+    *
+    * Salt = hash(whole left row) mod saltFactor, so rows of the SAME hot
+    * key scatter; replication multiplies only the (small) right side.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int = 8): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toSeq: _*), lit(saltFactor)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** RANGE-interval window frame: per-customer trailing-30-day spend at
     * each order (event-time range frame, not a row frame — peers at the
     * same timestamp aggregate together, so the result is deterministic
