@@ -214,6 +214,17 @@ object OracleSql {
        |  FROM (SELECT doc_id, lang, $norm AS n FROM documents))""".stripMargin
   }
 
+  /** BPE-ish subword pre-tokenization count (mirrors
+    * TextAnalysis.bpeTokenEstimate: letter runs, digit runs, single
+    * marks over the normalized text).
+    */
+  val bpeTokens: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(n, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1))
+       |       AS BIGINT) AS n_subwords,
+       |  CAST(len(t) AS BIGINT) AS n_words
+       |FROM (SELECT doc_id, $norm AS n, $toks AS t FROM documents)""".stripMargin
+
   val fingerprint: String =
     s"""SELECT doc_id, md5($norm) AS fingerprint,
        |  substr(md5($norm), 1, 8) AS bucket8

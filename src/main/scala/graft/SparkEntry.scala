@@ -191,6 +191,8 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents"))),
+    "text_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenEstimate(Tables.table(s, dir, "documents"))),
     "train_val_split" -> ((s, dir) =>
       TextAnalysis.trainValSplit(Tables.table(s, dir, "documents"), 90)
         .groupBy(col("lang"), col("split"))
@@ -515,6 +517,7 @@ object SparkEntry {
     "text_quality" -> OracleSql.qualityScore,
     "text_lang_id" -> OracleSql.languageId,
     "text_fingerprint" -> OracleSql.fingerprint,
+    "text_bpe_tokens" -> OracleSql.bpeTokens,
     "events_props_json" -> OracleSql.eventsPropsJson,
 
     "train_val_split" ->

@@ -45,6 +45,24 @@ object TextAnalysis {
       size(array_distinct(tokens(col("text")))).cast("long")
         .as("n_distinct_tokens"))
 
+  /** BPE-ish subword pre-tokenization count — the standard LLM-budget
+    * estimator when the real tokenizer isn't in the pipeline: split the
+    * normalized text into letter runs, digit runs, and single
+    * non-alphanumeric marks (the GPT-2 pre-tokenizer shape without the
+    * contraction special cases). The regex is simple enough to behave
+    * identically under Java regex and DuckDB's engine, so the count is
+    * oracle-checkable; ratio to whitespace tokens ≈ subwords-per-word.
+    */
+  def bpeTokenEstimate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normText(col("text")).as("n"),
+      size(tokens(col("text"))).cast("long").as("n_words"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("n"),
+          lit("([a-z]+|[0-9]+|[^a-z0-9 ])"), lit(1))).cast("long")
+          .as("n_subwords"),
+        col("n_words"))
+
   /** Heuristic quality score in [0,1]: length signal, punctuation penalty,
     * English-stopword signal, type-token ratio. Weights sum to 1; the
     * exact expression (including evaluation order) is mirrored in SQL.

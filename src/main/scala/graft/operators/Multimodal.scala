@@ -79,6 +79,44 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         (lit(8) + col("frame_idx") * lit(frameBytes)).as("byte_offset"))
 
+  /** Batched resize to `targetW` × `targetH`. STUB resample:
+    * nearest-neighbor over the fake raster (body byte at the scaled
+    * offset) — deterministic, replaces with a real scaler inside the
+    * partition loop. Output payload carries the rewritten header, so
+    * resize composes with [[decodeAndFeaturize]] (the production
+    * decode→resize→featurize chain shape).
+    */
+  def resize(media: Dataset[Media], targetW: Int, targetH: Int): Dataset[Media] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val p = m.payload
+        val (w, h) =
+          if (p.length >= 8)
+            (math.max(((p(0) & 0xff) << 8) | (p(1) & 0xff), 1),
+             math.max(((p(2) & 0xff) << 8) | (p(3) & 0xff), 1))
+          else (1, 1)
+        val body = p.drop(8)
+        val out = new Array[Byte](targetW * targetH)
+        if (body.nonEmpty) {
+          var y = 0
+          while (y < targetH) {
+            var x = 0
+            while (x < targetW) {
+              val sx = x * w / targetW
+              val sy = y * h / targetH
+              out(y * targetW + x) = body((sy * w + sx) % body.length)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Media(m.media_id, m.kind, encodeFakeHeader(targetW, targetH, out))
+      }
+    }
+  }
+
   /** Cosine-ready embedding join: attach media features to the embeddings
     * table shape (media features become an ARRAY<DOUBLE> column usable by
     * [[Similarity]] operators — the multimodal→vector handoff).

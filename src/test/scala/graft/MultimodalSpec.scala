@@ -51,6 +51,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((11L, 0L, 8L)))
   }
 
+  test("resize rewrites the header and composes with decode") {
+    val media = Seq(
+      Media(1L, "image", payload(16, 8, 5, 16 * 8)),
+      Media(2L, "image", Array[Byte](1, 2))) // truncated input
+      .toDS()
+    val resized = Multimodal.resize(media, 4, 4)
+    val decoded = Multimodal.decodeAndFeaturize(resized).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(decoded(1L).width == 4 && decoded(1L).height == 4)
+    assert(decoded(1L).n_bytes == 8 + 16)
+    assert(decoded(2L).width == 4 && decoded(2L).n_bytes == 8 + 16)
+    // nearest-neighbor: output pixel (0,0) is source pixel (0,0)
+    val body = resized.filter(_.media_id == 1L).head().payload.drop(8)
+    val srcBody = payload(16, 8, 5, 16 * 8).drop(8)
+    assert(body(0) == srcBody(0))
+  }
+
   test("features flow into the Similarity operators as embeddings") {
     val media = (0L to 9L).map(i =>
       Media(i, "image", payload(8, 8, i.toInt, 512))).toDS()
