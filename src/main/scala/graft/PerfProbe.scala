@@ -84,6 +84,23 @@ object PerfProbe {
     time("curation_pipeline") {
       SparkEntry.queries("curation_pipeline")(spark, sfDir).count()
     }
+
+    // --- ann_topk substages ----------------------------------------------
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    emb.count()
+    time("ann_topk #1") { Similarity.annTopK(emb, 8, 5).count() }
+    time("ann_topk #2") { Similarity.annTopK(emb, 8, 5).count() }
+    val queries2 = broadcast(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val scoredDec = emb.filter(col("vec_id") >= 8).crossJoin(queries2)
+      .select(col("q_id"), col("vec_id"),
+        Similarity.dotDecimal(col("q_vec"), col("embedding")).as("d"))
+    time("decimal dots only") { scoredDec.agg(sum("d")).collect() }
+    val scoredDbl = emb.filter(col("vec_id") >= 8).crossJoin(queries2)
+      .selectExpr("q_id", "vec_id",
+        "double_dot(cast(q_vec as array<double>), cast(embedding as array<double>)) as d")
+    time("double dots only") { scoredDbl.agg(sum("d")).collect() }
     spark.stop()
   }
 }

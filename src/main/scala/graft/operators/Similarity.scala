@@ -67,17 +67,34 @@ object Similarity {
     val corpus = embeddings.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("embedding"),
         sqrt(normSqDecimal(col("embedding"))).as("c_norm"))
+    // Phase 1 — CHEAP double scoring of every (query, candidate) pair,
+    // then per-input-partition pruning: keep the double top-k plus every
+    // row within 1e-6 of the partition's k-th double sim. Double and
+    // exact-decimal cosines agree to ~1e-13, so any row in the true
+    // decimal top-k either ranks ≤ k by double, or sits ≤ 2e-13 below
+    // the k-th double sim — far inside the margin; pruning can never
+    // drop a true result. Decimal work then touches only O(q·k·P)
+    // survivors instead of the whole corpus.
+    val w = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("simd").desc, col("vec_id"))
     val scored = corpus.crossJoin(queries)
+      .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"),
+        col("q_norm"), col("c_norm"),
+        (dotDouble(col("q_vec"), col("embedding")) /
+          (col("q_norm") * col("c_norm"))).as("simd"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prn", row_number().over(w))
+      .withColumn("kth", nth_value(col("simd"), k).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("prn") <= k ||
+        col("simd") >= coalesce(col("kth") - lit(1e-6),
+          lit(Double.NegativeInfinity)))
+    // Phase 2 — exact-decimal rescoring + global ranking of the tiny
+    // survivor set; emitted sims are always the decimal-exact values.
+    scored
       .select(col("q_id"), col("vec_id"),
         (dotDecimal(col("q_vec"), col("embedding")) /
           (col("q_norm") * col("c_norm"))).as("sim"))
-    val partial = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("prn", row_number().over(
-        Window.partitionBy(col("q_id"), col("pid"))
-          .orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("prn") <= k)
-    partial
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("vec_id"))))
