@@ -225,6 +225,34 @@ object OracleSql {
        |  CAST(len(t) AS BIGINT) AS n_words
        |FROM (SELECT doc_id, $norm AS n, $toks AS t FROM documents)""".stripMargin
 
+  /** Winnowing fingerprints (mirrors TextAnalysis.winnowFingerprints):
+    * positional k-gram md5-60bit hashes, min per sliding w-window,
+    * distinct mins. DuckDB lambda index is 1-based where Spark posexplode
+    * is 0-based — the window filter bound shifts by one accordingly.
+    */
+  def winnowFingerprints(k: Int, w: Int): String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= $k
+       |      THEN list_transform(range(0, len(t)-${k - 1}),
+       |             i -> array_to_string(t[i+1:i+$k], ' '))
+       |      ELSE [array_to_string(t, ' ')] END AS gl
+       |  FROM tk),
+       |hashed AS (
+       |  SELECT doc_id, u.p['pos'] AS pos,
+       |    CAST('0x' || substr(md5(u.p['gram']), 1, 15) AS BIGINT) AS h,
+       |    len(gl) AS n_grams
+       |  FROM grams,
+       |    unnest(list_transform(gl, (g, i) -> {'pos': i, 'gram': g})) AS u(p)),
+       |winnowed AS (
+       |  SELECT doc_id, pos, n_grams,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minh
+       |  FROM hashed)
+       |SELECT DISTINCT doc_id, minh AS fingerprint
+       |FROM winnowed WHERE pos <= greatest(n_grams - $w + 1, 1)""".stripMargin
+
   val fingerprint: String =
     s"""SELECT doc_id, md5($norm) AS fingerprint,
        |  substr(md5($norm), 1, 8) AS bucket8

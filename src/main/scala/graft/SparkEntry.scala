@@ -193,6 +193,8 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents"))),
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenEstimate(Tables.table(s, dir, "documents"))),
+    "text_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.table(s, dir, "documents"), 3, 4)),
     "train_val_split" -> ((s, dir) =>
       TextAnalysis.trainValSplit(Tables.table(s, dir, "documents"), 90)
         .groupBy(col("lang"), col("split"))
@@ -518,6 +520,7 @@ object SparkEntry {
     "text_lang_id" -> OracleSql.languageId,
     "text_fingerprint" -> OracleSql.fingerprint,
     "text_bpe_tokens" -> OracleSql.bpeTokens,
+    "text_winnow_fingerprints" -> OracleSql.winnowFingerprints(3, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
 
     "train_val_split" ->

@@ -120,4 +120,38 @@ object TextAnalysis {
       md5(normText(col("text"))).as("fingerprint"),
       substring(md5(normText(col("text"))), 1, 8).as("bucket8"))
 
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    * POSITIONAL token k-gram (duplicates kept — winnowing is positional,
+    * unlike the distinct shingle sets in Dedup), then keep the minimum
+    * hash of each sliding window of `w` consecutive k-grams; the distinct
+    * mins are the doc's fingerprints. Guarantees every match of length
+    * ≥ w+k−1 tokens shares a fingerprint, with density 2/(w+1) — the
+    * sublinear fingerprint set plagiarism/overlap detectors key on.
+    *
+    * One shuffle on doc_id (the window); hashes are the engine-neutral
+    * md5-60bit family, so the DuckDB oracle reproduces them exactly.
+    * Docs shorter than k tokens contribute their whole text as a single
+    * k-gram; the shrinking tail frame covers nGrams < w.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = when(size(col("t")) >= k,
+      transform(sequence(lit(0), size(col("t")) - k),
+        i => concat_ws(" ", slice(col("t"), i + lit(1), lit(k)))))
+      .otherwise(array(concat_ws(" ", col("t"))))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("h"))
+      .withColumn("n_grams", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("minh", min(col("h")).over(byPos.rowsBetween(0, w - 1)))
+      // only windows that START a full (or final partial) window: positions
+      // 0 .. max(n_grams - w, 0)
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), col("minh").as("fingerprint"))
+      .distinct()
+  }
 }

@@ -86,6 +86,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("winnowFingerprints: shared runs collide, short docs covered, invariant") {
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "intro words alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "completely different content with no overlap at all",
+      3L -> "tiny") // shorter than k tokens -> whole text is the one gram
+    val fp = TextAnalysis.winnowFingerprints(d, 3, 4)
+    val byDoc = fp.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: any shared run of >= w+k-1 = 6 tokens shares a
+    // fingerprint — docs 0 and 1 share an 8-token run
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty)
+    assert((byDoc(0L) & byDoc(2L)).isEmpty)
+    assert(byDoc(3L).size == 1)
+    // density: far fewer fingerprints than grams
+    assert(byDoc(0L).size <= 6)
+    val again = TextAnalysis.winnowFingerprints(d.repartition(5), 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == fp.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("SimHash64.compute matches an independent md5 reference") {
     def refHash(tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
