@@ -107,6 +107,10 @@ object SparkEntry {
     "candles_gapfill" -> ((s, dir) =>
       TradingOps.gapFillCandles(Tables.candles(s, dir))),
 
+    // ---- daily VWAP/TWAP benchmark prices --------------------------------
+    "vwap_twap_daily" -> ((s, dir) =>
+      TradingOps.vwapTwapDaily(Tables.candles(s, dir))),
+
     // ---- §2.6 stateful MA-crossover backtest fold ------------------------
     "backtest_positions" -> ((s, dir) =>
       Backtest.positions(Tables.candles(s, dir)).toDF()),
@@ -607,6 +611,23 @@ object SparkEntry {
          |  round(1000.0 / close, 6) AS shares
          |FROM numbered
          |WHERE (rn - 1) % greatest(n // 20, 1) = 0""".stripMargin,
+
+    "vwap_twap_daily" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |dts AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS day, close, volume,
+         |    CAST(coalesce(
+         |      epoch(lead(ts) OVER (PARTITION BY symbol, CAST(ts AS DATE)
+         |                           ORDER BY ts)) - epoch(ts),
+         |      3600) AS DOUBLE) AS dt
+         |  FROM candles)
+         |SELECT symbol, day, count(*) AS n_candles,
+         |  round(CAST(sum(CAST(close * volume AS DECIMAL(28,10))) AS DOUBLE) /
+         |        CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 6)
+         |    AS vwap,
+         |  round(CAST(sum(CAST(close * dt AS DECIMAL(28,10))) AS DOUBLE) /
+         |        CAST(sum(CAST(dt AS DECIMAL(28,10))) AS DOUBLE), 6) AS twap
+         |FROM dts GROUP BY symbol, day""".stripMargin,
 
     "candles_gapfill" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -211,4 +211,36 @@ object TradingOps {
                col("num_trades") * lit(perTrade)) / lit(budget) * 100.0, 6)
           .as("roi"))
   }
+
+  /** Daily VWAP + TWAP per symbol — the two benchmark prices every
+    * execution-quality report keys on. VWAP weights close by volume;
+    * TWAP weights by the seconds the price was "current" (gap to the
+    * next candle within the day; the day's last candle gets the nominal
+    * candle width `defaultDtSec` since it has no successor). Weighted
+    * sums accumulate in DECIMAL → order-independent, oracle-exact; the
+    * final divides are single double ops. One shuffle on (symbol, day)
+    * shared by the lead window and the aggregate.
+    */
+  def vwapTwapDaily(candles: DataFrame, defaultDtSec: Long = 3600L): DataFrame = {
+    val byDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol"), col("day")).orderBy(col("ts"))
+    candles
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("dt",
+        coalesce(
+          unix_seconds(lead(col("ts"), 1).over(byDay)) -
+            unix_seconds(col("ts")),
+          lit(defaultDtSec)).cast("double"))
+      .groupBy(col("symbol"), col("day"))
+      .agg(
+        count(lit(1)).as("n_candles"),
+        round(sum((col("close") * col("volume")).cast("decimal(28,10)"))
+          .cast(DoubleType) /
+          sum(col("volume").cast("decimal(28,10)")).cast(DoubleType), 6)
+          .as("vwap"),
+        round(sum((col("close") * col("dt")).cast("decimal(28,10)"))
+          .cast(DoubleType) /
+          sum(col("dt").cast("decimal(28,10)")).cast(DoubleType), 6)
+          .as("twap"))
+  }
 }

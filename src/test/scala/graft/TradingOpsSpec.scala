@@ -97,4 +97,20 @@ class TradingOpsSpec extends SparkSpec {
       assert(got == base, s"partitions=$p")
     }
   }
+
+  test("vwapTwapDaily matches hand computation") {
+    // one symbol, one day, minute candles (candleFrame volume = 1.0):
+    // override volumes so VWAP != TWAP.
+    // closes 10, 20, 30 at :00 :01 :02, volumes 1, 3, 1
+    // VWAP = (10·1 + 20·3 + 30·1) / 5 = 20.0
+    // dt: 60 s, 60 s, default 3600 s (last candle)
+    // TWAP = (10·60 + 20·60 + 30·3600) / 3720 = 109800/3720 ≈ 29.516129
+    val df = candleFrame(Map("a" -> Seq(10.0, 20.0, 30.0)))
+      .withColumn("volume",
+        expr("CASE WHEN close = 20.0 THEN 3.0 ELSE 1.0 END"))
+    val r = TradingOps.vwapTwapDaily(df).collect().head
+    assert(r.getAs[Long]("n_candles") == 3L)
+    assert(math.abs(r.getAs[Double]("vwap") - 20.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("twap") - 29.516129) < 1e-6)
+  }
 }
