@@ -269,14 +269,16 @@ object SparkEntry {
     // token budget
     "curation_pipeline" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val quality = TextAnalysis.qualityScore(docs)
-        .filter(col("quality") >= 0.5)
       val dupLosers = Dedup.jaccardPairs(docs, 3, 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
-      docs.join(quality, Seq("doc_id"), "left_semi")
-        .join(dupLosers, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"),
+      // quality gate + token count FUSED into one projection over the scan
+      // (no semi-join against a separate quality table — the score is a
+      // per-row expression, so a filter is the same result for less work)
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityCol(col("text")).as("quality"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("quality") >= 0.5)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     }),

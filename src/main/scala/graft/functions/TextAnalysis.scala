@@ -63,25 +63,32 @@ object TextAnalysis {
           .as("n_subwords"),
         col("n_words"))
 
+  /** The quality expression over a raw text column — exposed separately
+    * so pipelines (curation) can fuse it with other per-doc columns in
+    * ONE projection instead of semi-joining a quality table. Repeated
+    * subtrees (tokens, normText) collapse under whole-stage codegen's
+    * common-subexpression elimination.
+    */
+  def qualityCol(text: Column): Column = {
+    val toks = size(tokens(text)).cast("double")
+    val punct = size(regexp_extract_all(
+      normText(text), lit("([^a-z0-9 ])"), lit(1))).cast("double")
+    val stops = markerCount(text, langMarkers.head._2).cast("double")
+    val distinct = size(array_distinct(tokens(text))).cast("double")
+    round(
+      lit(0.3) * least(lit(1.0), toks / lit(50.0)) +
+      lit(0.2) * (lit(1.0) - least(lit(1.0),
+        punct / greatest(length(normText(text)).cast("double"), lit(1.0)) * lit(5.0))) +
+      lit(0.2) * least(lit(1.0), stops * lit(10.0) / greatest(toks, lit(1.0))) +
+      lit(0.3) * (distinct / greatest(toks, lit(1.0))), 6)
+  }
+
   /** Heuristic quality score in [0,1]: length signal, punctuation penalty,
     * English-stopword signal, type-token ratio. Weights sum to 1; the
     * exact expression (including evaluation order) is mirrored in SQL.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = size(tokens(col("text"))).cast("double")
-    val punct = size(regexp_extract_all(
-      normText(col("text")), lit("([^a-z0-9 ])"), lit(1))).cast("double")
-    val stops = markerCount(col("text"), langMarkers.head._2).cast("double")
-    val distinct = size(array_distinct(tokens(col("text")))).cast("double")
-    docs.select(
-      col("doc_id"),
-      round(
-        lit(0.3) * least(lit(1.0), toks / lit(50.0)) +
-        lit(0.2) * (lit(1.0) - least(lit(1.0),
-          punct / greatest(length(normText(col("text"))).cast("double"), lit(1.0)) * lit(5.0))) +
-        lit(0.2) * least(lit(1.0), stops * lit(10.0) / greatest(toks, lit(1.0))) +
-        lit(0.3) * (distinct / greatest(toks, lit(1.0))), 6).as("quality"))
-  }
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityCol(col("text")).as("quality"))
 
   /** Language ID by marker-word counts with a fixed priority tie-break
     * (en > de > es > fr), written as the same CASE chain in SQL.
