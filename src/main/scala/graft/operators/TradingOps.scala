@@ -56,12 +56,12 @@ object TradingOps {
   private[graft] def parseFilterSpec(json: String): Map[String, Map[String, Double]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
-    val it = root.fields()
+    val it = root.properties().iterator()
     val b = Map.newBuilder[String, Map[String, Double]]
     while (it.hasNext) {
       val e = it.next()
       val inner = Map.newBuilder[String, Double]
-      val oit = e.getValue.fields()
+      val oit = e.getValue.properties().iterator()
       while (oit.hasNext) {
         val o = oit.next()
         inner += o.getKey -> o.getValue.asDouble()
