@@ -111,6 +111,10 @@ object SparkEntry {
     "vwap_twap_daily" -> ((s, dir) =>
       TradingOps.vwapTwapDaily(Tables.candles(s, dir))),
 
+    // ---- per-symbol maximum drawdown -------------------------------------
+    "max_drawdown" -> ((s, dir) =>
+      TradingOps.maxDrawdown(Tables.candles(s, dir))),
+
     // ---- §2.6 stateful MA-crossover backtest fold ------------------------
     "backtest_positions" -> ((s, dir) =>
       Backtest.positions(Tables.candles(s, dir)).toDF()),
@@ -613,6 +617,19 @@ object SparkEntry {
          |  round(1000.0 / close, 6) AS shares
          |FROM numbered
          |WHERE (rn - 1) % greatest(n // 20, 1) = 0""".stripMargin,
+
+    "max_drawdown" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |dd AS (
+         |  SELECT symbol,
+         |    (close - max(close) OVER w) / (max(close) OVER w) AS dd,
+         |    max(close) OVER w AS peak
+         |  FROM candles
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT symbol, round(min(dd), 6) AS max_drawdown,
+         |  max(peak) AS peak_close, count(*) AS n_candles
+         |FROM dd GROUP BY symbol""".stripMargin,
 
     "vwap_twap_daily" ->
       s"""WITH candles AS (${Tables.candlesSql}),

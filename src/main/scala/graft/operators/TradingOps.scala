@@ -212,6 +212,26 @@ object TradingOps {
           .as("roi"))
   }
 
+  /** Per-symbol maximum drawdown: running peak via an expanding window
+    * max, per-row drawdown (close − peak)/peak, then the minimum (the
+    * deepest drop) per symbol. Float-safe for the oracle by construction:
+    * the running max is exact, each drawdown is a single IEEE divide on
+    * identical inputs, and min() is order-independent.
+    */
+  def maxDrawdown(candles: DataFrame): DataFrame = {
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("ts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    candles
+      .withColumn("peak", max(col("close")).over(run))
+      .withColumn("dd", (col("close") - col("peak")) / col("peak"))
+      .groupBy(col("symbol"))
+      .agg(
+        round(min(col("dd")), 6).as("max_drawdown"),
+        max(col("peak")).as("peak_close"),
+        count(lit(1)).as("n_candles"))
+  }
+
   /** Daily VWAP + TWAP per symbol — the two benchmark prices every
     * execution-quality report keys on. VWAP weights close by volume;
     * TWAP weights by the seconds the price was "current" (gap to the

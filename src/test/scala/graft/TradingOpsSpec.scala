@@ -98,6 +98,16 @@ class TradingOpsSpec extends SparkSpec {
     }
   }
 
+  test("maxDrawdown matches hand computation") {
+    // closes 10, 20, 15, 5, 8: peaks 10,20,20,20,20
+    // dd: 0, 0, -0.25, -0.75, -0.6 -> max drawdown -0.75, peak 20
+    val df = candleFrame(Map("a" -> Seq(10.0, 20.0, 15.0, 5.0, 8.0)))
+    val r = TradingOps.maxDrawdown(df).collect().head
+    assert(math.abs(r.getAs[Double]("max_drawdown") - (-0.75)) < 1e-9)
+    assert(r.getAs[Double]("peak_close") == 20.0)
+    assert(r.getAs[Long]("n_candles") == 5L)
+  }
+
   test("vwapTwapDaily matches hand computation") {
     // one symbol, one day, minute candles (candleFrame volume = 1.0):
     // override volumes so VWAP != TWAP.
