@@ -14,4 +14,17 @@ class EntrySpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    // the cheap end-to-end guard the driver's Verify relies on: a query
+    // that throws or comes back empty at the smallest SF is a contract
+    // bug regardless of its oracle
+    val dir = "/root/testdata/sf0.001"
+    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try {
+        if (fn(spark, dir).count() > 0) None else Some(s"$name: 0 rows")
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
 }
