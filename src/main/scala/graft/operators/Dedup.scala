@@ -318,21 +318,28 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
+    // One min-label propagation hop (lazy — no checkpoint/action here).
+    def hop(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .join(ls.withColumnRenamed("doc_id", "dst").drop("changed"),
+          Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      // the changed flag rides along in the same projection, so each round
-      // costs one shuffle + one checkpoint — no separate convergence join
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      ls.drop("changed").join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"),
           coalesce(col("nlabel") < col("label"), lit(false)).as("changed"))
-        .localCheckpoint()
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // TWO hops per materialization round: the expensive part of a round
+      // is the checkpoint + convergence action, not the tiny join, so
+      // doubling the propagation distance per round halves driver-loop
+      // overhead. Convergence = the SECOND hop changed nothing, which is
+      // exactly the fixpoint condition regardless of what hop one did.
+      val updated = hop(hop(labels)).localCheckpoint()
       converged = updated.filter(col("changed")).isEmpty
       labels = updated.drop("changed")
       iter += 1
