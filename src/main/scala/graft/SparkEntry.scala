@@ -115,6 +115,18 @@ object SparkEntry {
     "max_drawdown" -> ((s, dir) =>
       TradingOps.maxDrawdown(Tables.candles(s, dir))),
 
+    // ---- cross-symbol price correlation (pairs-trading screen) -----------
+    "pair_correlation" -> ((s, dir) =>
+      TradingOps.pairCorrelation(Tables.candles(s, dir))),
+
+    // ---- value histogram over events -------------------------------------
+    "value_histogram" -> ((s, dir) =>
+      Tables.table(s, dir, "events")
+        .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(20,4)")).cast("double")
+            .as("sum_value"))),
+
     // ---- §2.6 stateful MA-crossover backtest fold ------------------------
     "backtest_positions" -> ((s, dir) =>
       Backtest.positions(Tables.candles(s, dir)).toDF()),
@@ -617,6 +629,33 @@ object SparkEntry {
          |  round(1000.0 / close, 6) AS shares
          |FROM numbered
          |WHERE (rn - 1) % greatest(n // 20, 1) = 0""".stripMargin,
+
+    "pair_correlation" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |sums AS (
+         |  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(a.close AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(b.close AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(a.close * b.close AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(a.close * a.close AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(b.close * b.close AS DECIMAL(28,10))) AS DOUBLE) AS syy
+         |  FROM candles a JOIN candles b
+         |    ON a.ts = b.ts AND a.symbol < b.symbol
+         |  GROUP BY a.symbol, b.symbol),
+         |vars AS (
+         |  SELECT sym_a, sym_b, n, sx, sy, sxy,
+         |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+         |  FROM sums)
+         |SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n,
+         |  round((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 6) AS corr
+         |FROM vars WHERE vx > 0 AND vy > 0""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT CAST(floor("value" / 10.0) AS BIGINT) AS bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "max_drawdown" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -232,6 +232,40 @@ object TradingOps {
         count(lit(1)).as("n_candles"))
   }
 
+  /** Pearson correlation of close prices for every symbol pair over their
+    * time-aligned candles (the pairs-trading screen). Built from the five
+    * DECIMAL-exact co-moment sums (Σx, Σy, Σxy, Σx², Σy²) so the sums are
+    * partition-order independent, then one fixed sequence of double ops:
+    *   corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²ᵗᵒᵗ) · √(n·Σy²−Σy²ᵗᵒᵗ))
+    * — bit-identical to the DuckDB oracle, unlike built-in corr() whose
+    * streaming co-moment update order is engine-specific. Pairs with a
+    * zero-variance side are dropped (correlation undefined).
+    * One ts-equi-self-join + one aggregate; at scale the join carries
+    * (ts, symbol, close) only.
+    */
+  def pairCorrelation(candles: DataFrame): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast(DoubleType)
+    val a = candles.select(col("symbol").as("sym_a"), col("ts"),
+      col("close").as("x"))
+    val b = candles.select(col("symbol").as("sym_b"), col("ts"),
+      col("close").as("y"))
+    a.join(b, Seq("ts"))
+      .filter(col("sym_a") < col("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("vx") > 0.0 && col("vy") > 0.0)
+      .select(col("sym_a"), col("sym_b"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("vx")) * sqrt(col("vy"))), 6).as("corr"))
+  }
+
   /** Daily VWAP + TWAP per symbol — the two benchmark prices every
     * execution-quality report keys on. VWAP weights close by volume;
     * TWAP weights by the seconds the price was "current" (gap to the

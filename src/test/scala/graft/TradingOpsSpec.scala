@@ -108,6 +108,21 @@ class TradingOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_candles") == 5L)
   }
 
+  test("pairCorrelation: perfect positive and negative correlation") {
+    // b = 2a + 1 (corr +1), c = 10 - a (corr -1 with a and b)
+    val df = candleFrame(Map(
+      "a" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "b" -> Seq(3.0, 5.0, 7.0, 9.0),
+      "c" -> Seq(9.0, 8.0, 7.0, 6.0)))
+    val got = TradingOps.pairCorrelation(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr"))
+      .toMap
+    assert(got.size == 3)
+    assert(math.abs(got(("a", "b")) - 1.0) < 1e-9)
+    assert(math.abs(got(("a", "c")) + 1.0) < 1e-9)
+    assert(math.abs(got(("b", "c")) + 1.0) < 1e-9)
+  }
+
   test("vwapTwapDaily matches hand computation") {
     // one symbol, one day, minute candles (candleFrame volume = 1.0):
     // override volumes so VWAP != TWAP.
