@@ -67,6 +67,28 @@ class BucketingSpec extends SparkSpec {
     assert(fromBucketed == fromPlain)
   }
 
+  test("date-partitioned writes prune partitions at scan (sorted-index analog)") {
+    // the 100 TB analog of the reference's sorted-index `.loc[start:end]`
+    // slice: date-partitioned parquet + Catalyst partition pruning reads
+    // only the in-range directories
+    val candles = candleFrame(Map(
+      "a" -> (1 to 2880).map(_.toDouble))) // 2 days of minutes
+      .withColumn("day", to_date(col("ts")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-partitioned").toString
+    candles.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-02")
+    assert(read.count() == 1440)
+    // the day predicate must land in PartitionFilters (directory pruning),
+    // not PushedFilters (row-group filtering) — inputFiles can't show this
+    // because it reports the relation's full file list pre-pruning
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^]]*day[^]]*\\].*"),
+      s"expected the day predicate as a partition filter:\n$scan")
+  }
+
   test("one file per bucket (sort-order-exposing layout)") {
     // bucket id is encoded in the file name as the _NNNNN suffix; empty
     // buckets write no file — the invariant is no bucket has TWO files
