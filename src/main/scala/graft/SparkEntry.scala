@@ -127,6 +127,12 @@ object SparkEntry {
           sum(col("value").cast("decimal(20,4)")).cast("double")
             .as("sum_value"))),
 
+    // ---- melt/reshape (pandas df.melt analog) via stack ------------------
+    "unpivot_ohlc" -> ((s, dir) =>
+      Tables.candles(s, dir).selectExpr("symbol", "ts",
+        "stack(4, 'open', open, 'high', high, 'low', low, 'close', close)" +
+          " AS (field, price)")),
+
     // ---- §2.6 stateful MA-crossover backtest fold ------------------------
     "backtest_positions" -> ((s, dir) =>
       Backtest.positions(Tables.candles(s, dir)).toDF()),
@@ -656,6 +662,16 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "unpivot_ohlc" ->
+      s"""WITH candles AS (${Tables.candlesSql})
+         |SELECT symbol, ts, 'open' AS field, open AS price FROM candles
+         |UNION ALL
+         |SELECT symbol, ts, 'high', high FROM candles
+         |UNION ALL
+         |SELECT symbol, ts, 'low', low FROM candles
+         |UNION ALL
+         |SELECT symbol, ts, 'close', close FROM candles""".stripMargin,
 
     "max_drawdown" ->
       s"""WITH candles AS (${Tables.candlesSql}),
