@@ -119,6 +119,10 @@ object SparkEntry {
     "pair_correlation" -> ((s, dir) =>
       TradingOps.pairCorrelation(Tables.candles(s, dir))),
 
+    // ---- Cutler's RSI over a 14-candle frame ------------------------------
+    "rsi14" -> ((s, dir) =>
+      TradingOps.rsi(Tables.candles(s, dir), 14)),
+
     // ---- value histogram over events -------------------------------------
     "value_histogram" -> ((s, dir) =>
       Tables.table(s, dir, "events")
@@ -635,6 +639,27 @@ object SparkEntry {
          |  round(1000.0 / close, 6) AS shares
          |FROM numbered
          |WHERE (rn - 1) % greatest(n // 20, 1) = 0""".stripMargin,
+
+    "rsi14" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |diffs AS (
+         |  SELECT symbol, ts, close,
+         |    close - lag(close) OVER w AS diff
+         |  FROM candles WINDOW w AS (PARTITION BY symbol ORDER BY ts)),
+         |sums AS (
+         |  SELECT symbol, ts, close,
+         |    CAST(sum(CAST(greatest(diff, 0.0) AS DECIMAL(28,10))) OVER f
+         |         AS DOUBLE) AS sg,
+         |    CAST(sum(CAST(greatest(-diff, 0.0) AS DECIMAL(28,10))) OVER f
+         |         AS DOUBLE) AS sl
+         |  FROM diffs
+         |  WINDOW f AS (PARTITION BY symbol ORDER BY ts
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, ts, close,
+         |  CASE WHEN sg IS NULL THEN NULL
+         |       WHEN sl = 0.0 THEN 100.0
+         |       ELSE round(100.0 - 100.0 / (1.0 + sg / sl), 6) END AS rsi
+         |FROM sums""".stripMargin,
 
     "pair_correlation" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -232,6 +232,34 @@ object TradingOps {
         count(lit(1)).as("n_candles"))
   }
 
+  /** Cutler's RSI (simple-moving-average variant) over a `periods`-row
+    * trailing frame: gains/losses from one-candle close diffs, rolling
+    * DECIMAL sums (order-independent), RSI = 100 − 100/(1 + ΣG/ΣL) with
+    * the all-gain (ΣL = 0) branch pinned to 100. The Wilder/EMA variant
+    * is a sequential recursion (backtest-fold territory, not a window);
+    * Cutler's is the standard window-expressible form, and the shrinking
+    * head frame mirrors the reference's min_periods=1 convention (§4).
+    */
+  def rsi(candles: DataFrame, periods: Int = 14): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("ts"))
+    val frame = w.rowsBetween(-(periods - 1), 0)
+    def dsum(c: Column) = sum(c.cast("decimal(28,10)")).over(frame)
+      .cast(DoubleType)
+    candles
+      .withColumn("diff", col("close") - lag(col("close"), 1).over(w))
+      .withColumn("gain", greatest(col("diff"), lit(0.0)))
+      .withColumn("loss", greatest(-col("diff"), lit(0.0)))
+      .withColumn("sg", dsum(col("gain")))
+      .withColumn("sl", dsum(col("loss")))
+      .select(col("symbol"), col("ts"), col("close"),
+        when(col("sg").isNull, lit(null).cast(DoubleType))
+          .when(col("sl") === 0.0, lit(100.0))
+          .otherwise(round(lit(100.0) -
+            lit(100.0) / (lit(1.0) + col("sg") / col("sl")), 6))
+          .as("rsi"))
+  }
+
   /** Pearson correlation of close prices for every symbol pair over their
     * time-aligned candles (the pairs-trading screen). Built from the five
     * DECIMAL-exact co-moment sums (Σx, Σy, Σxy, Σx², Σy²) so the sums are

@@ -108,6 +108,20 @@ class TradingOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_candles") == 5L)
   }
 
+  test("rsi matches hand computation (Cutler's SMA variant)") {
+    // closes 10, 12, 11: diffs -, +2, -1
+    // row1: no diff -> sl=0 -> 100; row2: sg=2 sl=0 -> 100
+    // row3: sg=2 sl=1 -> 100 - 100/(1 + 2) = 66.666667
+    val df = candleFrame(Map("a" -> Seq(10.0, 12.0, 11.0)))
+    val got = TradingOps.rsi(df, 14).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("ts").getTime ->
+        r.getAs[Double]("rsi")).toMap
+    val base = 1704067200000L
+    assert(got(base) == 100.0)
+    assert(got(base + 60000L) == 100.0)
+    assert(math.abs(got(base + 120000L) - 66.666667) < 1e-6)
+  }
+
   test("pairCorrelation: perfect positive and negative correlation") {
     // b = 2a + 1 (corr +1), c = 10 - a (corr -1 with a and b)
     val df = candleFrame(Map(
