@@ -26,6 +26,10 @@ object Bench {
     // does all the real work against the target-SF data.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt max 1
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // GC breather so one query's garbage doesn't bill the next one's
+      // timed region (8g heap; round-2 driver run showed a 10× outlier on
+      // a query that is ~1 s in isolation).
+      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -33,10 +37,19 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver records only the LAST 2000 chars of stdout and json-parses
+    // the final line (BENCH_r01/r02: "parsed": null when the line overflowed
+    // that window). Keep the line compact: 10 ms per-query precision, and a
+    // hard warning if we ever approach the budget again.
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1900)
+      System.err.println(s"WARN bench json line ${line.length} chars > 1900 budget")
+    println(line)
     spark.stop()
   }
 }

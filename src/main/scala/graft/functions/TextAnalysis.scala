@@ -135,30 +135,33 @@ object TextAnalysis {
     * ≥ w+k−1 tokens shares a fingerprint, with density 2/(w+1) — the
     * sublinear fingerprint set plagiarism/overlap detectors key on.
     *
-    * One shuffle on doc_id (the window); hashes are the engine-neutral
-    * md5-60bit family, so the DuckDB oracle reproduces them exactly.
+    * ZERO shuffles: grams, hashes, rolling mins, and per-doc dedup are all
+    * per-row array computations (higher-order functions), so the operator
+    * is embarrassingly parallel at any scale — no window sort, no global
+    * distinct exchange (the round-2 window/distinct form cost 3 wide
+    * stages over every gram row). Hashes are the engine-neutral md5-60bit
+    * family, so the DuckDB oracle reproduces them exactly.
     * Docs shorter than k tokens contribute their whole text as a single
-    * k-gram; the shrinking tail frame covers nGrams < w.
+    * k-gram; the slice()'s natural tail truncation covers nGrams < w.
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val grams = when(size(col("t")) >= k,
       transform(sequence(lit(0), size(col("t")) - k),
         i => concat_ws(" ", slice(col("t"), i + lit(1), lit(k)))))
       .otherwise(array(concat_ws(" ", col("t"))))
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // staged projections: each lambda body references only the previous
+    // stage's column (subtrees inside a lambda re-evaluate per element)
     docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
-          .as("h"))
-      .withColumn("n_grams", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-      .withColumn("minh", min(col("h")).over(byPos.rowsBetween(0, w - 1)))
-      // only windows that START a full (or final partial) window: positions
-      // 0 .. max(n_grams - w, 0)
-      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
-      .select(col("doc_id"), col("minh").as("fingerprint"))
-      .distinct()
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        transform(col("g"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("h"))
+      // window start positions 0 .. max(n_grams - w, 0); min of each
+      // w-window (shrinking tail when n_grams < w via slice truncation)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("h")) - w, lit(0))),
+          i => array_min(slice(col("h"), i + lit(1), lit(w))))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
   }
 }
