@@ -127,6 +127,74 @@ object TextAnalysis {
       md5(normText(col("text"))).as("fingerprint"),
       substring(md5(normText(col("text"))), 1, 8).as("bucket8"))
 
+  /** TF-IDF top terms per document, with a LINEAR idf surrogate
+    * `N / (1 + df)` instead of `ln(N / (1 + df))`: log is monotone, so the
+    * per-document ranking is identical, and avoiding the transcendental
+    * keeps the score bit-reproducible across engines (libm `log` is not
+    * guaranteed correctly rounded; `/` is). Three shuffles at scale:
+    * (doc, term) partial-count aggregate, the term→df join (the df side is
+    * vocabulary-sized — AQE broadcasts it when small), and the per-doc
+    * top-k window. The corpus size N joins in as a broadcast single row.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("raw").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          (col("n_docs").cast("double") /
+            (lit(1.0) + col("df").cast("double")))).as("raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"),
+        round(col("raw"), 6).as("score"))
+  }
+
+  /** Deterministic stratified sampling: keep a document iff
+    * md5("strat:" ‖ doc_id) mod 100 < rate(lang), with per-language rates
+    * (downsample the dominant language, keep the tail) — the
+    * class-balancing primitive for training-data mixes. Pure per-row
+    * projection + filter (no RNG, no shuffle); reproducible on any engine
+    * and any partitioning, and independent of [[trainValSplit]]'s hash
+    * because of the salt.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % 100
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (lang, pct)) => when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    docs.filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** PII scrubbing: mask emails, then phone-shaped digit/punct runs, then
+    * any remaining run of ≥4 digits (IDs, SSN-ish fragments). The patterns
+    * use only char classes and bounded repetition — semantics identical
+    * under Java regex (Spark) and RE2 (DuckDB with the 'g' flag).
+    * Map-side only; composes into scan-stage projections at scale.
+    */
+  def scrubPii(c: Column): Column = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+?[0-9][0-9() -]{6,}[0-9]"
+    val idRun = "[0-9]{4,}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "<email>"),
+        phone, "<phone>"),
+      idRun, "<id>")
+  }
+
   /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
     * POSITIONAL token k-gram (duplicates kept — winnowing is positional,
     * unlike the distinct shingle sets in Dedup), then keep the minimum
