@@ -253,6 +253,56 @@ object OracleSql {
        |SELECT DISTINCT doc_id, minh AS fingerprint
        |FROM winnowed WHERE pos <= greatest(n_grams - $w + 1, 1)""".stripMargin
 
+  /** Linear-idf TF-IDF top terms (mirrors TextAnalysis.tfidfTopTerms:
+    * raw = tf · (N / (1 + df)), identical double op order, row_number
+    * tie-break on term).
+    */
+  def tfidfTopTerms(topK: Int): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      (CAST(n.n_docs AS DOUBLE) / (1.0 + CAST(dfreq.df AS DOUBLE)))
+       |      AS raw
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, rank, round(raw, 6) AS score FROM (
+       |  SELECT doc_id, term, tf, df, raw,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+
+  /** Deterministic per-language stratified sample (mirrors
+    * TextAnalysis.stratifiedSample: salted md5 bucket < per-lang rate).
+    * `rates` must be rendered in the same DESCENDING-fold order the Spark
+    * side produces (last-listed language wins the CASE chain).
+    */
+  def stratifiedSample(rates: Seq[(String, Int)], defaultPct: Int): String = {
+    val whens = rates.sortBy(_._1).reverse
+      .map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ")
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |        AS BIGINT) % 100
+       |  < CASE $whens ELSE $defaultPct END""".stripMargin
+  }
+
+  /** PII scrubbing (mirrors TextAnalysis.scrubPii: same three patterns in
+    * the same order; '(?i)' and the char classes behave identically under
+    * Java regex and RE2; 'g' ≡ Spark's replace-all default).
+    */
+  val piiScrub: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+      |    '\+?[0-9][0-9() -]{6,}[0-9]', '<phone>', 'g'),
+      |    '[0-9]{4,}', '<id>', 'g') AS scrubbed
+      |FROM documents""".stripMargin
+
   val fingerprint: String =
     s"""SELECT doc_id, md5($norm) AS fingerprint,
        |  substr(md5($norm), 1, 8) AS bucket8

@@ -229,6 +229,21 @@ object SparkEntry {
       TextAnalysis.trainValSplit(Tables.table(s, dir, "documents"), 90)
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"))),
+    // linear-idf TF-IDF top terms per document (deliberate variant — see
+    // TextAnalysis.tfidfTopTerms scaladoc; ranking tie-break on term)
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.table(s, dir, "documents"), 3)),
+    // deterministic per-language downsampling (en-dominant corpus → keep
+    // 40% en, 80% zh, everything else whole)
+    "stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.table(s, dir, "documents"),
+        Map("en" -> 40, "zh" -> 80), 100)),
+    // PII masking over the raw text (case-insensitive email, phone runs,
+    // residual ≥4-digit IDs)
+    "pii_scrub" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(col("text")).as("scrubbed"))),
     "events_props_json" -> ((s, dir) =>
       Tables.table(s, dir, "events")
         .select(col("event_type"),
@@ -554,6 +569,10 @@ object SparkEntry {
     "text_bpe_tokens" -> OracleSql.bpeTokens,
     "text_winnow_fingerprints" -> OracleSql.winnowFingerprints(3, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
+    "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),
+    "stratified_sample" ->
+      OracleSql.stratifiedSample(Seq("en" -> 40, "zh" -> 80), 100),
+    "pii_scrub" -> OracleSql.piiScrub,
 
     "train_val_split" ->
       """SELECT lang,

@@ -127,11 +127,16 @@ object TextAnalysis {
       md5(normText(col("text"))).as("fingerprint"),
       substring(md5(normText(col("text"))), 1, 8).as("bucket8"))
 
-  /** TF-IDF top terms per document, with a LINEAR idf surrogate
-    * `N / (1 + df)` instead of `ln(N / (1 + df))`: log is monotone, so the
-    * per-document ranking is identical, and avoiding the transcendental
-    * keeps the score bit-reproducible across engines (libm `log` is not
-    * guaranteed correctly rounded; `/` is). Three shuffles at scale:
+  /** Top terms per document under a LINEAR-idf TF-IDF variant:
+    * score = tf · N/(1+df) instead of the standard tf · ln(N/(1+df)).
+    * NOTE this is a deliberate variant, not a reimplementation: log is
+    * monotone in the idf FACTOR but not in the tf·idf PRODUCT, so the
+    * top-k can diverge from ln-based TF-IDF (e.g. N=100: (tf=5, df=9)
+    * vs (tf=2, df=1) rank oppositely under linear vs log idf) — the
+    * linear form weights rarity more aggressively. The payoff is exact
+    * cross-engine reproducibility: `/` is IEEE correctly rounded while
+    * libm `log` is not, so the scores (and the oracle) are bit-identical.
+    * Three shuffles at scale:
     * (doc, term) partial-count aggregate, the term→df join (the df side is
     * vocabulary-sized — AQE broadcasts it when small), and the per-doc
     * top-k window. The corpus size N joins in as a broadcast single row.
@@ -179,13 +184,16 @@ object TextAnalysis {
   }
 
   /** PII scrubbing: mask emails, then phone-shaped digit/punct runs, then
-    * any remaining run of ≥4 digits (IDs, SSN-ish fragments). The patterns
-    * use only char classes and bounded repetition — semantics identical
-    * under Java regex (Spark) and RE2 (DuckDB with the 'g' flag).
+    * any remaining run of ≥4 digits (IDs, SSN-ish fragments). The email
+    * pattern is case-insensitive (`(?i)` — identical inline-flag semantics
+    * in Java regex and RE2) and runs against the RAW text so the masked
+    * output preserves the original casing of everything around the mask.
+    * The patterns use only char classes and bounded repetition — semantics
+    * identical under Java regex (Spark) and RE2 (DuckDB with the 'g' flag).
     * Map-side only; composes into scan-stage projections at scale.
     */
   def scrubPii(c: Column): Column = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val email = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phone = "\\+?[0-9][0-9() -]{6,}[0-9]"
     val idRun = "[0-9]{4,}"
     regexp_replace(
@@ -207,7 +215,13 @@ object TextAnalysis {
     * per-row array computations (higher-order functions), so the operator
     * is embarrassingly parallel at any scale — no window sort, no global
     * distinct exchange (the round-2 window/distinct form cost 3 wide
-    * stages over every gram row). Hashes are the engine-neutral md5-60bit
+    * stages over every gram row). The trade-off is PER-ROW memory: the
+    * gram strings (~k× text size) plus the hash array materialize inside
+    * one row, so a pathologically large document (say 100 MB of text)
+    * holds ~k·100 MB in a single row buffer — fine for web/doc corpora
+    * (rows ≤ a few MB), but for huge-document corpora cap document size
+    * upstream or fall back to the exploded window form above a
+    * token-count threshold. Hashes are the engine-neutral md5-60bit
     * family, so the DuckDB oracle reproduces them exactly.
     * Docs shorter than k tokens contribute their whole text as a single
     * k-gram; the slice()'s natural tail truncation covers nGrams < w.

@@ -107,6 +107,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(again == fp.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("scrubPii masks mixed-case emails, phones, and digit runs") {
+    val d = docs(
+      0L -> "contact John.Doe@Example.COM or UPPER@HOST.ORG today",
+      1L -> "call +1 (555) 123-4567 now",
+      2L -> "order 12345 shipped, ref 987",
+      3L -> "plain text with the number 42 stays")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "contact <email> or <email> today")
+    assert(got(1L) == "call <phone> now")
+    assert(got(2L) == "order <id> shipped, ref 987")
+    assert(got(3L) == "plain text with the number 42 stays")
+  }
+
+  test("tfidfTopTerms ranks rare terms first with deterministic tie-break") {
+    val d = docs(
+      0L -> "apple apple banana",
+      1L -> "banana cherry",
+      2L -> "banana banana banana")
+    // df: apple 1, banana 3, cherry 1; N = 3
+    // doc 0: apple raw = 2*(3/2)=3.0, banana raw = 1*(3/4)=0.75
+    // doc 1: cherry raw = 1*(3/2)=1.5, banana raw = 0.75
+    val got = TextAnalysis.tfidfTopTerms(d, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getString(1), r.getDouble(5))).toMap
+    assert(got((0L, 1)) == ("apple", 3.0))
+    assert(got((0L, 2)) == ("banana", 0.75))
+    assert(got((1L, 1)) == ("cherry", 1.5))
+    assert(got((1L, 2)) == ("banana", 0.75))
+    assert(got((2L, 1)) == ("banana", 2.25))
+    // tie-break: equal raw scores order by term ascending
+    val tied = TextAnalysis.tfidfTopTerms(docs(7L -> "zed abc"), 2)
+      .collect().map(r => r.getInt(4) -> r.getString(1)).toMap
+    assert(tied == Map(1 -> "abc", 2 -> "zed"))
+  }
+
+  test("stratifiedSample respects rate boundaries and is deterministic") {
+    val d = (0L until 200L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    def ids(rates: Map[String, Int], default: Int) =
+      TextAnalysis.stratifiedSample(d, rates, default)
+        .collect().map(_.getLong(0)).toSet
+    // rate 0 keeps nothing of that language; rate 100 keeps everything
+    assert(ids(Map("en" -> 0), 100) ==
+      (0L until 200L).filter(_ % 2 == 1).toSet)
+    assert(ids(Map.empty, 100) == (0L until 200L).toSet)
+    // downsampling strictly shrinks, keeps a nonempty subset, and the
+    // kept set is stable across partitionings (hash-determined, no RNG)
+    val half = ids(Map("en" -> 50), 100)
+    assert(half.size < 200 && half.count(_ % 2 == 0) > 0)
+    val again = TextAnalysis.stratifiedSample(d.repartition(7),
+        Map("en" -> 50), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == half)
+  }
+
   test("SimHash64.compute matches an independent md5 reference") {
     def refHash(tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
