@@ -34,16 +34,29 @@ object OracleSql {
        |  SELECT doc_id, $shingles3 AS shl
        |  FROM (SELECT doc_id, $toks AS t FROM documents))""".stripMargin
 
-  /** Exact-Jaccard pair query over [[shingleTable]]. */
-  def jaccardPairs(minJ: Double): String =
-    s"""WITH sh AS ($shingleTable)
+  /** Exact-Jaccard pair query over [[shingleTable]]. A finite `maxDf`
+    * mirrors Dedup.pruneHotShingles: shingle ROWS with document frequency
+    * > maxDf are dropped before pairing, while n_sh keeps the UNPRUNED
+    * set size — identical to the Spark side, so jaccard values agree
+    * bit-for-bit under pruning too.
+    */
+  def jaccardPairs(minJ: Double, maxDf: Long = Long.MaxValue): String = {
+    val prune =
+      if (maxDf == Long.MaxValue) ""
+      else
+        s""",
+           |hot AS (SELECT shash FROM sh GROUP BY shash HAVING count(*) > $maxDf),
+           |shp AS (SELECT sh.* FROM sh ANTI JOIN hot USING (shash))""".stripMargin
+    val src = if (maxDf == Long.MaxValue) "sh" else "shp"
+    s"""WITH sh AS ($shingleTable)$prune
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    round(CAST(count(*) AS DOUBLE) /
        |          CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) AS jaccard
-       |  FROM sh a JOIN sh b ON a.shash = b.shash AND a.doc_id < b.doc_id
+       |  FROM $src a JOIN $src b ON a.shash = b.shash AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
        |WHERE jaccard >= $minJ""".stripMargin
+  }
 
   /** Relational MinHash signature table (doc_id, seed, minhash), using the
     * identical Mersenne-31 family as Dedup.minhashSignatures: one

@@ -255,14 +255,21 @@ object SparkEntry {
     // ---- deduplication (documents) ---------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(Tables.table(s, dir, "documents"))),
+    // maxDf = 50 (10% of the corpus): stop-shingle pruning — at scale one
+    // hot shingle in 1M docs would otherwise build a single 1M-element
+    // aggregate row and a df² candidate explode; the oracle mirrors the
+    // identical prune, and on this corpus (max df = 7) results are
+    // unchanged
     "dedup_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.table(s, dir, "documents"), 3, 0.5)),
+      Dedup.jaccardPairs(Tables.table(s, dir, "documents"), 3, 0.5,
+        maxDf = 50)),
     "minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(Tables.table(s, dir, "documents"), 3, 16)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.table(s, dir, "documents"), 3, 16, 4, 0.5)),
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(Tables.table(s, dir, "documents"), 3, 0.5)),
+      Dedup.nearDupClusters(Tables.table(s, dir, "documents"), 3, 0.5,
+        maxDf = 50)),
 
     "simhash_fingerprints" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.table(s, dir, "documents"))),
@@ -310,7 +317,7 @@ object SparkEntry {
     // token budget
     "curation_pipeline" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val dupLosers = Dedup.jaccardPairs(docs, 3, 0.5)
+      val dupLosers = Dedup.jaccardPairs(docs, 3, 0.5, maxDf = 50)
         .select(col("doc_b").as("doc_id")).distinct()
       // quality gate + token count FUSED into one projection over the scan
       // (no semi-join against a separate quality table — the score is a
@@ -581,12 +588,12 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "dedup_exact" -> OracleSql.exactDuplicates,
-    "dedup_jaccard_pairs" -> OracleSql.jaccardPairs(0.5),
+    "dedup_jaccard_pairs" -> OracleSql.jaccardPairs(0.5, 50),
     "minhash_signatures" -> OracleSql.minhashSignatures(16),
     "dedup_minhash_lsh" -> OracleSql.minhashLshPairs(16, 4, 0.5),
     "dedup_clusters" ->
       s"""WITH RECURSIVE
-         |jac AS (${OracleSql.jaccardPairs(0.5)}),
+         |jac AS (${OracleSql.jaccardPairs(0.5, 50)}),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM jac
          |  UNION SELECT doc_b, doc_a FROM jac),
@@ -631,7 +638,7 @@ object SparkEntry {
     "curation_pipeline" ->
       s"""WITH quality AS (${OracleSql.qualityScore}),
          |losers AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM (${OracleSql.jaccardPairs(0.5)})),
+         |  SELECT DISTINCT doc_b AS doc_id FROM (${OracleSql.jaccardPairs(0.5, 50)})),
          |kept AS (
          |  SELECT d.doc_id, d.lang,
          |    CAST(len(${OracleSql.toks}) AS BIGINT) AS n_tokens

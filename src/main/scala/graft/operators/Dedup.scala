@@ -298,8 +298,9 @@ object Dedup {
     * is the drop-in upgrade if components ever get deep).
     */
   def nearDupClusters(docs: DataFrame, n: Int = 3,
-      minJaccard: Double = 0.5, maxIters: Int = 20): DataFrame = {
-    val pairs = jaccardPairs(docs, n, minJaccard)
+      minJaccard: Double = 0.5, maxIters: Int = 20,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = jaccardPairs(docs, n, minJaccard, maxDf)
       .select(col("doc_a"), col("doc_b"))
     val edgesRaw = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))

@@ -53,6 +53,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
   }
 
+  test("jaccardPairs maxDf prunes stop-shingles without losing real pairs") {
+    // 40 docs share an identical boilerplate prefix (its shingles hit
+    // df = 40+) but have unique tails; docs 100/101 are genuine near-dups.
+    val boiler = "terms of service apply to all content on this site"
+    val d = docs(
+      ((0L until 40L).map(i => i -> s"$boiler unique tail number$i words$i") ++
+        Seq(
+          // tails long enough that the pruned jaccard (hot shingles out of
+          // the intersection, full sizes in the denominator) stays >= 0.5
+          100L -> (s"$boiler red fish blue fish one fish two fish three " +
+            "fish four fish five fish six fish seven fish"),
+          101L -> (s"$boiler red fish blue fish one fish two fish three " +
+            "fish four fish five fish six fish seven fish extra"))): _*)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unpruned = pairSet(Dedup.jaccardPairs(d, 3, 0.5))
+    val pruned = Dedup.jaccardPairs(d, 3, 0.5, maxDf = 10)
+    // unpruned: the shared boilerplate alone pushes EVERY doc pair over
+    // the threshold — the quadratic blowup the maxDf knob exists to stop
+    // (~40²/2 bogus pairs from one df=42 shingle family)
+    assert(unpruned.contains((100L, 101L)))
+    assert(unpruned.size > 500)
+    // pruned: hot shingles (df > 10) carry no dedup signal and are
+    // dropped; only the genuinely near-identical pair survives
+    assert(pairSet(pruned) == Set((100L, 101L)))
+    assert(pruned.collect().head.getAs[Double]("jaccard") >= 0.5)
+  }
+
   test("dedup pair queries are invariant to input partitioning") {
     // partitioning must never change results: pair sets, jaccard values,
     // and signatures are all aggregate/join outputs with no order terms
