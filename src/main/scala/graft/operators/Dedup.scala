@@ -88,40 +88,41 @@ object Dedup {
       .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("sh"))
       .select(col("doc_id"), transform(col("sh"), s => md5Base60(s)).as("sha"))
 
-  /** Document-frequency pruning: drop shingles occurring in more than
-    * `maxDf` documents (stop-shingles: no signal, quadratic join blowup).
-    */
-  private def pruneHotShingles(sh: DataFrame, maxDf: Long): DataFrame = {
-    val hot = sh.groupBy(col("shash"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select(col("shash"))
-    sh.join(hot, Seq("shash"), "left_anti")
-  }
-
   /** N-gram Jaccard near-duplicate pairs:
     * J(A,B) = |A∩B| / (|A|+|B|−|A∩B|) over distinct word n-gram sets,
     * emitted for J ≥ minJaccard with doc_a < doc_b. Intersection counts
     * are integers and the division is a single double op — bit-identical
     * to the oracle.
+    *
+    * A finite `maxDf` drops shingles occurring in more than `maxDf`
+    * documents (stop-shingles: no dedup signal, quadratic pair blowup).
+    * The prune is FUSED into the pair-generation aggregate via
+    * [[graft.functions.CappedDocList]]: exact-count the group, retain at
+    * most maxDf members, emit empty past the cap — one pass over the
+    * shingle pipeline and O(maxDf) memory per group, vs. the two-pass
+    * df-table + anti-join shape (pipeline runs twice) or a plain
+    * collect_list + size filter (materializes the df-sized mega-row
+    * before dropping it).
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.08,
       maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = {
-      val t = shingleTable(docs, n)
-      if (maxDf == Long.MaxValue) t else pruneHotShingles(t, maxDf)
-    }
+    val sh = shingleTable(docs, n)
     // One-sided pair generation: group each shingle's (doc, set-size) list
     // and explode its ordered 2-combinations — the shingle pipeline runs
     // ONCE (a self-join evaluates it per side; Catalyst's exchange reuse
     // does not fire across differently-aliased subtrees) and the shuffle
     // carries 12-byte rows. Per-shingle member lists are bounded by the
     // shingle's document frequency, so the quadratic explode is df-bounded
-    // — at corpus scale combine with `maxDf` pruning, which caps it.
+    // — at corpus scale `maxDf` caps it.
+    val collected =
+      if (maxDf == Long.MaxValue)
+        collect_list(struct(col("doc_id"), col("n_sh")))
+      else udaf(new graft.functions.CappedDocList(
+        math.min(maxDf, Int.MaxValue.toLong).toInt))
+        .apply(col("doc_id"), col("n_sh"))
     val pairs = sh
       .groupBy(col("shash"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh"))))
-        .as("ds"))
+      .agg(array_sort(collected).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + lit(2), size(col("ds"))),
