@@ -35,7 +35,8 @@ object OracleSql {
        |  FROM (SELECT doc_id, $toks AS t FROM documents))""".stripMargin
 
   /** Exact-Jaccard pair query over [[shingleTable]]. A finite `maxDf`
-    * mirrors Dedup.pruneHotShingles: shingle ROWS with document frequency
+    * mirrors the prune fused into Dedup.jaccardPairs (via
+    * graft.functions.CappedDocList): shingle ROWS with document frequency
     * > maxDf are dropped before pairing, while n_sh keeps the UNPRUNED
     * set size — identical to the Spark side, so jaccard values agree
     * bit-for-bit under pruning too.
@@ -292,8 +293,10 @@ object OracleSql {
 
   /** Deterministic per-language stratified sample (mirrors
     * TextAnalysis.stratifiedSample: salted md5 bucket < per-lang rate).
-    * `rates` must be rendered in the same DESCENDING-fold order the Spark
-    * side produces (last-listed language wins the CASE chain).
+    * The lang equality predicates are mutually exclusive, so WHEN order
+    * cannot change the result; the descending render merely matches the
+    * Spark side's foldLeft (outermost-first `when` nesting) so both
+    * engines print structurally identical plans.
     */
   def stratifiedSample(rates: Seq[(String, Int)], defaultPct: Int): String = {
     val whens = rates.sortBy(_._1).reverse

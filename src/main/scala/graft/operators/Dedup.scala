@@ -106,6 +106,12 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.08,
       maxDf: Long = Long.MaxValue): DataFrame = {
+    // The fused prune caps the retained member list with an Int; a finite
+    // maxDf above Int.MaxValue would silently clamp (keeping FEWER groups
+    // than asked) while the oracle applies the true threshold — reject it
+    // rather than diverge. Long.MaxValue = "no pruning" stays valid.
+    require(maxDf == Long.MaxValue || maxDf <= Int.MaxValue.toLong,
+      s"maxDf must be <= Int.MaxValue or Long.MaxValue (no pruning); got $maxDf")
     val sh = shingleTable(docs, n)
     // One-sided pair generation: group each shingle's (doc, set-size) list
     // and explode its ordered 2-combinations — the shingle pipeline runs
@@ -117,8 +123,7 @@ object Dedup {
     val collected =
       if (maxDf == Long.MaxValue)
         collect_list(struct(col("doc_id"), col("n_sh")))
-      else udaf(new graft.functions.CappedDocList(
-        math.min(maxDf, Int.MaxValue.toLong).toInt))
+      else udaf(new graft.functions.CappedDocList(maxDf.toInt))
         .apply(col("doc_id"), col("n_sh"))
     val pairs = sh
       .groupBy(col("shash"))
