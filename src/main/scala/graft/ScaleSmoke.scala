@@ -18,6 +18,9 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(20000000L)
     val symbols = if (args.length > 1) args(1).toInt else 2000
+    // Optional third arg pins the document-corpus width directly (the
+    // dedup stages' scale knob) instead of deriving it from `rows`.
+    val nDocsArg = if (args.length > 2) Some(args(2).toLong) else None
     val spark = Sessions.get("graft-scale-smoke")
     val perSym = rows / symbols
     val candles = spark.range(rows).select(
@@ -41,7 +44,7 @@ object ScaleSmoke {
     // successor share 24 of 25 tokens (Jaccard 20/26 ≈ 0.77 over
     // 3-shingles, above the 0.5 threshold; every other pair is disjoint).
     // Deterministic, no RNG; expected LSH output = nDocs/50 pairs.
-    val nDocs = math.max(10000L, rows / 100L)
+    val nDocs = nDocsArg.getOrElse(math.max(10000L, rows / 100L))
     val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
       when(col("id") % 50L === 1L, col("id") - 1L).otherwise(col("id"))
@@ -66,6 +69,16 @@ object ScaleSmoke {
       stage("dedup_lsh_docs")(
         Dedup.minhashLshPairs(docs, 3, 16, 4, 0.5,
           maxBucketSize = 1000).count()),
+      // the declared-query configuration: fused stop-shingle prune at
+      // maxDf=50 (every planted shingle has df ≤ 2, so the expected pair
+      // count is unchanged: nDocs/50)
+      stage("dedup_jaccard_docs")(
+        Dedup.jaccardPairs(docs, 3, 0.5, maxDf = 50).count()),
+      // connected components over the pair graph (planted pairs are
+      // isolated edges → one propagation round to fixpoint; the stage
+      // still pays the full pair generation + loop machinery)
+      stage("dedup_clusters_docs")(
+        Dedup.nearDupClusters(docs, 3, 0.5, maxDf = 50).count()),
       stage("dedup_exact_docs")(
         Dedup.exactDuplicates(docs).count()))
 

@@ -48,6 +48,11 @@ object SparkEntry {
 
     // ---- S: candle construction (event-time resample of `events`) --------
     "candles" -> ((s, dir) => Tables.candles(s, dir)),
+    // multi-resolution resample: same plan at any bar width (5-minute and
+    // daily bars over the same events — reference README.md:17-29 implies
+    // minute input re-aggregated to coarser resolutions)
+    "candles_5m" -> ((s, dir) => Tables.candlesAt(s, dir, 5)),
+    "candles_1d" -> ((s, dir) => Tables.candlesAt(s, dir, 1440)),
 
     // ---- P2: inclusive date-range filter ---------------------------------
     "p2_date_range" -> ((s, dir) =>
@@ -449,6 +454,8 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "candles" -> Tables.candlesSql,
+    "candles_5m" -> Tables.candlesAtSql(5),
+    "candles_1d" -> Tables.candlesAtSql(1440),
 
     "p2_date_range" ->
       """SELECT * FROM events

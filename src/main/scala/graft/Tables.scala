@@ -103,6 +103,30 @@ object Tables {
         max_by(col("value"), col("event_id")).as("close"),
         count(lit(1)).cast(DoubleType).as("volume"))
 
+  /** Multi-resolution OHLCV resample — the parameterized form of
+    * [[candles]] (reference intent: minute-resolution input re-aggregated
+    * to coarser bars, README.md:17-29). Bucket = `minutes`-wide tumbling
+    * event-time window via integral floor-division on epoch-microseconds
+    * (identical arithmetic in the DuckDB oracle, [[candlesAtSql]] — unlike
+    * date_trunc, whose DuckDB 'day' form returns DATE, not TIMESTAMP).
+    * Same one-shuffle partial-aggregate shape as [[candles]]; resolution
+    * only changes the group count, never the plan.
+    */
+  def candlesAt(spark: SparkSession, sfDir: String, minutes: Int): DataFrame = {
+    val bucketUs = minutes * 60000000L
+    table(spark, sfDir, "events")
+      .groupBy(
+        col("event_type").as("symbol"),
+        expr(s"timestamp_micros((unix_micros(ts) div $bucketUs) * $bucketUs)")
+          .as("ts"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).cast(DoubleType).as("volume"))
+  }
+
   /** S1/S2 — recursive CSV catalog listing with case-insensitive filename
     * substring filter (reference: `os.walk` + `query in basename`,
     * main.py:202-221). Catalog-level, not data-level: returns paths for a
@@ -189,4 +213,19 @@ object Tables {
       |  min("value") AS low, arg_max("value", event_id) AS close,
       |  CAST(count(*) AS DOUBLE) AS volume
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB oracle for [[candlesAt]] — same floor-division bucketing on
+    * epoch-microseconds (CAST first: the view's TIMESTAMP_NS needs an
+    * explicit TIMESTAMP cast before epoch_us on some DuckDB versions).
+    */
+  def candlesAtSql(minutes: Int): String = {
+    val bucketUs = minutes * 60000000L
+    s"""SELECT event_type AS symbol,
+       |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // $bucketUs)
+       |    * $bucketUs) AS ts,
+       |  arg_min("value", event_id) AS open, max("value") AS high,
+       |  min("value") AS low, arg_max("value", event_id) AS close,
+       |  CAST(count(*) AS DOUBLE) AS volume
+       |FROM events GROUP BY 1, 2""".stripMargin
+  }
 }

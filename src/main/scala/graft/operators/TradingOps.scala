@@ -270,14 +270,31 @@ object TradingOps {
     * zero-variance side are dropped (correlation undefined).
     * One ts-equi-self-join + one aggregate; at scale the join carries
     * (ts, symbol, close) only.
+    *
+    * SCALE BOUND: the all-pairs form materializes S²/2 rows per aligned
+    * timestamp before aggregating (inherent to all-pairs correlation, not
+    * to this plan) — at 392 symbols × minute bars that is ~77k pair-rows
+    * per minute, the repo's largest row amplifier. The `block` parameter
+    * is the scale path: candidate pairs are restricted to symbols sharing
+    * a block key (sector, liquidity tier, …), turning S² into Σ(per-block
+    * s²) — the same candidate-restriction move Similarity.nearDupPairs
+    * makes with `label`. `block` must be a function of `symbol` (constant
+    * per symbol), otherwise a pair could straddle blocks and be lost.
+    * [[topSymbolsByVolume]] composes as the other standard restriction.
     */
-  def pairCorrelation(candles: DataFrame): DataFrame = {
+  def pairCorrelation(candles: DataFrame,
+      block: Option[Column] = None): DataFrame = {
     def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast(DoubleType)
-    val a = candles.select(col("symbol").as("sym_a"), col("ts"),
-      col("close").as("x"))
-    val b = candles.select(col("symbol").as("sym_b"), col("ts"),
-      col("close").as("y"))
-    a.join(b, Seq("ts"))
+    val src = block match {
+      case Some(b) => candles.withColumn("blk", b)
+      case None => candles
+    }
+    val joinKeys = if (block.isDefined) Seq("blk", "ts") else Seq("ts")
+    val a = src.select(joinKeys.map(col) :+ col("symbol").as("sym_a") :+
+      col("close").as("x"): _*)
+    val b = src.select(joinKeys.map(col) :+ col("symbol").as("sym_b") :+
+      col("close").as("y"): _*)
+    a.join(b, joinKeys)
       .filter(col("sym_a") < col("sym_b"))
       .groupBy(col("sym_a"), col("sym_b"))
       .agg(
@@ -292,6 +309,21 @@ object TradingOps {
       .select(col("sym_a"), col("sym_b"), col("n").cast("long").as("n"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("vx")) * sqrt(col("vy"))), 6).as("corr"))
+  }
+
+  /** Restrict a candle frame to the `topN` symbols by total traded
+    * volume — the standard pre-filter before an all-pairs screen (top-N²
+    * pairs instead of S²). One aggregate over (symbol) and a broadcast
+    * semi-join: the top-N list is tiny by construction, so the fact side
+    * never shuffles.
+    */
+  def topSymbolsByVolume(candles: DataFrame, topN: Int): DataFrame = {
+    val top = candles.groupBy(col("symbol"))
+      .agg(sum(col("volume").cast("decimal(28,10)")).as("total_volume"))
+      .orderBy(col("total_volume").desc, col("symbol"))
+      .limit(topN)
+      .select(col("symbol"))
+    candles.join(broadcast(top), Seq("symbol"), "left_semi")
   }
 
   /** Daily VWAP + TWAP per symbol — the two benchmark prices every

@@ -49,6 +49,21 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.listCsvFiles(spark, dir.getAbsolutePath, "sol").size == 1)
   }
 
+  test("candlesAt(60) equals the date_trunc-hour candles (resample parity)") {
+    // floor-division bucketing at 60 minutes must agree with date_trunc
+    // 'hour' for any post-epoch timestamp — the property that lets the
+    // multi-resolution form share oracles with the fixed-hour one
+    val dir = "/root/testdata/sf0.001"
+    val a = Tables.candles(spark, dir)
+    val b = Tables.candlesAt(spark, dir, 60)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // daily bars: one row per (symbol, day), volume sums to event count
+    val daily = Tables.candlesAt(spark, dir, 1440)
+    val events = Tables.table(spark, dir, "events")
+    assert(daily.agg(org.apache.spark.sql.functions.sum("volume"))
+      .head.getDouble(0) == events.count().toDouble)
+  }
+
   test("template JSON parses to the typed backtest config (S8)") {
     val cfg = Tables.parseTemplate(
       """{"initial_budget": 5000, "investment_per_trade": 500, "max_trades": 3}""")

@@ -137,6 +137,38 @@ class TradingOpsSpec extends SparkSpec {
     assert(math.abs(got(("b", "c")) + 1.0) < 1e-9)
   }
 
+  test("pairCorrelation with block key restricts to intra-block pairs") {
+    val df = candleFrame(Map(
+      "a" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "b" -> Seq(3.0, 5.0, 7.0, 9.0),
+      "c" -> Seq(9.0, 8.0, 7.0, 6.0),
+      "d" -> Seq(2.0, 4.0, 6.0, 8.0)))
+    // block = first letter group: {a,b} vs {c,d} — cross-block pairs
+    // (a,c),(a,d),(b,c),(b,d) must disappear; intra-block corr values
+    // must equal the all-pairs run (the restriction prunes candidates,
+    // never changes a surviving pair's math)
+    val blk = when(col("symbol").isin("a", "b"), lit("g1")).otherwise(lit("g2"))
+    val blocked = TradingOps.pairCorrelation(df, Some(blk)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr"))
+      .toMap
+    assert(blocked.keySet == Set(("a", "b"), ("c", "d")))
+    val all = TradingOps.pairCorrelation(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr"))
+      .toMap
+    assert(blocked(("a", "b")) == all(("a", "b")))
+    assert(blocked(("c", "d")) == all(("c", "d")))
+  }
+
+  test("topSymbolsByVolume keeps only the heaviest symbols") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val df = candleFrame(Map(
+      "a" -> Seq(1.0, 2.0), "b" -> Seq(1.0), "c" -> Seq(1.0, 2.0, 3.0)))
+    // volumes are 1.0 per candle -> totals a=2, b=1, c=3
+    val kept = TradingOps.topSymbolsByVolume(df, 2)
+      .select("symbol").distinct().collect().map(_.getString(0)).toSet
+    assert(kept == Set("a", "c"))
+  }
+
   test("vwapTwapDaily matches hand computation") {
     // one symbol, one day, minute candles (candleFrame volume = 1.0):
     // override volumes so VWAP != TWAP.
