@@ -131,26 +131,50 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming candles recover from a checkpoint without duplicates") {
+    // Kill-and-resume end-to-end over the ONE sink that can actually
+    // recover (parquet; the memory sink starts empty on restart): run 1
+    // sees only the older half of the input files, terminates (the
+    // "kill"), then run 2 starts from the same checkpoint after the newer
+    // half lands. Exactly-once means: no (symbol, ts) emitted twice
+    // across the runs, run 2 makes progress, and everything emitted
+    // matches the batch derivation over the full input.
     val dir = "/root/testdata/sf0.001"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-ckpt").toString
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-stream-out").toString
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-recovery").toString
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    // raw read (ts stays a nanos long — eventsStream normalizes) split at
+    // the median event into time-ordered halves, ONE file per phase (multiple unordered files within a phase would drop each other's events as late once the first file advances the watermark — batch parity needs intra-phase time order)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val mid = raw.selectExpr("percentile_approx(ts, 0.5)").head.getLong(0)
+    raw.filter(col("ts") < mid).coalesce(1).write.mode("append").parquet(in)
     def run(): Unit = {
       val q = EventStreams.candleStream(
-        EventStreams.eventsStream(spark, dir))
+        EventStreams.eventsStream(spark, in))
         .writeStream.outputMode("append").format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
     }
-    run() // first run consumes everything below the watermark
+    run() // phase 1: older half only, then terminate
     val n1 = spark.read.parquet(out).count()
-    run() // restart from checkpoint: no new input -> no new rows
-    val n2 = spark.read.parquet(out).count()
-    assert(n1 > 100)
-    assert(n2 == n1, s"restart produced duplicates: $n1 -> $n2")
+    raw.filter(col("ts") >= mid).coalesce(1).write.mode("append").parquet(in)
+    run() // phase 2: resume from checkpoint, newer half arrives
+    val emitted = spark.read.parquet(out)
+    val n2 = emitted.count()
+    assert(n1 > 10, s"phase 1 emitted nothing below the watermark: $n1")
+    assert(n2 > n1, s"resume made no progress: $n1 -> $n2")
+    assert(emitted.groupBy("symbol", "ts").count()
+      .filter(col("count") > 1).isEmpty, "duplicate candles after resume")
+    // value parity: every emitted candle equals its batch counterpart
+    val batch = Tables.candles(spark, dir)
+    val matched = emitted.alias("s")
+      .join(batch.alias("b"), Seq("symbol", "ts"))
+      .filter(col("s.open") === col("b.open") &&
+        col("s.high") === col("b.high") && col("s.low") === col("b.low") &&
+        col("s.close") === col("b.close") &&
+        col("s.volume") === col("b.volume"))
+    assert(matched.count() == n2, "emitted candle diverges from batch")
   }
 
   test("stateful streaming backtest closes positions across micro-batches") {
