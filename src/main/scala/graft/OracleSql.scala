@@ -329,6 +329,68 @@ object OracleSql {
        |  count(*) AS n_copies
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Benchmark decontamination (mirrors Dedup.contaminationPairs with the
+    * doc_id % `benchMod` == 0 benchmark split): distinct-3-gram overlap
+    * counts over the same 60-bit hashed shingle domain, thresholded at
+    * `minOverlap`. The Spark side filters docs BEFORE shingling and this
+    * filters rows after — identical results, since shingling is per-doc.
+    */
+  def contamination(benchMod: Long, minOverlap: Long): String =
+    s"""WITH sh AS ($shingleTable),
+       |b AS (SELECT doc_id AS bench_doc_id, shash FROM sh
+       |      WHERE doc_id % $benchMod = 0),
+       |d AS (SELECT doc_id, shash FROM sh WHERE doc_id % $benchMod != 0)
+       |SELECT doc_id, bench_doc_id, count(*) AS n_overlap
+       |FROM d JOIN b USING (shash)
+       |GROUP BY 1, 2 HAVING count(*) >= $minOverlap""".stripMargin
+
+  /** Repetition signals (mirrors TextAnalysis.repetitionStats): positional
+    * 2-/3-gram duplicate fractions. DuckDB list lambdas index 1-based
+    * (t[i+1:i+2] over range(0, len-1) ≡ Spark's slice(w, i+1, 2) over
+    * sequence(0, size-2)).
+    */
+  val repetitionStats: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(0, len(t)-1),
+       |           i -> array_to_string(t[i+1:i+2], ' '))
+       |    ELSE [] END AS g2,
+       |  CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(0, len(t)-2),
+       |           i -> array_to_string(t[i+1:i+3], ' '))
+       |    ELSE [] END AS g3
+       |FROM t)
+       |SELECT doc_id,
+       |  CAST(len(g2) AS BIGINT) AS n_2grams,
+       |  CASE WHEN len(g2) = 0 THEN 0.0
+       |    ELSE round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+       |      / CAST(len(g2) AS DOUBLE), 6) END AS dup2_frac,
+       |  CAST(len(g3) AS BIGINT) AS n_3grams,
+       |  CASE WHEN len(g3) = 0 THEN 0.0
+       |    ELSE round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+       |      / CAST(len(g3) AS DOUBLE), 6) END AS dup3_frac
+       |FROM g""".stripMargin
+
+  /** Sequence packing (mirrors TextAnalysis.packSequences): salted-md5
+    * shard, per-(lang, shard) running token sum in doc_id order, chunk id
+    * by integer division. DuckDB window sums of BIGINT yield HUGEINT —
+    * cast back before the division and the final sum.
+    */
+  def packSequences(budgetTokens: Long, nShards: Int): String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |    AS BIGINT) % $nShards AS shard,
+       |  CAST(len($toks) AS BIGINT) AS n_tokens
+       |FROM documents),
+       |c AS (SELECT *, CAST(sum(n_tokens) OVER (
+       |    PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |FROM t)
+       |SELECT lang, shard, (cum - n_tokens) // $budgetTokens AS seq_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1, 2, 3""".stripMargin
+
   val eventsPropsJson: String =
     """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
       |  count(k) AS n_with_k, max(k) AS max_k

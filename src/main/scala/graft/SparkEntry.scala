@@ -249,6 +249,22 @@ object SparkEntry {
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.scrubPii(col("text")).as("scrubbed"))),
+    // benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    // the benchmark suite; flag corpus docs sharing >= 2 distinct
+    // 3-grams with any benchmark doc (broadcast bench side)
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), 3, 2)
+    }),
+    // Gopher-style repetition filters: duplicate 2-/3-gram fractions
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.table(s, dir, "documents"))),
+    // concat-and-chunk sequence packing into 512-token training
+    // sequences over 4 hash shards per language
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.table(s, dir, "documents"), 512, 4)),
     "events_props_json" -> ((s, dir) =>
       Tables.table(s, dir, "events")
         .select(col("event_type"),
@@ -582,6 +598,9 @@ object SparkEntry {
     "text_fingerprint" -> OracleSql.fingerprint,
     "text_bpe_tokens" -> OracleSql.bpeTokens,
     "text_winnow_fingerprints" -> OracleSql.winnowFingerprints(3, 4),
+    "decontaminate" -> OracleSql.contamination(97, 2),
+    "text_repetition" -> OracleSql.repetitionStats,
+    "pack_sequences" -> OracleSql.packSequences(512, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
     "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),
     "stratified_sample" ->

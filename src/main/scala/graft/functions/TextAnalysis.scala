@@ -203,6 +203,75 @@ object TextAnalysis {
       idRun, "<id>")
   }
 
+  /** POSITIONAL word n-grams (duplicates kept) from a materialized token
+    * array column — the repetition-analysis sibling of
+    * [[graft.operators.Dedup.shinglesFromTokens]] (which dedups). Docs
+    * shorter than n words yield an empty array (no full n-gram exists —
+    * unlike shingling, where the whole text still carries dedup signal).
+    */
+  def ngramsFromTokens(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def dupFrac(g: Column): Column =
+    when(size(g) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g).cast("double"), 6))
+
+  /** Repetition signals per document (the Gopher-family quality filters):
+    * fraction of positional 2-grams / 3-grams that are duplicates of an
+    * earlier occurrence — high values mark boilerplate loops, keyboard
+    * mash, and template spam that survive simple length/punctuation
+    * gates. Pure per-row array math (token stage materialized first so
+    * lambda bodies never re-evaluate the tokenizer): zero shuffles,
+    * scan-stage pipelined at any scale.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        ngramsFromTokens(col("w"), 2).as("g2"),
+        ngramsFromTokens(col("w"), 3).as("g3"))
+      .select(col("doc_id"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        dupFrac(col("g2")).as("dup2_frac"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        dupFrac(col("g3")).as("dup3_frac"))
+
+  /** Concat-and-chunk sequence packing: the pretraining step that turns a
+    * document stream into fixed-budget training sequences. Documents are
+    * concatenated in deterministic (doc_id) order within a (lang, shard)
+    * stream and chunked every `budgetTokens`; a doc's sequence id is the
+    * chunk its FIRST token lands in ((cumsum − n_tokens) div budget).
+    * Output: one row per (lang, shard, seq_id) with doc/token counts.
+    *
+    * The shard key (salted md5 of doc_id, mod `nShards`) is the scale
+    * design, not a convenience: packing is inherently sequential within a
+    * stream (a running sum), so the parallelism unit must be an
+    * independent stream — lang alone would put an entire language's corpus
+    * through ONE window partition (the classic skew trap: 'en' at 100 TB
+    * is one task). Sharding by hash makes streams executor-sized and
+    * keeps the result deterministic on any partitioning; training runs
+    * shuffle shards anyway.
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Long = 512,
+      nShards: Int = 4): DataFrame = {
+    val shard = conv(substring(
+      md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % nShards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col("doc_id"), col("lang"), shard.as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $budgetTokens"))
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
     * POSITIONAL token k-gram (duplicates kept — winnowing is positional,
     * unlike the distinct shingle sets in Dedup), then keep the minimum

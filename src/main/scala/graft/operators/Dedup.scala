@@ -151,6 +151,30 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word n-grams with any benchmark document —
+    * the pretraining hygiene pass that keeps eval items out of the
+    * training set. Output: (doc_id, bench_doc_id, n_overlap) per
+    * contaminated (corpus, benchmark) pair.
+    *
+    * Scale shape: benchmark suites are small by construction (thousands
+    * of items vs billions of docs), so the benchmark shingle table is
+    * BROADCAST and the corpus side never shuffles for the join — the
+    * per-pair overlap count is the only aggregate, keyed on the
+    * (doc, bench) pairs that actually collide. Shingles join on the
+    * 60-bit md5 hash domain, identical in the DuckDB oracle.
+    */
+  def contaminationPairs(docs: DataFrame, bench: DataFrame, n: Int = 3,
+      minOverlap: Long = 2): DataFrame = {
+    val d = shingleTable(docs, n).select(col("doc_id"), col("shash"))
+    val b = shingleTable(bench, n)
+      .select(col("doc_id").as("bench_doc_id"), col("shash"))
+    d.join(broadcast(b), Seq("shash"))
+      .groupBy(col("doc_id"), col("bench_doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Mersenne-31 universal hash family over a single md5-derived base
     * hash: h32(s) = md5-60-bit(s) mod 2^31−1, then
     * h_i(s) = (a_i·h32 + b_i) mod 2^31−1. One md5 per shingle (not per

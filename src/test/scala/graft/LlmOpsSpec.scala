@@ -150,6 +150,60 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(3L) == "plain text with the number 42 stays")
   }
 
+  test("repetitionStats: looped text scores high, varied text zero") {
+    val d = docs(
+      0L -> "buy now buy now buy now buy now", // 2-grams: 7 total, 2 distinct
+      1L -> "one two three four five",         // all distinct
+      2L -> "hi")                              // too short for any 2-gram
+    val got = d.transform(TextAnalysis.repetitionStats)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)), (r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(0L)._1._1 == 7L)
+    assert(math.abs(got(0L)._1._2 - (1.0 - 2.0 / 7.0)) < 1e-6)
+    assert(got(1L) == ((4L, 0.0), (3L, 0.0)))
+    assert(got(2L) == ((0L, 0.0), (0L, 0.0)))
+  }
+
+  test("packSequences chunks a per-shard stream at the token budget") {
+    // single lang, force one shard so the running sum is a single stream
+    val d = docs(
+      1L -> "a b c d", 2L -> "e f g", 3L -> "h i", 4L -> "j k l m n")
+      .withColumn("lang", lit("en"))
+    // budget 5: cum starts per doc at 0,4,7,9 -> seq 0,0,1,1
+    val got = TextAnalysis.packSequences(d, budgetTokens = 5, nShards = 1)
+      .collect().map(r => r.getLong(2) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(0L -> ((2L, 7L)), 1L -> ((2L, 7L))))
+  }
+
+  test("packSequences is deterministic across input partitionings") {
+    val base = (1L to 200L).map(i => i -> s"word token text number $i")
+    val d1 = docs(base: _*).withColumn("lang", lit("en"))
+    val d2 = docs(scala.util.Random.shuffle(base): _*)
+      .repartition(7).withColumn("lang", lit("en"))
+    val a = TextAnalysis.packSequences(d1, 64, 4).collect()
+      .map(_.toSeq).toSet
+    val b = TextAnalysis.packSequences(d2, 64, 4).collect()
+      .map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("contaminationPairs flags n-gram overlap with the benchmark side") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely unrelated words about gardening tools here",
+      3L -> "the quick brown fox sat still") // shares 2 3-grams with bench
+    val bench = docs(
+      100L -> "the quick brown fox jumps high")
+    val got = Dedup.contaminationPairs(corpus, bench, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert(got((1L, 100L)) == 3L)
+    // doc 3 shares "the quick brown", "quick brown fox" (exactly at threshold)
+    assert(got((3L, 100L)) == 2L)
+    assert(!got.contains((2L, 100L)))
+  }
+
   test("tfidfTopTerms ranks rare terms first with deterministic tie-break") {
     val d = docs(
       0L -> "apple apple banana",
