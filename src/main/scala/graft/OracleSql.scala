@@ -157,6 +157,44 @@ object OracleSql {
   private def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${normSq(a)}) * sqrt(${normSq(b)}))"
 
+  /** Per-label centroid components (mirrors Similarity.labelCentroids):
+    * zipped unnest for 0-based positions, DECIMAL(28,18) component sums.
+    */
+  val labelCentroids: String =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS val
+      |      FROM e)
+      |SELECT label, pos, count(*) AS n_vecs,
+      |  round(CAST(sum(CAST(val AS DECIMAL(28,18))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS centroid
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** One K-means assignment step (mirrors Similarity.kmeansAssign):
+    * centroids as ordered lists, exact-decimal cosine, argmax by
+    * (sim DESC, label ASC) — arg_max lacks tuple keys in DuckDB, so the
+    * oracle ranks with a window (the Spark side's map-side max_by picks
+    * the identical winner).
+    */
+  val kmeansAssign: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |x AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS val
+       |      FROM e),
+       |cent AS (SELECT label AS c_label, pos,
+       |    round(CAST(sum(CAST(val AS DECIMAL(28,18))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS centroid
+       |  FROM x GROUP BY 1, 2),
+       |cvecs AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
+       |          FROM cent GROUP BY 1),
+       |scored AS (SELECT vec_id, c_label, ${cosine("v", "cvec")} AS sim
+       |           FROM e CROSS JOIN cvecs)
+       |SELECT vec_id, assigned_label, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, c_label AS assigned_label, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, c_label) AS rn
+       |  FROM scored)
+       |WHERE rn = 1""".stripMargin
+
   /** Brute-force cosine top-k: queries vec_id < nQ vs the rest. */
   def annTopK(nQ: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -357,6 +357,12 @@ object SparkEntry {
       Similarity.annTopK(Tables.table(s, dir, "embeddings"), 8, 5)),
     "embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.table(s, dir, "embeddings"), 0.3)),
+    // per-label mean vectors (K-means/IVF training primitive)
+    "embedding_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.table(s, dir, "embeddings"))),
+    // one Lloyd assignment step against the label centroids
+    "kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.table(s, dir, "embeddings"))),
     // approximate by construction -> rows-only check, no oracle
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.annTopKIvf(Tables.table(s, dir, "embeddings"), 8, 5))
@@ -678,6 +684,8 @@ object SparkEntry {
 
     "ann_topk" -> OracleSql.annTopK(8, 5),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
+    "embedding_centroids" -> OracleSql.labelCentroids,
+    "kmeans_assign" -> OracleSql.kmeansAssign,
 
     "export_signals" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -131,6 +131,54 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Per-label mean embedding (centroid) in exploded (label, pos) form —
+    * the K-means / IVF-training primitive and the embedding-drift monitor.
+    * Sums accumulate in DECIMAL(28,18) per component (order-independent,
+    * bit-identical to the DuckDB oracle; precision stays ≤ 38 so Spark's
+    * decimal addition never drops a scale digit), divided once as double.
+    * One shuffle keyed on (label, pos) with map-side partial sums — the
+    * exploded key space is |labels|·dim, so the aggregate state is tiny
+    * regardless of corpus size.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(vec(col("embedding"))))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("col").cast("decimal(28,18)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("centroid"))
+
+  /** One K-means assignment step: each vector joins the (tiny, broadcast)
+    * centroid table and takes its best-cosine centroid — ties broken by
+    * smaller label. Composing [[labelCentroids]] → assign → re-aggregate
+    * is the standard distributed Lloyd iteration: per step, one broadcast
+    * join and one (label, pos) aggregate, no corpus shuffle.
+    */
+  def kmeansAssign(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val cents = labelCentroids(embeddings)
+      .groupBy(col("label").as("c_label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pcs"))
+      .select(col("c_label"),
+        transform(col("pcs"), s => s.getField("centroid")).as("cvec"))
+    embeddings
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_label"),
+        cosine(col("embedding"), col("cvec")).as("sim"))
+      // argmax via aggregate, not a window: all |centroids| candidate rows
+      // for a vector sit in the same scan partition (broadcast join), so
+      // the partial aggregate collapses them map-side — the exchange
+      // carries one row per vector, not |centroids|×corpus. max(sim)
+      // equals the winner's sim under ties by definition.
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_label"),
+          struct(col("sim"), (-col("c_label")).as("nl")))
+          .as("assigned_label"),
+        round(max(col("sim")), 6).as("sim"))
+  }
+
   /** Scale-path ANN: cluster-pruned search (IVF-style) using the sign
     * pattern of the first `signBits` components as a deterministic coarse
     * quantizer. Probes = the query's own cell plus cells at Hamming

@@ -292,6 +292,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(df(1L)) < 1e-12)
   }
 
+  test("labelCentroids averages components; kmeansAssign picks nearest") {
+    // label 0: (1,0) and (0.5,0) -> centroid (0.75, 0)
+    // label 1: (0,1) and (0,0.5) -> centroid (0, 0.75)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.5f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.0f, 0.5f), 1),
+      (4L, Array(0.9f, 0.1f), 1)) // mislabeled: closer to centroid 0
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.labelCentroids(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cents((0, 0L)) == 0.75 && cents((0, 1L)) == 0.0)
+    assert(math.abs(cents((1, 0L)) - 0.3) < 1e-9) // (0+0+0.9)/3
+    val assigned = Similarity.kmeansAssign(e).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned(0L) == 0 && assigned(1L) == 0)
+    assert(assigned(4L) == 0, "mislabeled vector must reassign to label 0")
+  }
+
   test("annTopK ranks by cosine and is invariant to partitioning") {
     // queries: ids 0,1; corpus 2..5 with known alignment to query 0 = (1,0)
     val rows = Seq(
