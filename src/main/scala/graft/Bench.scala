@@ -57,8 +57,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // sf as basename: the full path costs ~20 chars of the 2000-char
+    // stdout-tail budget and the scale factor is all the judge needs
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"WARN bench json line ${line.length} chars > 1900 budget")
     println(line)
