@@ -410,6 +410,30 @@ object OracleSql {
        |      / CAST(len(g3) AS DOUBLE), 6) END AS dup3_frac
        |FROM g""".stripMargin
 
+  /** Bigram collocations by lift (mirrors TextAnalysis.bigramCollocations):
+    * positional bigrams, unigram/bigram/N counts, lift as the identical
+    * double expression, deterministic (lift DESC, term_a, term_b) top-k.
+    */
+  def bigramCollocations(minCount: Long, topK: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |bg AS (SELECT unnest(CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(0, len(t)-1),
+       |           i -> array_to_string(t[i+1:i+2], ' '))
+       |    ELSE [] END) AS bigram FROM t),
+       |uni AS (SELECT unnest(t) AS term FROM t),
+       |cu AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+       |cb AS (SELECT string_split(bigram, ' ')[1] AS term_a,
+       |    string_split(bigram, ' ')[2] AS term_b, count(*) AS c_ab
+       |  FROM bg GROUP BY bigram HAVING count(*) >= $minCount),
+       |n AS (SELECT count(*) AS n_bigrams FROM bg)
+       |SELECT term_a, term_b, c_ab,
+       |  round(CAST(n_bigrams AS DOUBLE) * CAST(c_ab AS DOUBLE)
+       |    / (CAST(ca.c AS DOUBLE) * CAST(cbb.c AS DOUBLE)), 6) AS lift
+       |FROM cb CROSS JOIN n
+       |JOIN cu ca ON ca.term = cb.term_a
+       |JOIN cu cbb ON cbb.term = cb.term_b
+       |ORDER BY lift DESC, term_a, term_b LIMIT $topK""".stripMargin
+
   /** Sequence packing (mirrors TextAnalysis.packSequences): salted-md5
     * shard, per-(lang, shard) running token sum in doc_id order, chunk id
     * by integer division. DuckDB window sums of BIGINT yield HUGEINT —

@@ -261,6 +261,10 @@ object SparkEntry {
     // Gopher-style repetition filters: duplicate 2-/3-gram fractions
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables.table(s, dir, "documents"))),
+    // top bigram collocations by lift (log-free PMI)
+    "bigram_lift" -> ((s, dir) =>
+      TextAnalysis.bigramCollocations(Tables.table(s, dir, "documents"),
+        3, 20)),
     // concat-and-chunk sequence packing into 512-token training
     // sequences over 4 hash shards per language
     "pack_sequences" -> ((s, dir) =>
@@ -606,6 +610,7 @@ object SparkEntry {
     "text_winnow_fingerprints" -> OracleSql.winnowFingerprints(3, 4),
     "decontaminate" -> OracleSql.contamination(97, 2),
     "text_repetition" -> OracleSql.repetitionStats,
+    "bigram_lift" -> OracleSql.bigramCollocations(3, 20),
     "pack_sequences" -> OracleSql.packSequences(512, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
     "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),

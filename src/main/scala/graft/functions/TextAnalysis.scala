@@ -239,6 +239,43 @@ object TextAnalysis {
         size(col("g3")).cast("long").as("n_3grams"),
         dupFrac(col("g3")).as("dup3_frac"))
 
+  /** Corpus collocations ranked by LIFT — the log-free PMI variant
+    * (precedent: the linear-idf TF-IDF above): lift(a,b) =
+    * N·c(ab) / (c(a)·c(b)) over positional bigrams, N = total bigram
+    * count. Monotone in PMI's argument, so the ranking matches PMI up to
+    * the log's tie structure, while `/` stays IEEE-exact cross-engine
+    * (libm log is not). `minCount` floors away one-off pairs (classic
+    * PMI noise); global top-k runs as TakeOrderedAndProject (sort-free
+    * per-partition top-k + tiny driver merge), never a one-partition
+    * window. Three aggregates (bigram, unigram, N) + two vocabulary-sized
+    * joins (AQE broadcasts them when small).
+    */
+  def bigramCollocations(docs: DataFrame, minCount: Long = 3,
+      topK: Int = 20): DataFrame = {
+    val bg = docs.select(tokens(col("text")).as("w"))
+      .select(ngramsFromTokens(col("w"), 2).as("g"))
+      .select(explode(col("g")).as("bigram"))
+    val uni = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val n = bg.agg(count(lit(1)).as("n_bigrams"))
+    val cb = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(split(col("bigram"), " ")(0).as("term_a"),
+        split(col("bigram"), " ")(1).as("term_b"), col("c_ab"))
+    cb
+      .join(uni.select(col("term").as("term_a"), col("c").as("c_a")),
+        Seq("term_a"))
+      .join(uni.select(col("term").as("term_b"), col("c").as("c_b")),
+        Seq("term_b"))
+      .crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("c_ab"),
+        round(col("n_bigrams").cast("double") * col("c_ab").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+      .limit(topK)
+  }
+
   /** Concat-and-chunk sequence packing: the pretraining step that turns a
     * document stream into fixed-budget training sequences. Documents are
     * concatenated in deterministic (doc_id) order within a (lang, shard)

@@ -188,6 +188,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bigramCollocations computes lift with a min-count floor") {
+    val d = docs(0L -> "a b", 1L -> "a b", 2L -> "a c")
+    // bigrams: "a b"x2, "a c"x1; N=3; c(a)=3, c(b)=2
+    // minCount=2 keeps only "a b": lift = 3*2/(3*2) = 1.0
+    val got = TextAnalysis.bigramCollocations(d, minCount = 2, topK = 5)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 1.0)))
+  }
+
   test("contaminationPairs flags n-gram overlap with the benchmark side") {
     val corpus = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
