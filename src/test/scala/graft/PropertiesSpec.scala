@@ -61,6 +61,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("round-5 text/embedding operators are partition-invariant") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val textGen = Gen.listOfN(12, Gen.oneOf(words)).map(_.mkString(" "))
+    samples(Gen.zip(Gen.listOfN(40, textGen), Gen.chooseNum(2, 9)), 4)
+      .foreach { case (texts, p) =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t, if (i % 2 == 0) "en" else "zh") }
+          .toDF("doc_id", "text", "lang")
+        val shuffled = docs.repartition(p)
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toSeq).toSet
+        assert(rows(TextAnalysis.repetitionStats(docs)) ==
+          rows(TextAnalysis.repetitionStats(shuffled)))
+        assert(rows(TextAnalysis.packSequences(docs, 16, 2)) ==
+          rows(TextAnalysis.packSequences(shuffled, 16, 2)))
+        assert(rows(TextAnalysis.bigramCollocations(docs, 2, 10)) ==
+          rows(TextAnalysis.bigramCollocations(shuffled, 2, 10)))
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        assert(rows(Dedup.contaminationPairs(corpus, bench, 3, 1)) ==
+          rows(Dedup.contaminationPairs(corpus.repartition(p),
+            bench.repartition(p), 3, 1)))
+      }
+  }
+
   test("exact dedup representative is always the minimum doc_id of its group") {
     import spark.implicits._
     samples(Gen.listOfN(20,
