@@ -16,5 +16,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "double_dot", exprs => DoubleDotProduct(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_base60", exprs => Md5Base60(exprs.head), "built-in")
   }
 }

@@ -46,6 +46,36 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The engine's base string hash as ONE codegen'd expression:
+  * md5-60-bit(s) ≡ `conv(substring(md5(s), 1, 15), 16, 10)` — the top 60
+  * bits of the digest read directly from the first 8 bytes. The chained
+  * built-in form allocates a 32-char hex string, a 15-char substring, and
+  * a base-16 parse per evaluation; on the shingle pipeline (one eval per
+  * shingle — the hot path of every dedup query) this fuses all of it
+  * into a digest + shift. Value-identical to the chain, so every oracle
+  * keeps hashing in the same domain. SQL name: `md5_base60`.
+  */
+case class Md5Base60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_base60 requires string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_base60"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.tokenHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.tokenHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Base60 =
+    copy(child = newChild)
+}
+
 object SimHash64 {
   private val Bits = 60
 
@@ -74,11 +104,17 @@ object SimHash64 {
     out
   }
 
+  // One MessageDigest per thread: getInstance runs a provider lookup per
+  // call, and this hash executes once per shingle/token — the hottest
+  // scalar in the engine. digest() resets the instance after each use.
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Top 60 bits of md5(token) — first 8 digest bytes big-endian, shifted
     * right 4, identical to parsing the first 15 hex chars base-16.
     */
   def tokenHash(s: UTF8String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val d = mdLocal.get().digest(s.getBytes)
     var top = 0L
     var i = 0
     while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }

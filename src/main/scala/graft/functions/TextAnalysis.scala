@@ -333,6 +333,7 @@ object TextAnalysis {
     * k-gram; the slice()'s natural tail truncation covers nGrams < w.
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val grams = when(size(col("t")) >= k,
       transform(sequence(lit(0), size(col("t")) - k),
         i => concat_ws(" ", slice(col("t"), i + lit(1), lit(k)))))
@@ -343,7 +344,7 @@ object TextAnalysis {
       .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"),
         transform(col("g"),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("h"))
+          g => call_function("md5_base60", g)).as("h"))
       // window start positions 0 .. max(n_grams - w, 0); min of each
       // w-window (shrinking tail when n_grams < w via slice truncation)
       .select(col("doc_id"),

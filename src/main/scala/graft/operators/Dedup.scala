@@ -71,22 +71,26 @@ object Dedup {
     * `md5[0:15) → int64` map, so both engines operate on the same hashed
     * domain and agree bit-for-bit even in the (≈2⁻⁶⁵·n²) collision case.
     */
-  private def shingleTable(docs: DataFrame, n: Int): DataFrame =
+  private def shingleTable(docs: DataFrame, n: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n_sh"), md5Base60(col("shingle")).as("shash"))
+  }
 
   /** Per-doc hashed shingle ARRAY (doc_id, sha) — the un-exploded sibling
     * of [[shingleTable]], for consumers that compare whole sets per pair
     * (candidate verification) rather than equi-joining on single shingles.
     * ~1-2 KB per doc; shuffles as one row per doc.
     */
-  private def shingleArrays(docs: DataFrame, n: Int): DataFrame =
+  private def shingleArrays(docs: DataFrame, n: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("sh"))
       .select(col("doc_id"), transform(col("sh"), s => md5Base60(s)).as("sha"))
+  }
 
   /** N-gram Jaccard near-duplicate pairs:
     * J(A,B) = |A∩B| / (|A|+|B|−|A∩B|) over distinct word n-gram sets,
@@ -194,9 +198,13 @@ object Dedup {
       (i, a, b)
     }
 
-  /** 60-bit md5 base hash (≡ conv(substr(md5(s),1,15),16,10)). */
-  private def md5Base60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  /** 60-bit md5 base hash (≡ conv(substr(md5(s),1,15),16,10)), as the
+    * fused codegen'd [[graft.functions.Md5Base60]] expression — one
+    * digest + shift per shingle instead of hex-string materialization,
+    * substring, and base-16 parse. Callers must have run
+    * [[GraftFunctions.register]] (shingleTable/shingleArrays do).
+    */
+  private def md5Base60(s: Column): Column = call_function("md5_base60", s)
 
   /** WIDE MinHash signatures: one row per doc with columns m0..m{k-1}.
     * All k family members are k conditional MIN aggregates over the SAME
