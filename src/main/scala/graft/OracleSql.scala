@@ -453,6 +453,40 @@ object OracleSql {
        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM c GROUP BY 1, 2, 3""".stripMargin
 
+  /** Strict-ordering conversion funnel (mirrors TimeSeriesOps.funnel).
+    * The Spark side chains b_i = coalesce(b_{i-1} AND t_i > t_{i-1},
+    * false); the SQL expands the chain to one conjunction per step —
+    * identical under 3-valued logic (FALSE dominates AND, COALESCE maps
+    * the all-null tail to FALSE).
+    */
+  def funnel(steps: Seq[String]): String = {
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      s"min(CASE WHEN event_type = '$s' THEN ts END) AS t$i"
+    }.mkString(",\n    ")
+    val inList = steps.map(s => s"'$s'").mkString(", ")
+    def conj(i: Int): String =
+      (Seq("t0 IS NOT NULL") ++
+        (1 to i).map(j => s"t$j > t${j - 1}")).mkString(" AND ")
+    val flags = steps.indices.map(i =>
+      s"COALESCE(${conj(i)}, FALSE) AS b$i").mkString(",\n    ")
+    val counts = steps.indices.map(i =>
+      s"CAST(sum(CASE WHEN b$i THEN 1 ELSE 0 END) AS BIGINT) AS n$i")
+      .mkString(",\n    ")
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      s"SELECT '$s' AS step, $i AS step_idx, n$i AS n_users FROM c"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (SELECT user_id,
+       |    $mins
+       |  FROM events WHERE event_type IN ($inList) GROUP BY 1),
+       |b AS (SELECT
+       |    $flags
+       |  FROM f),
+       |c AS (SELECT
+       |    $counts
+       |  FROM b)
+       |$rows""".stripMargin
+  }
+
   val eventsPropsJson: String =
     """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
       |  count(k) AS n_with_k, max(k) AS max_k

@@ -269,6 +269,10 @@ object SparkEntry {
     // sequences over 4 hash shards per language
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.table(s, dir, "documents"), 512, 4)),
+    // strict-ordering conversion funnel over first occurrences
+    "funnel_conversion" -> ((s, dir) =>
+      TimeSeriesOps.funnel(Tables.table(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
     "events_props_json" -> ((s, dir) =>
       Tables.table(s, dir, "events")
         .select(col("event_type"),
@@ -608,6 +612,8 @@ object SparkEntry {
     "text_fingerprint" -> OracleSql.fingerprint,
     "text_bpe_tokens" -> OracleSql.bpeTokens,
     "text_winnow_fingerprints" -> OracleSql.winnowFingerprints(3, 4),
+    "funnel_conversion" ->
+      OracleSql.funnel(Seq("view", "click", "purchase")),
     "decontaminate" -> OracleSql.contamination(97, 2),
     "text_repetition" -> OracleSql.repetitionStats,
     "bigram_lift" -> OracleSql.bigramCollocations(3, 20),

@@ -107,4 +107,47 @@ object TimeSeriesOps {
         col("sw.start").as("session_start"),
         col("sw.end").as("session_end"),
         col("n_events"), col("sum_value"))
+
+  /** Conversion funnel over ordered FIRST occurrences: a user reaches
+    * step i iff their first `steps(i)` event is strictly after their
+    * first `steps(i-1)` event (the standard strict-ordering funnel; the
+    * windowed / any-order variants differ only in the per-user booleans).
+    * Output: (step, step_idx, n_users), one row per step.
+    *
+    * Scale shape: ONE hash aggregate keyed on user_id computes all step
+    * timestamps as conditional MINs (map-side partials — the raw event
+    * stream never shuffles whole), then a single-row aggregate counts the
+    * monotone prefix flags and a `stack` projection unpivots — cost is
+    * O(events) map work + one user-keyed exchange, independent of step
+    * count.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel steps must be non-empty and distinct: $steps")
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t$i")
+    }
+    val firsts = events
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .agg(mins.head, mins.tail: _*)
+    // b0 = reached step 0; b_i = b_{i-1} AND t_i > t_{i-1}; coalesce keeps
+    // the chain false (not null) when a step is missing
+    val flags = steps.indices.map { i =>
+      val expr =
+        if (i == 0) col("t0").isNotNull
+        else col(s"b${i - 1}") && col(s"t$i") > col(s"t${i - 1}")
+      coalesce(expr, lit(false)).as(s"b$i")
+    }
+    val counts = firsts
+      .select(col("user_id") +: flags: _*)
+      .agg(
+        sum(when(col("b0"), 1L).otherwise(0L)).as("n0"),
+        steps.indices.drop(1).map(i =>
+          sum(when(col(s"b$i"), 1L).otherwise(0L)).as(s"n$i")): _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"'$s', $i, n$i" }.mkString(", ")
+    counts.selectExpr(
+      s"stack(${steps.size}, $stackArgs) AS (step, step_idx, n_users)")
+  }
 }

@@ -99,4 +99,28 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(expect.nonEmpty && got == expect)
   }
+
+  test("funnel counts strictly ordered first occurrences per user") {
+    // u1: view(0) click(1) purchase(2)  -> reaches all 3
+    // u2: view(0) click(1)              -> reaches 2
+    // u3: click(0) view(1) click(5)     -> first click BEFORE first view:
+    //                                      strict ordering fails at step 1
+    // u4: purchase(0) only              -> reaches 0 (no view)
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(1), "click"),
+      (3L, ts(0), "click"), (3L, ts(1), "view"), (3L, ts(5), "click"),
+      (4L, ts(0), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = TimeSeriesOps.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(1) -> (r.getString(0), r.getLong(2))).toMap
+    assert(got(0) == ("view", 3L))     // u1 u2 u3
+    assert(got(1) == ("click", 2L))    // u1 u2 (u3's first click precedes)
+    assert(got(2) == ("purchase", 1L)) // u1
+    // partition invariance
+    val shuffled = TimeSeriesOps.funnel(events.repartition(7),
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(shuffled == got.map { case (k, v) => k -> v._2 })
+  }
 }
