@@ -60,16 +60,30 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
         .stripSuffix(".") else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // sf as basename: the full path costs ~20 chars of the 2000-char
     // stdout-tail budget and the scale factor is all the judge needs
     val sfName = new java.io.File(sfDir).getName
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfName"}"""
-    if (line.length > 1900)
-      System.err.println(s"WARN bench json line ${line.length} chars > 1900 budget")
+    // Graceful degradation against the ~1900-char line budget (the driver
+    // json-parses the LAST stdout line from a 2000-char tail — overflow
+    // means "parsed": null, as in rounds 1-2): if the full per-query map
+    // does not fit, fold the FASTEST queries into one "_other" bucket
+    // (count + exact summed seconds) until it does. Slow queries — the
+    // ones worth reading — always survive; the total stays exact.
+    def mkLine(shown: Seq[(String, Double)], folded: Seq[Double]): String = {
+      val entries = shown.map { case (k, v) => "\"" + k + "\":" + f(v) } ++
+        (if (folded.isEmpty) Nil
+         else Seq("\"_other\":" + f(folded.sum),
+           "\"_other_n\":" + folded.size))
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","queries":${entries.mkString("{", ",", "}")},"sf":"$sfName"}"""
+    }
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    var keep = bySlowest.length
+    var line = mkLine(bySlowest, Nil)
+    while (line.length > 1900 && keep > 0) {
+      keep -= 1
+      line = mkLine(bySlowest.take(keep), bySlowest.drop(keep).map(_._2))
+    }
     println(line)
     spark.stop()
   }

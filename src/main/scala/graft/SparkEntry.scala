@@ -44,6 +44,8 @@ object SparkEntry {
     "intersect_customers" -> ((s, dir) => Analytics.orderingBuildingCustomers(s, dir)),
     "brand_stats" -> ((s, dir) => Analytics.brandStats(s, dir)),
     "q17_small_qty_revenue" -> ((s, dir) => Analytics.smallQuantityRevenue(s, dir)),
+    "q4_priority_returns" -> ((s, dir) => Analytics.priorityReturnedOrders(s, dir)),
+    "q18_large_orders" -> ((s, dir) => Analytics.largeQuantityOrders(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
 
     // ---- S: candle construction (event-time resample of `events`) --------
@@ -474,6 +476,28 @@ object SparkEntry {
         |                    AS DOUBLE) / count(*)
         |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin,
+
+    "q4_priority_returns" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty_dec
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(20,4))) > 250) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

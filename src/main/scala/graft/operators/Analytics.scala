@@ -87,6 +87,51 @@ object Analytics {
         .cast("decimal(24,8)")).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q4 shape, adapted: count orders per priority in a date range
+    * having at least one RETURNED line item (this schema has no
+    * commit/receipt dates, so `l_returnflag = 'R'` carries Q4's EXISTS
+    * semantics). One left-semi shuffle on orderkey — the lineitem side is
+    * projected to the key before the exchange, and the returnflag filter
+    * pushes to its scan.
+    */
+  def priorityReturnedOrders(spark: SparkSession, dir: String,
+      start: String = "1996-01-01 00:00:00",
+      endExcl: String = "1997-01-01 00:00:00"): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(start).cast("timestamp") &&
+        col("o_orderdate") < lit(endExcl).cast("timestamp"))
+    val returned = Tables.table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(returned, Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q18 shape: customers with orders whose total quantity exceeds
+    * `minQty`, top `k` by order value. The HAVING aggregate runs BEFORE
+    * any join (group lineitem to one row per qualifying order — at scale
+    * the big-order set is a tiny fraction), then two key joins and a
+    * TakeOrderedAndProject for the global top-k. Quantity sums accumulate
+    * in DECIMAL (exact HAVING boundary on any partitioning).
+    */
+  def largeQuantityOrders(spark: SparkSession, dir: String,
+      minQty: Int = 250, k: Int = 100): DataFrame = {
+    val big = Tables.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > minQty)
+    val o = Tables.table(spark, dir, "orders")
+    val c = Tables.table(spark, dir, "customer")
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty_dec").cast("double").as("sum_qty"))
+  }
+
   /** Left-semi: customers with at least one order (EXISTS). */
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "customer")
