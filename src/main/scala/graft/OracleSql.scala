@@ -245,6 +245,37 @@ object OracleSql {
        |    length(n) AS nlen
        |  FROM (SELECT doc_id, $norm AS n, $toks AS t FROM documents))""".stripMargin
 
+  /** Per-source corpus report (mirrors TextAnalysis.corpusStatsBySource):
+    * same quality expression as [[qualityScore]], DECIMAL quality mean,
+    * interpolated token percentiles (quantile_cont ≡ Spark percentile,
+    * rounded at 6 like median_prices).
+    */
+  val corpusStatsBySource: String =
+    s"""WITH q AS (SELECT source, round(
+       |  0.3 * least(CAST(1.0 AS DOUBLE), toks / 50.0) +
+       |  0.2 * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE),
+       |    punct / greatest(CAST(nlen AS DOUBLE), CAST(1.0 AS DOUBLE)) * 5.0)) +
+       |  0.2 * least(CAST(1.0 AS DOUBLE),
+       |    stops * 10.0 / greatest(toks, CAST(1.0 AS DOUBLE))) +
+       |  0.3 * (dst / greatest(toks, CAST(1.0 AS DOUBLE))), 6) AS q,
+       |  n_tok
+       |FROM (
+       |  SELECT source,
+       |    CAST(len(t) AS DOUBLE) AS toks,
+       |    CAST(len(regexp_extract_all(n, '([^a-z0-9 ])', 1)) AS DOUBLE) AS punct,
+       |    CAST(len(regexp_extract_all(n, '\\b$enStops\\b', 1)) AS DOUBLE) AS stops,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) AS dst,
+       |    length(n) AS nlen,
+       |    CAST(len(t) AS BIGINT) AS n_tok
+       |  FROM (SELECT source, $norm AS n, $toks AS t FROM documents)))
+       |SELECT source, count(*) AS n_docs,
+       |  round(CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS avg_quality,
+       |  round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+       |  round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       |FROM q GROUP BY 1""".stripMargin
+
   val langMarkersSql: Seq[(String, String)] = Seq(
     "en" -> enStops,
     "de" -> "(der|die|das|und|ist|nicht|mit|ein|zu|den)",

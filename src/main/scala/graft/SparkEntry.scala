@@ -271,6 +271,9 @@ object SparkEntry {
     // sequences over 4 hash shards per language
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.table(s, dir, "documents"), 512, 4)),
+    // per-source dataset-card aggregate (counts, quality, token dist)
+    "corpus_stats_by_source" -> ((s, dir) =>
+      TextAnalysis.corpusStatsBySource(Tables.table(s, dir, "documents"))),
     // strict-ordering conversion funnel over first occurrences
     "funnel_conversion" -> ((s, dir) =>
       TimeSeriesOps.funnel(Tables.table(s, dir, "events"),
@@ -636,6 +639,7 @@ object SparkEntry {
     "text_fingerprint" -> OracleSql.fingerprint,
     "text_bpe_tokens" -> OracleSql.bpeTokens,
     "text_winnow_fingerprints" -> OracleSql.winnowFingerprints(3, 4),
+    "corpus_stats_by_source" -> OracleSql.corpusStatsBySource,
     "funnel_conversion" ->
       OracleSql.funnel(Seq("view", "click", "purchase")),
     "decontaminate" -> OracleSql.contamination(97, 2),

@@ -309,6 +309,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
 
+  /** Per-source corpus report — the dataset-card aggregate every training
+    * mix decision reads: document count, mean quality (DECIMAL
+    * accumulation, one final divide), token-count median and p90
+    * (Spark `percentile` ≡ DuckDB `quantile_cont` — both linear
+    * interpolation on the sorted values), and total tokens. One
+    * source-keyed hash aggregate; the percentile state is per-group
+    * sorted token counts, bounded by group row count.
+    */
+  def corpusStatsBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), qualityCol(col("text")).as("q"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("q").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_quality"),
+        round(percentile(col("n_tok"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("n_tok"), lit(0.9)), 6).as("p90_tokens"),
+        sum(col("n_tok")).as("total_tokens"))
+
   /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
     * POSITIONAL token k-gram (duplicates kept — winnowing is positional,
     * unlike the distinct shingle sets in Dedup), then keep the minimum
