@@ -126,6 +126,17 @@ object SparkEntry {
     "pair_correlation" -> ((s, dir) =>
       TradingOps.pairCorrelation(Tables.candles(s, dir))),
 
+    // the 100 TB form of the same screen: restrict to the top-N symbols by
+    // traded volume (broadcast semi-join), then block candidate pairs by an
+    // md5-derived symbol bucket — S² becomes Σ(per-block s²). Correct at
+    // any scale; oracle-checked here against the identically blocked SQL.
+    "pair_correlation_blocked" -> ((s, dir) =>
+      TradingOps.pairCorrelation(
+        TradingOps.topSymbolsByVolume(Tables.candles(s, dir), 4),
+        block = Some(
+          conv(substring(md5(col("symbol")), 1, 15), 16, 10)
+            .cast("long") % 2))),
+
     // ---- Cutler's RSI over a 14-candle frame ------------------------------
     "rsi14" -> ((s, dir) =>
       TradingOps.rsi(Tables.candles(s, dir), 14)),
@@ -364,6 +375,16 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     }),
+
+    // ---- multimodal: REAL PNG decode via JDK ImageIO ----------------------
+    // one real PNG per doc_id (deterministic pattern pixels, id-derived
+    // dims), decoded back through ImageIO — the oracle recomputes the
+    // channel sums closed-form, so a green row proves the decode reads
+    // actual pixels, not headers
+    "media_features" -> ((s, dir) =>
+      operators.Multimodal.imageFeatures(
+        operators.Multimodal.syntheticImages(
+          Tables.table(s, dir, "documents").select(col("doc_id"))))),
 
     // ---- similarity search (embeddings) ----------------------------------
     "ann_topk" -> ((s, dir) =>
@@ -721,6 +742,26 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM kept GROUP BY lang""".stripMargin,
 
+    // closed-form mirror of the ImageIO pattern-pixel roundtrip: PNG is
+    // lossless, so decoded channel sums equal the generator formula's sums
+    "media_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |px AS (SELECT media_id, w, h, unnest(range(0, w*h)) AS i FROM dims),
+        |s AS (
+        |  SELECT media_id, w, h,
+        |    sum((media_id*31 + (i % w)*7 + (i // w)*13) % 256) AS sr,
+        |    sum((media_id*17 + (i % w)*11 + (i // w)*5) % 256) AS sg,
+        |    sum((media_id*29 + (i % w)*3 + (i // w)*19) % 256) AS sb
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  round(CAST(sr AS DOUBLE) / (w*h), 6) AS mean_r,
+        |  round(CAST(sg AS DOUBLE) / (w*h), 6) AS mean_g,
+        |  round(CAST(sb AS DOUBLE) / (w*h), 6) AS mean_b
+        |FROM s""".stripMargin,
+
     "ann_topk" -> OracleSql.annTopK(8, 5),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
     "embedding_centroids" -> OracleSql.labelCentroids,
@@ -772,6 +813,36 @@ object SparkEntry {
          |    CAST(sum(CAST(b.close * b.close AS DECIMAL(28,10))) AS DOUBLE) AS syy
          |  FROM candles a JOIN candles b
          |    ON a.ts = b.ts AND a.symbol < b.symbol
+         |  GROUP BY a.symbol, b.symbol),
+         |vars AS (
+         |  SELECT sym_a, sym_b, n, sx, sy, sxy,
+         |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+         |  FROM sums)
+         |SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n,
+         |  round((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)), 6) AS corr
+         |FROM vars WHERE vx > 0 AND vy > 0""".stripMargin,
+
+    "pair_correlation_blocked" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |top AS (
+         |  SELECT symbol FROM (
+         |    SELECT symbol, sum(CAST(volume AS DECIMAL(28,10))) AS tv
+         |    FROM candles GROUP BY symbol
+         |    ORDER BY tv DESC, symbol LIMIT 4)),
+         |c AS (
+         |  SELECT candles.*,
+         |    CAST('0x' || substr(md5(symbol), 1, 15) AS BIGINT) % 2 AS blk
+         |  FROM candles SEMI JOIN top USING (symbol)),
+         |sums AS (
+         |  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(a.close AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(b.close AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(a.close * b.close AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(a.close * a.close AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(b.close * b.close AS DECIMAL(28,10))) AS DOUBLE) AS syy
+         |  FROM c a JOIN c b
+         |    ON a.blk = b.blk AND a.ts = b.ts AND a.symbol < b.symbol
          |  GROUP BY a.symbol, b.symbol),
          |vars AS (
          |  SELECT sym_a, sym_b, n, sx, sy, sxy,

@@ -1,20 +1,28 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (LLM-pipeline north star): image/audio/video
-  * as opaque `binary` payloads with typed metadata, processed by
+  * as opaque `binary` columns with typed metadata, processed by
   * per-partition batch operators (the Scala analog of Python's
-  * `mapInPandas` — one iterator per partition, so a real decoder would
-  * amortize native-library init across the batch, never per row).
+  * `mapInPandas` — one iterator per partition, so decoder state amortizes
+  * across the batch, never per row).
   *
-  * The DECODERS ARE STUBS — this container has no image/audio codecs, so
-  * decode parses a deterministic fake header and features derive from a
-  * byte histogram. The Spark-side contract (schema, binary shuffle
-  * behavior, batched partition processing, typed output) is real and
-  * tested; swapping in javacpp/ffmpeg is a local change inside
-  * `decodeBatch`.
+  * The IMAGE path is a REAL codec: PNG/JPEG/BMP/GIF decode via the JDK's
+  * `javax.imageio.ImageIO` (ships in every JVM, zero external deps) —
+  * [[decodeImages]] reads actual pixels, [[resizeImage]] is a real
+  * `Graphics2D` rescale, and [[encodePng]] produces real PNG payloads.
+  * Audio/video remain byte-level (the JVM has no built-in mp3/h264
+  * codecs): [[decodeAndFeaturize]] is the codec-free byte featurizer and
+  * [[sampleFrameOffsets]] the container-level frame sampler; swapping in
+  * javacpp/ffmpeg is a local change inside their partition loops.
   */
 object Multimodal {
 
@@ -26,6 +34,134 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, features: Array[Double])
 
+  /** Real-decode output: exact per-channel pixel sums (integers — the
+    * oracle-friendly form; means are a single double division downstream)
+    * plus a 16-bin luminance histogram for the embeddings handoff.
+    */
+  case class ImageStats(
+      media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, features: Array[Double])
+
+  /** Deterministic RGB test pattern: channel values are linear-congruential
+    * in (media_id, x, y) mod 256 — closed-form, so an external oracle can
+    * recompute the decoded channel sums without a codec.
+    */
+  def patternPixel(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((mediaId * 31 + x * 7 + y * 13) % 256).toInt,
+    ((mediaId * 17 + x * 11 + y * 5) % 256).toInt,
+    ((mediaId * 29 + x * 3 + y * 19) % 256).toInt)
+
+  /** Encode a [[patternPixel]] image as a REAL PNG via ImageIO (lossless,
+    * so decode recovers the pattern bit-exactly).
+    */
+  def encodePng(mediaId: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = patternPixel(mediaId, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic PNG corpus keyed off an id column: one real PNG per id with
+    * pattern pixels and id-derived dimensions (8..16 × 8..14). This is the
+    * test-data generator for the image pipeline — at production scale the
+    * payloads arrive from a binary-column scan instead.
+    */
+  def syntheticImages(ids: DataFrame, idCol: String = "doc_id"): Dataset[Media] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        Media(id, "image/png",
+          encodePng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
+      }
+    }
+  }
+
+  /** REAL image decode + feature extraction: ImageIO parses the payload
+    * (PNG/JPEG/BMP/GIF — format sniffed from the bytes), pixels are read
+    * through one bulk `getRGB`, and features are exact integer channel
+    * sums + a 16-bin luminance histogram. Batched per partition;
+    * undecodable payloads are dropped (count them upstream if needed).
+    */
+  def decodeImages(media: Dataset[Media]): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val hist = new Array[Double](16)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            sr += r; sg += g; sb += b
+            hist(((r + g + b) / 3) >> 4) += 1.0
+            i += 1
+          }
+          val n = math.max(px.length, 1).toDouble
+          Some(ImageStats(m.media_id, w, h, sr, sg, sb, hist.map(_ / n)))
+        }
+      }
+    }
+  }
+
+  /** REAL resize: decode via ImageIO, rescale with `Graphics2D` under
+    * NEAREST_NEIGHBOR interpolation (deterministic integer source-pixel
+    * mapping), re-encode as PNG. Composes with [[decodeImages]] — the
+    * production decode→resize→featurize chain.
+    */
+  def resizeImage(media: Dataset[Media], targetW: Int, targetH: Int): Dataset[Media] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        if (img == null) None
+        else {
+          val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g2.drawImage(img, 0, 0, targetW, targetH, null)
+          g2.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          Some(Media(m.media_id, m.kind, bos.toByteArray))
+        }
+      }
+    }
+  }
+
+  /** Decoded per-image channel means — the declared-query projection over
+    * [[decodeImages]]: the division is the only double op (sums and pixel
+    * counts are exact integers), so values are bit-identical to a
+    * closed-form oracle over [[patternPixel]].
+    */
+  def imageFeatures(media: Dataset[Media]): DataFrame = {
+    val n = (col("width") * col("height")).cast("double")
+    decodeImages(media).toDF().select(
+      col("media_id"), col("width"), col("height"),
+      round(col("sum_r").cast("double") / n, 6).as("mean_r"),
+      round(col("sum_g").cast("double") / n, 6).as("mean_g"),
+      round(col("sum_b").cast("double") / n, 6).as("mean_b"))
+  }
+
   /** Fake 8-byte header: [w_hi, w_lo, h_hi, h_lo, ...] — stands in for a
     * real container header so tests exercise header-vs-payload splitting.
     */
@@ -35,9 +171,10 @@ object Multimodal {
       ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
       0, 0, 0, 0) ++ body
 
-  /** Batched decode + feature extraction. STUB decode: header parse +
-    * 16-bin byte histogram (deterministic); a real implementation replaces
-    * only the body of this function.
+  /** Codec-free byte featurizer for payloads the JVM cannot decode
+    * natively (audio/video containers): header parse + 16-bin byte
+    * histogram (deterministic). For images use [[decodeImages]] — that
+    * path reads real pixels.
     */
   def decodeAndFeaturize(media: Dataset[Media]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -79,12 +216,10 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         (lit(8) + col("frame_idx") * lit(frameBytes)).as("byte_offset"))
 
-  /** Batched resize to `targetW` × `targetH`. STUB resample:
-    * nearest-neighbor over the fake raster (body byte at the scaled
-    * offset) — deterministic, replaces with a real scaler inside the
-    * partition loop. Output payload carries the rewritten header, so
-    * resize composes with [[decodeAndFeaturize]] (the production
-    * decode→resize→featurize chain shape).
+  /** Batched resize over the FAKE raster format (see [[encodeFakeHeader]]):
+    * nearest-neighbor over the body byte at the scaled offset. The real
+    * image path is [[resizeImage]]; this stays as the byte-level analog
+    * for payloads without a JVM codec.
     */
   def resize(media: Dataset[Media], targetW: Int, targetH: Int): Dataset[Media] = {
     val spark = media.sparkSession
@@ -126,4 +261,11 @@ object Multimodal {
       col("media_id").as("vec_id"),
       col("features").as("embedding"),
       col("kind"))
+
+  /** [[featuresAsEmbeddings]] over the REAL image decode. */
+  def imageEmbeddings(stats: Dataset[ImageStats]): DataFrame =
+    stats.toDF().select(
+      col("media_id").as("vec_id"),
+      col("features").as("embedding"),
+      lit("image/png").as("kind"))
 }

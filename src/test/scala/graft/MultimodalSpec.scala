@@ -68,6 +68,89 @@ class MultimodalSpec extends SparkSpec {
     assert(body(0) == srcBody(0))
   }
 
+  test("decodeImages recovers exact pattern pixels through a real PNG roundtrip") {
+    val ids = Seq(0L, 1L, 5L, 12L, 123L)
+    val media = ids.map(id =>
+      Media(id, "image/png",
+        Multimodal.encodePng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))).toDS()
+    val got = Multimodal.decodeImages(media).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(got.keySet == ids.toSet)
+    ids.foreach { id =>
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.patternPixel(id, x, y)
+        er += r; eg += g; eb += b
+      }
+      val s = got(id)
+      assert(s.width == w && s.height == h)
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)),
+        s"channel sums mismatch for media $id")
+      assert(math.abs(s.features.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("decodeImages drops undecodable payloads instead of failing the batch") {
+    val media = Seq(
+      Media(1L, "image/png", Multimodal.encodePng(1L, 8, 8)),
+      Media(2L, "image/png", Array[Byte](1, 2, 3, 4))).toDS()
+    val got = Multimodal.decodeImages(media).collect()
+    assert(got.map(_.media_id).toSeq == Seq(1L))
+  }
+
+  test("resizeImage is a real Graphics2D rescale that composes with decode") {
+    val media = Seq(Media(7L, "image/png", Multimodal.encodePng(7L, 10, 6))).toDS()
+    // identity resize: nearest-neighbor at 1:1 maps each pixel to itself,
+    // so the decoded channel sums are unchanged
+    val same = Multimodal.decodeImages(
+      Multimodal.resizeImage(media, 10, 6)).head()
+    val orig = Multimodal.decodeImages(media).head()
+    assert((same.sum_r, same.sum_g, same.sum_b) ==
+      ((orig.sum_r, orig.sum_g, orig.sum_b)))
+    // downscale: dims change, output still a decodable PNG
+    val small = Multimodal.decodeImages(
+      Multimodal.resizeImage(media, 4, 3)).head()
+    assert(small.width == 4 && small.height == 3)
+    // a solid-color image stays exactly that color under any rescale
+    val solid = {
+      val img = new java.awt.image.BufferedImage(
+        9, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 5; x <- 0 until 9)
+        img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Seq(Media(3L, "image/png", bos.toByteArray)).toDS()
+    }
+    val rs = Multimodal.decodeImages(
+      Multimodal.resizeImage(solid, 4, 7)).head()
+    assert((rs.sum_r, rs.sum_g, rs.sum_b) ==
+      ((200L * 28, 100L * 28, 50L * 28)))
+  }
+
+  test("imageFeatures emits exact channel means for the declared query") {
+    val ids = spark.range(0, 20).toDF("doc_id")
+    val got = Multimodal.imageFeatures(Multimodal.syntheticImages(ids))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got.size == 20)
+    val (w, h) = (8 + (3 % 9), 8 + (3 % 7))
+    var er = 0L
+    for (y <- 0 until h; x <- 0 until w) er += Multimodal.patternPixel(3L, x, y)._1
+    val expected = BigDecimal(er.toDouble / (w * h))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == ((w, h, expected)))
+  }
+
+  test("real image features flow into Similarity as embeddings") {
+    val ids = spark.range(0, 10).toDF("doc_id")
+    val emb = Multimodal.imageEmbeddings(
+      Multimodal.decodeImages(Multimodal.syntheticImages(ids)))
+      .withColumn("label", org.apache.spark.sql.functions.lit(1))
+    val topk = operators.Similarity.annTopK(emb, 2, 3).collect()
+    assert(topk.length == 6)
+  }
+
   test("features flow into the Similarity operators as embeddings") {
     val media = (0L to 9L).map(i =>
       Media(i, "image", payload(8, 8, i.toInt, 512))).toDS()
