@@ -36,6 +36,13 @@ case class DecimalDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "decimal_dot"
 
+  // Can yield null from NON-null inputs (length mismatch / null element),
+  // so nullability must not derive from the children: with non-nullable
+  // inputs the default would hand codegen a `false` literal for
+  // `ev.isNull` and the generated `false = true;` fails to compile
+  // (interpreter fallback on every row of the hot path).
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     DecimalDotProduct.compute(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -99,6 +106,9 @@ case class DoubleDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_dot"
+
+  // See DecimalDotProduct.nullable — null is reachable from non-null input.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
     DoubleDotProduct.compute(
