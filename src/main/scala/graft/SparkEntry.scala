@@ -300,6 +300,18 @@ object SparkEntry {
     // ---- deduplication (documents) ---------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(Tables.table(s, dir, "documents"))),
+    // line-level (RefinedWeb/CCNet) dedup: the corpus texts are
+    // single-line, so the query wraps each doc in the deterministic
+    // boilerplate line dedup exists to remove — a per-source header and a
+    // per-lang footer (df ≈ docs/source and docs/lang >> maxDf=2); the
+    // body line survives (df=1). The oracle rebuilds the same wrapped
+    // corpus and mirrors the md5-60bit line-key domain.
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.dedupLines(
+        Tables.table(s, dir, "documents").select(col("doc_id"),
+          concat(col("source"), lit(" standard header boilerplate\n"),
+            col("text"), lit("\nshared footer "), col("lang")).as("text")),
+        maxDf = 2)),
     // maxDf = 50 (10% of the corpus): stop-shingle pruning — at scale one
     // hot shingle in 1M docs would otherwise build a single 1M-element
     // aggregate row and a df² candidate explode; the oracle mirrors the
@@ -680,6 +692,35 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "dedup_exact" -> OracleSql.exactDuplicates,
+    // identical wrapped corpus + identical md5-60bit line-key domain;
+    // string_agg skips the NULLed dropped lines exactly as Spark's
+    // collect_list skips the NULLed structs
+    "dedup_lines" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    source || ' standard header boilerplate' || chr(10) ||
+        |    text || chr(10) || 'shared footer ' || lang AS text
+        |  FROM documents),
+        |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, len(ls))) AS line_no, unnest(ls) AS line
+        |  FROM parts),
+        |keys AS (
+        |  SELECT doc_id, line_no, line,
+        |    CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS lkey
+        |  FROM lines),
+        |dfs AS (
+        |  SELECT lkey, count(DISTINCT doc_id) AS line_df
+        |  FROM keys GROUP BY 1)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN line_df > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS lines_removed,
+        |  coalesce(string_agg(CASE WHEN line_df <= 2 THEN line END,
+        |    chr(10) ORDER BY line_no), '') AS text_clean
+        |FROM keys JOIN dfs USING (lkey)
+        |GROUP BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" -> OracleSql.jaccardPairs(0.5, 50),
     "minhash_signatures" -> OracleSql.minhashSignatures(16),
     "dedup_minhash_lsh" -> OracleSql.minhashLshPairs(16, 4, 0.5),

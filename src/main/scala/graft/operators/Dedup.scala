@@ -386,6 +386,46 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** Line-level dedup (RefinedWeb/CCNet granularity): drop every line
+    * whose corpus-wide document frequency exceeds `maxDf` — the standard
+    * boilerplate-removal pass (headers, footers, cookie banners) that
+    * document-level dedup cannot express. Returns one row per doc:
+    * `(doc_id, n_lines, lines_removed, text_clean)` with surviving lines
+    * rejoined in original order.
+    *
+    * Scale shape: lines are carried as 60-bit md5 int64 keys (`lkey`, the
+    * corpus hash domain — the oracle mirrors it exactly); the df table is
+    * line-key-sized and joins back on `lkey` — a shuffle join by design,
+    * since at 100 TB the distinct-line table is itself huge (no broadcast).
+    * Reassembly is one per-doc hash agg: kept lines collect as
+    * (line_no, line) structs, array_sort restores order (struct compare is
+    * field-order lexicographic, line_no first), array_join rebuilds the
+    * text. Two shuffles total (df agg shares the lkey partitioning with
+    * the join probe side under AQE).
+    */
+  def dedupLines(docs: DataFrame, maxDf: Int = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no"), col("line"),
+        md5Base60(col("line")).as("lkey"))
+    val lineDf = lines.groupBy(col("lkey"))
+      .agg(count_distinct(col("doc_id")).as("line_df"))
+    lines.join(lineDf, Seq("lkey"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") > maxDf, 1L).otherwise(0L))
+          .as("lines_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("line_df") <= maxDf,
+              struct(col("line_no"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("text_clean"))
+  }
+
   /** 60-bit SimHash fingerprints via the codegen'd [[graft.functions.SimHash64]]
     * expression — one pass over the scan, no shuffle.
     */

@@ -36,6 +36,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(byHash == Map(0L -> 2L, 2L -> 1L))
   }
 
+  test("dedupLines drops corpus-frequent boilerplate, preserves line order") {
+    val got = Dedup.dedupLines(docs(
+      0L -> "HEADER\nalpha body zero\nFOOTER",
+      1L -> "HEADER\nbravo body one\nFOOTER",
+      2L -> "HEADER\ncharlie body two\nFOOTER",
+      3L -> "unique doc\nwith two lines",
+      4L -> "HEADER\nFOOTER"), maxDf = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // HEADER/FOOTER appear in 4 docs > maxDf=2 → removed everywhere
+    assert(got(0L) == ((3L, 2L, "alpha body zero")))
+    assert(got(1L) == ((3L, 2L, "bravo body one")))
+    // doc below the df threshold is untouched, order preserved
+    assert(got(3L) == ((2L, 0L, "unique doc\nwith two lines")))
+    // all-boilerplate doc empties out instead of disappearing
+    assert(got(4L) == ((2L, 2L, "")))
+  }
+
   test("jaccardPairs: identical docs score 1.0, disjoint docs absent") {
     val d = docs(
       0L -> "a b c d e f", 1L -> "a b c d e f", 2L -> "x y z w q v")
