@@ -46,6 +46,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) => Analytics.smallQuantityRevenue(s, dir)),
     "q4_priority_returns" -> ((s, dir) => Analytics.priorityReturnedOrders(s, dir)),
     "q18_large_orders" -> ((s, dir) => Analytics.largeQuantityOrders(s, dir)),
+    "q7_nation_trade" -> ((s, dir) => Analytics.nationTradeVolume(s, dir)),
+    "q21_sole_returned" -> ((s, dir) => Analytics.soleReturnedSuppliers(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
 
     // ---- S: candle construction (event-time resample of `events`) --------
@@ -450,6 +452,40 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q21_sole_returned" ->
+      """SELECT s_name, numwait FROM (
+        |  SELECT s_name, count(*) AS numwait
+        |  FROM lineitem l1
+        |  JOIN supplier ON l1.l_suppkey = s_suppkey
+        |  WHERE l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM orders
+        |                WHERE o_orderkey = l1.l_orderkey
+        |                  AND o_orderstatus = 'F')
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_returnflag = 'R')
+        |  GROUP BY s_name)
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "semi_join_customers" ->
       """SELECT c_custkey, c_name FROM customer

@@ -132,6 +132,71 @@ object Analytics {
         col("sum_qty_dec").cast("double").as("sum_qty"))
   }
 
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    * year. The same bounded `nation` dimension joins in TWO roles
+    * (supplier's nation, customer's nation) — each role pre-filtered to
+    * the two nations of interest and broadcast, so the nation filter
+    * prunes the fact stream at the join instead of post-hoc. Revenue
+    * accumulates in DECIMAL(24,8) like every money sum here.
+    */
+  def nationTradeVolume(spark: SparkSession, dir: String,
+      nationA: String = "NATION_18", nationB: String = "NATION_19"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val l = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val s = table(spark, dir, "supplier")
+    val n1 = broadcast(table(spark, dir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(table(spark, dir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(n1, s("s_nationkey") === col("n1_key"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n2, c("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(24,8)")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q21 shape, adapted: suppliers who were the SOLE returned-line
+    * supplier in a finalized multi-supplier order (this schema has no
+    * commit/receipt dates, so `l_returnflag = 'R'` stands in for "late",
+    * as in [[priorityReturnedOrders]]). Chained quantifiers, the deepest
+    * decorrelation shape here: EXISTS (another supplier in the order)
+    * AND NOT EXISTS (another supplier ALSO returned) — a left-semi and a
+    * left-anti self-join on the fact table, both shuffling on orderkey
+    * (same key → one exchange reused across the chain under AQE).
+    */
+  def soleReturnedSuppliers(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val finalized = table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val base = l.filter(col("l_returnflag") === "R")
+      .join(finalized, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val othersReturned = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    base
+      .join(others, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(othersReturned, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(table(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
   /** Left-semi: customers with at least one order (EXISTS). */
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "customer")
