@@ -195,6 +195,46 @@ object OracleSql {
        |  FROM scored)
        |WHERE rn = 1""".stripMargin
 
+  /** Two unrolled Lloyd iterations (mirrors Similarity.kmeansLloyd(2)):
+    * label-centroid init, assign (exact-decimal cosine argmax), re-centroid
+    * from the new assignment, assign again. Each stage reuses the
+    * [[kmeansAssign]] building blocks verbatim.
+    */
+  val kmeansLloyd2: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |x0 AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS val
+       |       FROM e),
+       |cent0 AS (SELECT label AS c_label, pos,
+       |    round(CAST(sum(CAST(val AS DECIMAL(28,18))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS centroid
+       |  FROM x0 GROUP BY 1, 2),
+       |cvec0 AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
+       |          FROM cent0 GROUP BY 1),
+       |s0 AS (SELECT vec_id, c_label, ${cosine("v", "cvec")} AS sim
+       |       FROM e CROSS JOIN cvec0),
+       |a1 AS (SELECT vec_id, c_label AS label FROM (
+       |    SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, c_label) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |e1 AS (SELECT e.vec_id, a1.label, e.v FROM e JOIN a1 USING (vec_id)),
+       |x1 AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS val
+       |       FROM e1),
+       |cent1 AS (SELECT label AS c_label, pos,
+       |    round(CAST(sum(CAST(val AS DECIMAL(28,18))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS centroid
+       |  FROM x1 GROUP BY 1, 2),
+       |cvec1 AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
+       |          FROM cent1 GROUP BY 1),
+       |s1 AS (SELECT vec_id, c_label, ${cosine("v", "cvec")} AS sim
+       |       FROM e1 CROSS JOIN cvec1)
+       |SELECT vec_id, cluster, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, c_label AS cluster, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, c_label) AS rn
+       |  FROM s1)
+       |WHERE rn = 1""".stripMargin
+
   /** Brute-force cosine top-k: queries vec_id < nQ vs the rest. */
   def annTopK(nQ: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

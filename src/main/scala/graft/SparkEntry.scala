@@ -411,6 +411,10 @@ object SparkEntry {
     // one Lloyd assignment step against the label centroids
     "kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.table(s, dir, "embeddings"))),
+    // full Lloyd loop at a FIXED 2 iterations (deterministic — the oracle
+    // unrolls the identical two rounds in SQL)
+    "kmeans_clusters" -> ((s, dir) =>
+      Similarity.kmeansLloyd(Tables.table(s, dir, "embeddings"), 2)),
     // approximate by construction -> rows-only check, no oracle
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.annTopKIvf(Tables.table(s, dir, "embeddings"), 8, 5))
@@ -843,6 +847,7 @@ object SparkEntry {
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
     "embedding_centroids" -> OracleSql.labelCentroids,
     "kmeans_assign" -> OracleSql.kmeansAssign,
+    "kmeans_clusters" -> OracleSql.kmeansLloyd2,
 
     "export_signals" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -179,6 +179,31 @@ object Similarity {
         round(max(col("sim")), 6).as("sim"))
   }
 
+  /** Full distributed Lloyd iteration: [[kmeansAssign]] (assign to nearest
+    * centroid) composed `iters` times, re-deriving centroids from the
+    * previous assignment each round. The iteration count is FIXED for
+    * determinism (no data-dependent convergence test), so the whole loop
+    * is one declarative plan: per round, one broadcast codebook join and
+    * one (label, pos) aggregate — the corpus itself never shuffles, and
+    * the driver loop carries no actions. For large `iters` insert a
+    * `localCheckpoint` every few rounds to truncate lineage (the
+    * `nearDupClusters` pattern); at the declared iters=2 the plan is small.
+    */
+  def kmeansLloyd(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var assigned = kmeansAssign(embeddings)
+    var i = 1
+    while (i < iters) {
+      val relabeled = embeddings.select(col("vec_id"), col("embedding"))
+        .join(assigned.select(col("vec_id"),
+          col("assigned_label").as("label")), Seq("vec_id"))
+      assigned = kmeansAssign(relabeled)
+      i += 1
+    }
+    assigned.select(col("vec_id"), col("assigned_label").as("cluster"),
+      col("sim"))
+  }
+
   /** Scale-path ANN: true IVF. The coarse codebook is the per-label
     * centroid table ([[labelCentroids]] — the IVF "training" output);
     * every corpus vector is assigned to its best-cosine cell, and each
