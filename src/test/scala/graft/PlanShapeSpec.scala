@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression gate for the most expensive bench queries: the
+  * properties that make them fast at 100 TB (single shared Generate, a
+  * broadcast on the bounded side, one Exchange) are asserted against the
+  * FINAL post-AQE physical plan, so an accidental plan regression fails
+  * `sbt test` instead of surfacing as a silent bench slowdown.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Execute, then return the final (post-AQE) plan string —
+    * AdaptiveSparkPlanExec hides children from TreeNode.collect until
+    * the plan has actually run.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    // the AQE toString prints "== Final Plan ==" followed by
+    // "== Initial Plan ==" — count operators in the final section only
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+  }
+
+  private def count(plan: String, pattern: String): Int =
+    pattern.r.findAllIn(plan).size
+
+  test("curation_pipeline generates the shingle stream exactly once") {
+    val plan = finalPlan(SparkEntry.queries("curation_pipeline")(spark, dir))
+    // two generates are intrinsic (shingle explode + ordered pair-combo
+    // explode inside jaccardPairs); a third would mean the shingle
+    // pipeline got duplicated per aliased consumer again
+    assert(count(plan, "Generate ") == 2,
+      s"expected exactly TWO Generates (shingles + pair combos):\n$plan")
+  }
+
+  test("decontaminate broadcasts the benchmark side") {
+    val plan = finalPlan(SparkEntry.queries("decontaminate")(spark, dir))
+    assert(count(plan, "BroadcastExchange") >= 1,
+      s"bench shingles must broadcast (corpus side stays map-side):\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"contamination join must never sort-merge the corpus:\n$plan")
+  }
+
+  test("pack_sequences shuffles exactly once") {
+    val plan = finalPlan(SparkEntry.queries("pack_sequences")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") == 1,
+      s"greedy packing is one (lang, shard) exchange — found more:\n$plan")
+  }
+
+  test("dedup_jaccard_pairs generates shingles once and joins on int64 keys") {
+    val plan = finalPlan(SparkEntry.queries("dedup_jaccard_pairs")(spark, dir))
+    assert(count(plan, "Generate ") == 2,
+      s"one-sided pair generation must not re-run the shingle pipeline " +
+        s"per aliased side:\n$plan")
+  }
+
+  test("q5_local_supplier broadcasts the bounded dimensions") {
+    val plan = finalPlan(SparkEntry.queries("q5_local_supplier")(spark, dir))
+    assert(count(plan, "BroadcastExchange") >= 2,
+      s"nation and region are bounded — both must broadcast:\n$plan")
+  }
+}
