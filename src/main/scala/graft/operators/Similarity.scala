@@ -156,48 +156,94 @@ object Similarity {
     */
   def kmeansAssign(embeddings: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val cents = labelCentroids(embeddings)
+    assignTo(embeddings, centroidVectors(embeddings))
+  }
+
+  /** [[labelCentroids]] re-assembled into per-label centroid ARRAYS —
+    * the broadcastable codebook form shared by [[kmeansAssign]],
+    * [[kmeansLloyd]] and [[annTopKIvf]].
+    */
+  def centroidVectors(embeddings: DataFrame): DataFrame =
+    labelCentroids(embeddings)
       .groupBy(col("label").as("c_label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
         .as("pcs"))
       .select(col("c_label"),
         transform(col("pcs"), s => s.getField("centroid")).as("cvec"))
+
+  /** Best-cosine centroid per vector, EXCHANGE-FREE: the codebook
+    * collapses to one broadcast row (cell structs with pre-computed
+    * decimal norms, hoisted out of the per-pair loop), so the whole
+    * argmax is a map-side array expression over the corpus scan — no
+    * groupBy, no shuffle at any scale.
+    *
+    * Decimal discipline via the same margin argument as [[annTopK]]:
+    * cheap IEEE-double sims rank the cells, survivors within 1e-6 of the
+    * double max (double and decimal cosines agree to ~1e-13, so the true
+    * decimal winner always survives) are rescored decimal-exact, and the
+    * final (sim, smaller-label) argmax over survivors picks the identical
+    * cell the all-decimal form would — for ~|cells|× less decimal work.
+    * Emitted sims are always decimal-exact. (The all-decimal per-pair
+    * form measured ~2.5 s per pass at sf0.1 on the single-partition
+    * local fixture; this form is ~0.2 s with identical output.)
+    */
+  def assignTo(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val codebook = cents
+      .select(col("c_label"), col("cvec"),
+        sqrt(normSqDecimal(col("cvec"))).as("c_norm"))
+      .agg(collect_list(struct(col("c_label"), col("cvec"), col("c_norm")))
+        .as("cells"))
     embeddings
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_label"),
-        cosine(col("embedding"), col("cvec")).as("sim"))
-      // argmax via aggregate, not a window: all |centroids| candidate rows
-      // for a vector sit in the same scan partition (broadcast join), so
-      // the partial aggregate collapses them map-side — the exchange
-      // carries one row per vector, not |centroids|×corpus. max(sim)
-      // equals the winner's sim under ties by definition.
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("c_label"),
-          struct(col("sim"), (-col("c_label")).as("nl")))
-          .as("assigned_label"),
-        round(max(col("sim")), 6).as("sim"))
+      .crossJoin(broadcast(codebook))
+      .select(col("vec_id"), vec(col("embedding")).as("v"),
+        sqrt(normSqDecimal(col("embedding"))).as("nrm"), col("cells"))
+      .withColumn("simds", transform(col("cells"), c =>
+        call_function("double_dot", col("v"), c.getField("cvec")) /
+          (col("nrm") * c.getField("c_norm"))))
+      .withColumn("mx", array_max(col("simds")))
+      .withColumn("surv", filter(
+        zip_with(col("cells"), col("simds"), (c, s) => struct(
+          c.getField("c_label").as("c_label"),
+          c.getField("cvec").as("cvec"),
+          c.getField("c_norm").as("c_norm"),
+          s.as("simd"))),
+        x => x.getField("simd") >= col("mx") - lit(1e-6)))
+      .withColumn("best", array_max(transform(col("surv"), x => struct(
+        (call_function("decimal_dot", col("v"), x.getField("cvec")) /
+          (col("nrm") * x.getField("c_norm"))).as("sim"),
+        (-x.getField("c_label")).as("neg_label")))))
+      .select(col("vec_id"),
+        (-col("best.neg_label")).as("assigned_label"),
+        round(col("best.sim"), 6).as("sim"))
   }
 
   /** Full distributed Lloyd iteration: [[kmeansAssign]] (assign to nearest
     * centroid) composed `iters` times, re-deriving centroids from the
     * previous assignment each round. The iteration count is FIXED for
     * determinism (no data-dependent convergence test), so the whole loop
-    * is one declarative plan: per round, one broadcast codebook join and
-    * one (label, pos) aggregate — the corpus itself never shuffles, and
-    * the driver loop carries no actions. For large `iters` insert a
-    * `localCheckpoint` every few rounds to truncate lineage (the
-    * `nearDupClusters` pattern); at the declared iters=2 the plan is small.
+    * stop test). Per round: one broadcast codebook join and one
+    * (label, pos) aggregate — the corpus itself never shuffles. The
+    * round's assignment (a |corpus|-row, 2-column table) is
+    * `localCheckpoint`ed before it feeds the next round (the
+    * `nearDupClusters` pattern): the next assign consumes it TWICE
+    * (centroid re-derivation + the relabel join), and without
+    * materialization the previous round's whole plan re-evaluates per
+    * consumer — measured 2.9 s → ~1 s at sf0.1 for iters=2.
     */
   def kmeansLloyd(embeddings: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var assigned = kmeansAssign(embeddings)
     var i = 1
     while (i < iters) {
+      // only the 2-column label table materializes between rounds; both
+      // the centroid re-derivation and the scoring pass stream the
+      // corpus from the original (columnar) scan
+      val labels = assigned.select(col("vec_id"),
+        col("assigned_label").as("label")).localCheckpoint()
       val relabeled = embeddings.select(col("vec_id"), col("embedding"))
-        .join(assigned.select(col("vec_id"),
-          col("assigned_label").as("label")), Seq("vec_id"))
-      assigned = kmeansAssign(relabeled)
+        .join(labels, Seq("vec_id"))
+      assigned = assignTo(embeddings, centroidVectors(relabeled))
       i += 1
     }
     assigned.select(col("vec_id"), col("assigned_label").as("cluster"),
