@@ -400,6 +400,16 @@ object SparkEntry {
         operators.Multimodal.syntheticImages(
           Tables.table(s, dir, "documents").select(col("doc_id"))))),
 
+    // ---- multimodal: REAL WAV decode via JDK javax.sound ------------------
+    // one real RIFF/WAV clip per doc_id (deterministic integer PCM
+    // pattern, id-derived length), decoded back through AudioSystem — the
+    // oracle recomputes the sample stats closed-form, so a green row
+    // proves the decode reads actual PCM samples, not headers
+    "audio_features" -> ((s, dir) =>
+      operators.Multimodal.audioFeatures(
+        operators.Multimodal.syntheticAudio(
+          Tables.table(s, dir, "documents").select(col("doc_id"))))),
+
     // ---- similarity search (embeddings) ----------------------------------
     "ann_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.table(s, dir, "embeddings"), 8, 5)),
@@ -842,6 +852,28 @@ object SparkEntry {
         |  round(CAST(sg AS DOUBLE) / (w*h), 6) AS mean_g,
         |  round(CAST(sb AS DOUBLE) / (w*h), 6) AS mean_b
         |FROM s""".stripMargin,
+
+    // closed-form mirror of the WAV pattern-sample roundtrip: PCM is
+    // lossless, so decoded sample stats equal the generator formula's
+    "audio_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id, 400 + doc_id % 37 AS n FROM documents),
+        |smp AS (
+        |  SELECT media_id, n, i,
+        |    (media_id * 31 + i * 7) % 2001 - 1000 AS s
+        |  FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM dims)),
+        |lagged AS (
+        |  SELECT media_id, n, s,
+        |    lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        |  FROM smp)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings,
+        |  round(CAST(sum(abs(s)) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+        |    AS mean_abs
+        |FROM lagged GROUP BY media_id""".stripMargin,
 
     "ann_topk" -> OracleSql.annTopK(8, 5),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * `javax.imageio.ImageIO` (ships in every JVM, zero external deps) —
   * [[decodeImages]] reads actual pixels, [[resizeImage]] is a real
   * `Graphics2D` rescale, and [[encodePng]] produces real PNG payloads.
-  * Audio/video remain byte-level (the JVM has no built-in mp3/h264
-  * codecs): [[decodeAndFeaturize]] is the codec-free byte featurizer and
+  * The AUDIO path is a REAL codec too: WAV/AIFF/AU decode via
+  * `javax.sound.sampled.AudioSystem` ([[decodeAudio]] reads actual PCM
+  * samples; [[encodeWav]] writes real RIFF payloads). Only compressed
+  * video remains byte-level (the JVM has no built-in mp3/h264 codecs):
+  * [[decodeAndFeaturize]] is the codec-free byte featurizer and
   * [[sampleFrameOffsets]] the container-level frame sampler; swapping in
   * javacpp/ffmpeg is a local change inside their partition loops.
   */
@@ -161,6 +164,115 @@ object Multimodal {
       round(col("sum_g").cast("double") / n, 6).as("mean_g"),
       round(col("sum_b").cast("double") / n, 6).as("mean_b"))
   }
+
+  /** Real-audio-decode output: exact integer sample stats (the
+    * oracle-friendly form) plus a 16-bin amplitude histogram for the
+    * embeddings handoff.
+    */
+  case class AudioStats(
+      media_id: Long, sample_rate: Int, n_samples: Long,
+      sum_abs: Long, zero_crossings: Long, features: Array[Double])
+
+  /** Deterministic 16-bit PCM test signal: sample i of media m is
+    * `((m*31 + i*7) % 2001) - 1000` — closed-form integer math, so an
+    * external oracle recomputes the decoded sample stats without a codec.
+    */
+  def patternSample(mediaId: Long, i: Int): Int =
+    (((mediaId * 31 + i.toLong * 7) % 2001) - 1000).toInt
+
+  /** Encode a [[patternSample]] signal as a REAL RIFF/WAV payload through
+    * the JDK codec (`AudioSystem.write`, PCM_SIGNED 16-bit mono LE —
+    * lossless, so decode recovers the samples bit-exactly).
+    */
+  def encodeWav(mediaId: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = patternSample(mediaId, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic WAV corpus keyed off an id column: one real WAV per id
+    * with id-derived length (400..436 samples at 8 kHz).
+    */
+  def syntheticAudio(ids: DataFrame, idCol: String = "doc_id"): Dataset[Media] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => Media(id, "audio/wav",
+        encodeWav(id, 400 + (id % 37).toInt)))
+    }
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
+    * container (WAV/AIFF/AU — the JDK's built-in codecs), and features are
+    * exact integer stats over the 16-bit PCM samples — total absolute
+    * amplitude, strict zero crossings (sign product < 0), a 16-bin
+    * amplitude histogram. Batched per partition; undecodable or
+    * non-16-bit payloads are dropped.
+    */
+  def decodeAudio(media: Dataset[Media]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var sumAbs = 0L
+            var zc = 0L
+            var prev = 0
+            val hist = new Array[Double](16)
+            var i = 0
+            while (i < n) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1).toInt
+              val s = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                      else ((hi << 8) | lo).toShort.toInt
+              sumAbs += math.abs(s)
+              if (i > 0 && prev.toLong * s < 0) zc += 1
+              hist((s + 32768) >> 12) += 1.0
+              prev = s
+              i += 1
+            }
+            Some(AudioStats(m.media_id, fmt.getSampleRate.toInt, n.toLong,
+              sumAbs, zc, hist.map(_ / math.max(n, 1).toDouble)))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      }
+    }
+  }
+
+  /** Decoded per-clip stats — the declared-query projection over
+    * [[decodeAudio]]: every emitted value except `mean_abs` is an exact
+    * integer, and `mean_abs` is a single double division — bit-identical
+    * to a closed-form oracle over [[patternSample]].
+    */
+  def audioFeatures(media: Dataset[Media]): DataFrame =
+    decodeAudio(media).toDF().select(
+      col("media_id"), col("sample_rate"), col("n_samples"),
+      col("sum_abs"), col("zero_crossings"),
+      round(col("sum_abs").cast("double") /
+        col("n_samples").cast("double"), 6).as("mean_abs"))
 
   /** Fake 8-byte header: [w_hi, w_lo, h_hi, h_lo, ...] — stands in for a
     * real container header so tests exercise header-vs-payload splitting.

@@ -142,6 +142,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == ((w, h, expected)))
   }
 
+  test("decodeAudio recovers exact PCM samples through a real WAV roundtrip") {
+    val ids = Seq(0L, 1L, 7L, 42L)
+    val media = ids.map(id =>
+      Media(id, "audio/wav",
+        Multimodal.encodeWav(id, 400 + (id % 37).toInt))).toDS()
+    val got = Multimodal.decodeAudio(media).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(got.keySet == ids.toSet)
+    ids.foreach { id =>
+      val n = 400 + (id % 37).toInt
+      var sumAbs = 0L; var zc = 0L; var prev = 0
+      for (i <- 0 until n) {
+        val s = Multimodal.patternSample(id, i)
+        sumAbs += math.abs(s)
+        if (i > 0 && prev.toLong * s < 0) zc += 1
+        prev = s
+      }
+      val st = got(id)
+      assert(st.sample_rate == 8000 && st.n_samples == n)
+      assert((st.sum_abs, st.zero_crossings) == ((sumAbs, zc)),
+        s"sample stats mismatch for media $id")
+      assert(math.abs(st.features.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("decodeAudio drops undecodable payloads instead of failing the batch") {
+    val media = Seq(
+      Media(1L, "audio/wav", Multimodal.encodeWav(1L, 100)),
+      Media(2L, "audio/wav", Array[Byte](9, 9, 9, 9))).toDS()
+    assert(Multimodal.decodeAudio(media).collect().map(_.media_id).toSeq
+      == Seq(1L))
+  }
+
   test("real image features flow into Similarity as embeddings") {
     val ids = spark.range(0, 10).toDF("doc_id")
     val emb = Multimodal.imageEmbeddings(
