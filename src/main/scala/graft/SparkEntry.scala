@@ -48,6 +48,7 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) => Analytics.largeQuantityOrders(s, dir)),
     "q7_nation_trade" -> ((s, dir) => Analytics.nationTradeVolume(s, dir)),
     "q21_sole_returned" -> ((s, dir) => Analytics.soleReturnedSuppliers(s, dir)),
+    "q20_dominant_suppliers" -> ((s, dir) => Analytics.dominantPartSuppliers(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
 
     // ---- S: candle construction (event-time resample of `events`) --------
@@ -500,6 +501,23 @@ object SparkEntry {
         |                      AND l3.l_returnflag = 'R')
         |  GROUP BY s_name)
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """SELECT s_suppkey, s_name, n_dominant_parts FROM supplier
+        |JOIN (
+        |  SELECT l_suppkey, count(*) AS n_dominant_parts FROM (
+        |    SELECT a.l_partkey, a.l_suppkey, a.sq, b.pq, b.ns
+        |    FROM (SELECT l_partkey, l_suppkey,
+        |            sum(CAST(l_quantity AS DECIMAL(20,4))) AS sq
+        |          FROM lineitem GROUP BY 1, 2) a
+        |    JOIN (SELECT l_partkey,
+        |            sum(CAST(l_quantity AS DECIMAL(20,4))) AS pq,
+        |            count(DISTINCT l_suppkey) AS ns
+        |          FROM lineitem GROUP BY 1) b USING (l_partkey)
+        |    WHERE ns >= 3
+        |      AND CAST(sq AS DOUBLE) >
+        |          CAST(3.0 AS DOUBLE) * CAST(pq AS DOUBLE) / CAST(ns AS DOUBLE))
+        |  GROUP BY l_suppkey) d ON s_suppkey = d.l_suppkey""".stripMargin,
 
     "semi_join_customers" ->
       """SELECT c_custkey, c_name FROM customer

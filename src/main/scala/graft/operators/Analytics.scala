@@ -197,6 +197,35 @@ object Analytics {
       .limit(k)
   }
 
+  /** TPC-H Q20 shape, adapted (this schema has no partsupp, so lineitem
+    * quantity stands in for availability): suppliers whose shipped
+    * quantity of some part exceeds `mult`× the per-part average supplier
+    * share — the nested-aggregate IN-subquery shape (an aggregate HAVING
+    * compared against a correlated per-part aggregate), decorrelated into
+    * two keyed aggregates and a partkey join. Emits how many parts each
+    * supplier dominates. The threshold is share-relative, so selectivity
+    * survives scale-up; comparison is a single double expression with
+    * identical association order in the oracle.
+    */
+  def dominantPartSuppliers(spark: SparkSession, dir: String,
+      mult: Double = 3.0, minSuppliers: Int = 3): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    val bySupp = l.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("sq"))
+    val byPart = l.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("pq"),
+        count_distinct(col("l_suppkey")).as("ns"))
+    val dominant = bySupp.join(byPart, col("l_partkey") === col("pk"))
+      .filter(col("ns") >= minSuppliers &&
+        col("sq").cast("double") >
+          lit(mult) * col("pq").cast("double") / col("ns").cast("double"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant_parts"))
+    table(spark, dir, "supplier")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"))
+  }
+
   /** Left-semi: customers with at least one order (EXISTS). */
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "customer")
