@@ -144,6 +144,10 @@ object SparkEntry {
     "rsi14" -> ((s, dir) =>
       TradingOps.rsi(Tables.candles(s, dir), 14)),
 
+    // ---- EMA(14): a true recursion via typed sorted-group fold ------------
+    "ema_close" -> ((s, dir) =>
+      TradingOps.emaClose(Tables.candles(s, dir), 14)),
+
     // ---- value histogram over events -------------------------------------
     "value_histogram" -> ((s, dir) =>
       Tables.table(s, dir, "events")
@@ -932,6 +936,23 @@ object SparkEntry {
          |       WHEN sl = 0.0 THEN 100.0
          |       ELSE round(100.0 - 100.0 / (1.0 + sg / sl), 6) END AS rsi
          |FROM sums""".stripMargin,
+
+    // recursive CTE replays the Spark fold's exact double arithmetic in
+    // the exact order (alpha*close + beta*ema, seeded with close at rn=1)
+    "ema_close" ->
+      s"""WITH RECURSIVE candles AS (${Tables.candlesSql}),
+         |num AS (
+         |  SELECT symbol, ts, close,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+         |  FROM candles),
+         |rec(symbol, ts, close, rn, ema) AS (
+         |  SELECT symbol, ts, close, rn, close FROM num WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.symbol, n.ts, n.close, n.rn,
+         |    (CAST(2.0 AS DOUBLE) / 15) * n.close +
+         |      (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 15) * r.ema
+         |  FROM rec r JOIN num n ON n.symbol = r.symbol AND n.rn = r.rn + 1)
+         |SELECT symbol, ts, close, round(ema, 6) AS ema FROM rec""".stripMargin,
 
     "pair_correlation" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -260,6 +260,37 @@ object TradingOps {
           .as("rsi"))
   }
 
+  /** Exponential moving average of close per symbol. A TRUE recursion
+    * (`ema_i = α·close_i + (1−α)·ema_{i−1}`, seeded with the first
+    * close) — unlike the SMA family this is NOT window-expressible, so
+    * it runs as a typed sorted-group fold (`flatMapSortedGroups`, the
+    * backtest machinery): one shuffle on symbol, one ordered pass per
+    * group, O(1) state. The DuckDB oracle replays the identical double
+    * arithmetic in the identical order via a recursive CTE, so emitted
+    * values are bit-exact across engines with no tolerance.
+    */
+  def emaClose(candles: DataFrame, n: Int = 14): DataFrame = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (n + 1)
+    val beta = 1.0 - alpha
+    candles.select(col("symbol"), col("ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts")) { (symbol, rows) =>
+        var ema = 0.0
+        var first = true
+        rows.map { case (_, ts, close) =>
+          ema = if (first) { first = false; close }
+                else alpha * close + beta * ema
+          (symbol, ts, close, ema)
+        }
+      }
+      .toDF("symbol", "ts", "close", "ema_raw")
+      .select(col("symbol"), col("ts"), col("close"),
+        round(col("ema_raw"), 6).as("ema"))
+  }
+
   /** Pearson correlation of close prices for every symbol pair over their
     * time-aligned candles (the pairs-trading screen). Built from the five
     * DECIMAL-exact co-moment sums (Σx, Σy, Σxy, Σx², Σy²) so the sums are

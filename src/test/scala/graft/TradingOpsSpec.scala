@@ -6,6 +6,22 @@ import graft.operators.TradingOps
 
 class TradingOpsSpec extends SparkSpec {
 
+  test("emaClose replays the exact per-symbol recursion in time order") {
+    val closes = Seq(10.0, 12.0, 9.0, 15.0, 11.0)
+    val df = candleFrame(Map("a" -> closes, "b" -> Seq(5.0, 7.0)))
+    val got = TradingOps.emaClose(df, 14).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val alpha = 2.0 / 15; val beta = 1.0 - alpha
+    def expect(cs: Seq[Double]): Seq[Double] = {
+      var e = cs.head
+      cs.head +: cs.tail.map { c => e = alpha * c + beta * e; e }
+    }.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble)
+    assert(got.filter(_._1 == "a").map(_._3).toSeq == expect(closes))
+    assert(got.filter(_._1 == "b").map(_._3).toSeq == expect(Seq(5.0, 7.0)))
+  }
+
   test("dateRange is inclusive on both bounds (pandas .loc parity)") {
     val df = candleFrame(Map("a" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0)))
     // rows at :01 and :03 minutes are the exact bounds
