@@ -56,6 +56,13 @@ object ScaleSmoke {
             concat(lit(s"t${j}x"), col("pair_id"))) :+
             concat(lit("u"), col("doc_id")): _*).as("text"))
 
+    // per-stage throughput denominator: candle stages process `rows`,
+    // *_docs stages process the doc corpus, codec stages docs/20 payloads
+    def baseOf(name: String): Long =
+      if (name.endsWith("_decode")) math.max(nDocs / 20, 1)
+      else if (name.endsWith("_docs")) nDocs
+      else rows
+
     val results = Seq(
       stage("ma_crossover")(
         TradingOps.crossoverSignals(TradingOps.movingAverages(candles))
@@ -80,11 +87,31 @@ object ScaleSmoke {
       stage("dedup_clusters_docs")(
         Dedup.nearDupClusters(docs, 3, 0.5, maxDf = 50).count()),
       stage("dedup_exact_docs")(
-        Dedup.exactDuplicates(docs).count()))
+        Dedup.exactDuplicates(docs).count()),
+      // line-level dedup: every doc carries the same header/footer
+      // boilerplate around its unique body — dedupLines(maxDf=2) must
+      // strip exactly 2 lines per doc at any corpus width
+      stage("dedup_lines_docs")(
+        operators.Dedup.dedupLines(docs.select(col("doc_id"),
+          concat(lit("shared header boilerplate\n"), col("text"),
+            lit("\nshared footer line")).as("text")), maxDf = 2).count()),
+      // real-codec throughput: PNG encode+decode per image (ImageIO) and
+      // WAV encode+decode per clip (javax.sound) — docs/20 payloads each
+      stage("media_decode")(
+        operators.Multimodal.imageFeatures(operators.Multimodal
+          .syntheticImages(spark.range(nDocs / 20).toDF("doc_id")))
+          .count()),
+      stage("audio_decode")(
+        operators.Multimodal.audioFeatures(operators.Multimodal
+          .syntheticAudio(spark.range(nDocs / 20).toDF("doc_id")))
+          .count()),
+      // the EMA recursion over the full many-symbol candle corpus — the
+      // stateful typed fold at candle scale
+      stage("ema_fold")(
+        TradingOps.emaClose(candles).count()))
 
     val js = results.map { case (n, sec, out) =>
-      val base = if (n.endsWith("_docs")) nDocs else rows
-      s""""$n":{"sec":$sec,"rows_per_sec":${(base / sec).toLong},"out_rows":$out}"""
+      s""""$n":{"sec":$sec,"rows_per_sec":${(baseOf(n) / sec).toLong},"out_rows":$out}"""
     }.mkString(",")
     println(s"""{"scale_rows":$rows,"symbols":$symbols,"per_symbol":$perSym,"docs":$nDocs,$js}""")
     spark.stop()
