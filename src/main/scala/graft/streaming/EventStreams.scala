@@ -153,6 +153,39 @@ object EventStreams {
       symbol: String, entry_ts: Timestamp, entry_price: Double,
       exit_ts: Timestamp, exit_price: Double)
 
+  /** EMA carry-state: last EMA value per symbol. */
+  case class EmaState(ema: Double, seeded: Boolean)
+
+  case class EmaPoint(symbol: String, ts: Timestamp, close: Double,
+      ema: Double)
+
+  /** Streaming EMA via flatMapGroupsWithState keyed by symbol: the same
+    * `α·close + (1−α)·ema` recursion as the batch
+    * [[graft.operators.TradingOps.emaClose]], with O(1) state (one double
+    * per symbol) carried across micro-batches. Rows inside each
+    * micro-batch are processed in event-time order; in-order arrival
+    * reproduces the batch fold value-for-value (asserted stream≡batch in
+    * StreamingSpec).
+    */
+  def emaStream(ticks: Dataset[Tick], n: Int = 14): Dataset[EmaPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val alpha = 2.0 / (n + 1)
+    val beta = 1.0 - alpha
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, rows: Iterator[Tick], state: GroupState[EmaState]) =>
+          var st = state.getOption.getOrElse(EmaState(0.0, seeded = false))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { t =>
+            st = if (!st.seeded) EmaState(t.close, seeded = true)
+                 else EmaState(alpha * t.close + beta * st.ema, seeded = true)
+            EmaPoint(symbol, t.ts, t.close, st.ema)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming MA-crossover backtest via flatMapGroupsWithState keyed by
     * symbol. Rows inside each micro-batch are processed in event-time
     * order; cross-batch disorder is accepted as-at-arrival (documented

@@ -177,6 +177,37 @@ class StreamingSpec extends SparkSpec {
     assert(matched.count() == n2, "emitted candle diverges from batch")
   }
 
+  test("streaming EMA carries the recursion across micro-batches (stream ≡ batch)") {
+    val closes = Seq(10.0, 12.0, 9.0, 15.0, 11.0, 14.0, 8.0)
+    val base = 1704067200000L
+    val ticks = closes.zipWithIndex.map { case (c, i) =>
+      EventStreams.Tick("x", new Timestamp(base + i * 60000L), c)
+    }
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Tick](spark)
+    ms.addData(ticks.take(3))
+    val q = EventStreams.emaStream(ms.toDS(), n = 14)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_ema").start()
+    q.processAllAvailable()
+    ms.addData(ticks.drop(3)) // state must carry ema(3rd row) forward
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_ema")
+      .as[EventStreams.EmaPoint].collect()
+      .map(p => p.ts.getTime -> p.ema).toMap
+    val batch = operators.TradingOps.emaClose(
+      candleFrame(Map("x" -> closes)), 14).collect()
+      .map(r => r.getTimestamp(1).getTime ->
+        r.getAs[Double]("ema")).toMap
+    assert(streamed.size == closes.size)
+    // batch emits round(ema, 6); the stream carries the raw recursion
+    streamed.foreach { case (ts, e) =>
+      assert(math.abs(e - batch(ts)) < 5e-7,
+        s"stream/batch EMA diverged at $ts: $e vs ${batch(ts)}")
+    }
+  }
+
   test("stateful streaming backtest closes positions across micro-batches") {
     val closes = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 5.0, 5.0, 5.0, 30.0, 2.0)
     val base = 1704067200000L
