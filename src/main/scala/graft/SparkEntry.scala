@@ -49,6 +49,7 @@ object SparkEntry {
     "q7_nation_trade" -> ((s, dir) => Analytics.nationTradeVolume(s, dir)),
     "q21_sole_returned" -> ((s, dir) => Analytics.soleReturnedSuppliers(s, dir)),
     "q20_dominant_suppliers" -> ((s, dir) => Analytics.dominantPartSuppliers(s, dir)),
+    "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
 
     // ---- S: candle construction (event-time resample of `events`) --------
@@ -367,6 +368,20 @@ object SparkEntry {
           nth_value(col("close"), 3).over(w).as("third_close"))
     }),
 
+    // SQL-standard distribution window functions (deterministic: the
+    // order key is made unique by the orderkey tie-break, so the rank
+    // ratios are identical across engines)
+    "window_distribution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("price_quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    }),
+
     // greatest-n-per-group: top customer by account balance per nation
     "top_customer_per_nation" -> ((s, dir) =>
       Tables.table(s, dir, "customer")
@@ -505,6 +520,24 @@ object SparkEntry {
         |                      AND l3.l_returnflag = 'R')
         |  GROUP BY s_name)
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(
+        |    CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))
+        |      ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+        |      AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
 
     "q20_dominant_suppliers" ->
       """SELECT s_suppkey, s_name, n_dominant_parts FROM supplier
@@ -831,6 +864,15 @@ object SparkEntry {
          |  nth_value(close, 3) OVER w AS third_close
          |FROM candles
          |WINDOW w AS (PARTITION BY symbol ORDER BY ts)""".stripMargin,
+
+    "window_distribution" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ntile(4) OVER w AS price_quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "top_customer_per_nation" ->
       """SELECT c_nationkey, c_name AS top_customer, max_acctbal FROM (

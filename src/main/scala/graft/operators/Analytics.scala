@@ -197,6 +197,42 @@ object Analytics {
       .limit(k)
   }
 
+  /** TPC-H Q8 shape: a nation's market share — the fraction of revenue in
+    * a region's customer market supplied by one nation, per ship year.
+    * Conditional-numerator aggregation (`sum(CASE WHEN …)/sum(…)`) over a
+    * five-way join; both sums accumulate in DECIMAL and the share is one
+    * double division. nation/region broadcast in both roles.
+    */
+  def marketShare(spark: SparkSession, dir: String,
+      nationName: String = "NATION_5", regionName: String = "ASIA"): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val s = table(spark, dir, "supplier")
+    val nCust = broadcast(table(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+    val r = broadcast(table(spark, dir, "region")
+      .filter(col("r_name") === regionName))
+    val nSupp = broadcast(table(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(24,8)")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(nCust, c("c_nationkey") === col("cn_key"))
+      .join(r, col("n_regionkey") === r("r_regionkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(nSupp, s("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("l_shipdate")).as("l_year"))
+      .agg(
+        sum(when(col("supp_nation") === nationName, rev)
+          .otherwise(lit(0).cast("decimal(24,8)"))).cast("double")
+          .as("nation_rev"),
+        sum(rev).cast("double").as("total_rev"))
+      .select(col("l_year"),
+        round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+  }
+
   /** TPC-H Q20 shape, adapted (this schema has no partsupp, so lineitem
     * quantity stands in for availability): suppliers whose shipped
     * quantity of some part exceeds `mult`× the per-part average supplier
