@@ -410,6 +410,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     }),
 
+    // ---- dataset profiling: per-column null/distinct QA pass --------------
+    "profile_documents" -> ((s, dir) =>
+      operators.Profiling.profile(Tables.table(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // ---- multimodal: REAL PNG decode via JDK ImageIO ----------------------
     // one real PNG per doc_id (deterministic pattern pixels, id-derived
     // dims), decoded back through ImageIO — the oracle recomputes the
@@ -896,6 +901,28 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM kept GROUP BY lang""".stripMargin,
+
+    "profile_documents" ->
+      """SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+        |  SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*),
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT text) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT n_chars) FROM documents)""".stripMargin,
 
     // closed-form mirror of the ImageIO pattern-pixel roundtrip: PNG is
     // lossless, so decoded channel sums equal the generator formula's sums
