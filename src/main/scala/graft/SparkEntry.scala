@@ -50,6 +50,7 @@ object SparkEntry {
     "q21_sole_returned" -> ((s, dir) => Analytics.soleReturnedSuppliers(s, dir)),
     "q20_dominant_suppliers" -> ((s, dir) => Analytics.dominantPartSuppliers(s, dir)),
     "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
+    "full_outer_recon" -> ((s, dir) => Analytics.nationPartyReconciliation(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
 
     // ---- S: candle construction (event-time resample of `events`) --------
@@ -297,6 +298,9 @@ object SparkEntry {
     "funnel_conversion" -> ((s, dir) =>
       TimeSeriesOps.funnel(Tables.table(s, dir, "events"),
         Seq("view", "click", "purchase"))),
+    // first-activity-day cohorts × later activity days (retention triangle)
+    "cohort_retention" -> ((s, dir) =>
+      TimeSeriesOps.cohortRetention(Tables.table(s, dir, "events"), 7)),
     "events_props_json" -> ((s, dir) =>
       Tables.table(s, dir, "events")
         .select(col("event_type"),
@@ -544,6 +548,16 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY 1""".stripMargin,
 
+    "full_outer_recon" ->
+      """SELECT nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey,
+        |      count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |USING (nationkey)""".stripMargin,
+
     "q20_dominant_suppliers" ->
       """SELECT s_suppkey, s_name, n_dominant_parts FROM supplier
         |JOIN (
@@ -785,6 +799,17 @@ object SparkEntry {
     "corpus_stats_by_source" -> OracleSql.corpusStatsBySource,
     "funnel_conversion" ->
       OracleSql.funnel(Seq("view", "click", "purchase")),
+    "cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM days JOIN cohorts USING (user_id)
+        |WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2""".stripMargin,
     "decontaminate" -> OracleSql.contamination(97, 2),
     "text_repetition" -> OracleSql.repetitionStats,
     "bigram_lift" -> OracleSql.bigramCollocations(3, 20),

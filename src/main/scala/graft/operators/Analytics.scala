@@ -262,6 +262,24 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"))
   }
 
+  /** Full-outer reconciliation: customer and supplier headcounts per
+    * nation, keeping nations that have only one side (0-filled). The
+    * aggregate runs BEFORE the join, so the outer join touches
+    * |nations|-sized inputs regardless of fact cardinality.
+    */
+  def nationPartyReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = table(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
   /** Left-semi: customers with at least one order (EXISTS). */
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "customer")

@@ -150,4 +150,24 @@ object TimeSeriesOps {
     counts.selectExpr(
       s"stack(${steps.size}, $stackArgs) AS (step, step_idx, n_users)")
   }
+
+  /** Cohort retention: users grouped by their first-activity day, counted
+    * on each later activity day within `maxOffset` days — the standard
+    * product-analytics retention triangle. Two keyed aggregates (distinct
+    * activity days per user, then min-day cohort) and one user-keyed
+    * join; all counts are exact integers. At scale every stage shuffles
+    * on user_id, so the exchanges chain without re-partitioning.
+    */
+  def cohortRetention(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
 }
