@@ -52,6 +52,16 @@ object SparkEntry {
     "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
     "full_outer_recon" -> ((s, dir) => Analytics.nationPartyReconciliation(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
+    "q9_nation_profit" -> ((s, dir) => Analytics.nationProfitByYear(s, dir)),
+    "q10_returned_customers" -> ((s, dir) => Analytics.returnedCustomerRevenue(s, dir)),
+    "q11_important_parts" -> ((s, dir) => Analytics.importantPartValues(s, dir)),
+    "q12_priority_lines" -> ((s, dir) => Analytics.priorityLineCounts(s, dir)),
+    "q13_order_count_dist" -> ((s, dir) => Analytics.orderCountDistribution(s, dir)),
+    "q14_promo_share" -> ((s, dir) => Analytics.promoRevenueShare(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Analytics.topRevenueSupplier(s, dir)),
+    "q16_supplier_counts" -> ((s, dir) => Analytics.partSupplierCounts(s, dir)),
+    "q19_disjunctive_rev" -> ((s, dir) => Analytics.disjunctivePartRevenue(s, dir)),
+    "q22_idle_balance" -> ((s, dir) => Analytics.idleCustomerBalance(s, dir)),
 
     // ---- S: candle construction (event-time resample of `events`) --------
     "candles" -> ((s, dir) => Tables.candles(s, dir)),
@@ -574,6 +584,117 @@ object SparkEntry {
         |      AND CAST(sq AS DOUBLE) >
         |          CAST(3.0 AS DOUBLE) * CAST(pq AS DOUBLE) / CAST(ns AS DOUBLE))
         |  GROUP BY l_suppkey) d ON s_suppkey = d.l_suppkey""".stripMargin,
+
+    "q9_nation_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))
+        |         - CAST(p_retailprice * l_quantity * CAST(0.1 AS DOUBLE)
+        |                AS DECIMAL(24,8))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT o_custkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      """SELECT l_partkey, CAST(val AS DOUBLE) AS value FROM (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS val
+        |  FROM lineitem GROUP BY l_partkey)
+        |WHERE CAST(val AS DOUBLE) > (
+        |  SELECT CAST(0.0005 AS DOUBLE) *
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+        |  FROM lineitem)""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE year(l_shipdate) = 1997
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q13_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))
+        |      ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+        |      AS DOUBLE), 6) AS promo_share
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive_rev" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_balance" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+        |         / count(*)
+        |  FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "semi_join_customers" ->
       """SELECT c_custkey, c_name FROM customer

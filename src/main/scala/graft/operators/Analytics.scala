@@ -428,4 +428,205 @@ object Analytics {
         |    AS DOUBLE) AS spend_30d
         |FROM orders_v""".stripMargin)
   }
+
+  private val lineRevenue =
+    (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(24,8)")
+
+  /** TPC-H Q10 shape: top-k customers by revenue on returned items.
+    * lineitem⋈orders shuffles on orderkey; customer joins on custkey after
+    * the revenue aggregate (group first, then attach names — the wide
+    * string columns never ride the big shuffle); nation is broadcast.
+    * Top-k orders by the exact decimal revenue, custkey tie-break.
+    */
+  def returnedCustomerRevenue(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val l = table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = table(spark, dir, "orders")
+    val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(lineRevenue).as("rev"))
+    table(spark, dir, "customer")
+      .join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q13 shape: distribution of per-customer order counts through a
+    * LEFT OUTER join whose filter lives in the ON clause (not WHERE — a
+    * WHERE would turn the outer join inner and lose 0-order customers).
+    * Double aggregation: count per customer, then histogram of counts.
+    * Both aggregates are key-partial; the outer join shuffles on custkey.
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share per ship-year — conditional
+    * DECIMAL aggregation (CASE inside sum), one double division at the
+    * end, rounded to a stable 6 digits. Single scan, no join skew:
+    * part is the smaller side and joins on partkey.
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast("decimal(24,8)")
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "part"), col("p_partkey") === col("l_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", lineRevenue).otherwise(zero))
+          .cast("double").as("promo_rev"),
+        sum(lineRevenue).cast("double").as("total_rev"))
+      .select(col("l_year"),
+        round(col("promo_rev") / col("total_rev"), 6).as("promo_share"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-branch predicate over the
+    * lineitem⋈part join — three OR'd (brand, size-range, quantity-range)
+    * branches collapsing to one global revenue row. The quantity bounds
+    * prune lineitem at the scan; the OR of brand/size branches prunes
+    * part. Catalyst pushes the common `l_quantity <= 30` envelope down.
+    */
+  def disjunctivePartRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def branch(brand: String, sizeMax: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeMax) &&
+        col("l_quantity").between(qLo, qHi)
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "part"), col("p_partkey") === col("l_partkey"))
+      .filter(branch("Brand#12", 15, 1, 11) ||
+        branch("Brand#23", 25, 10, 20) ||
+        branch("Brand#3", 35, 20, 30))
+      .agg(sum(lineRevenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape: per-segment count/balance of well-funded customers
+    * with no URGENT order — an uncorrelated scalar AVG subquery (broadcast
+    * single row) feeding the filter, then a left-anti join against the
+    * urgent orders. (The classic "no orders at all" form is vacuous here:
+    * every customer in this data has orders.)
+    */
+  def idleCustomerBalance(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("q22_customer")
+    table(spark, dir, "orders").createOrReplaceTempView("q22_orders")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
+        |FROM q22_customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+        |         / count(*)
+        |  FROM q22_customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM q22_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  /** TPC-H Q11 shape (partsupp-less adaptation): parts whose total
+    * extended-price value exceeds a fixed fraction of the corpus total —
+    * a keyed aggregate filtered against an uncorrelated global-aggregate
+    * scalar (one extra map-side-partial pass, broadcast as a literal).
+    */
+  def importantPartValues(spark: SparkSession, dir: String,
+      fraction: Double = 0.0005): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("q11_lineitem")
+    spark.sql(
+      s"""SELECT l_partkey, CAST(val AS DOUBLE) AS value FROM (
+         |  SELECT l_partkey,
+         |    sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS val
+         |  FROM q11_lineitem GROUP BY l_partkey)
+         |WHERE CAST(val AS DOUBLE) > (
+         |  SELECT CAST($fraction AS DOUBLE) *
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+         |  FROM q11_lineitem)""".stripMargin)
+  }
+
+  /** TPC-H Q15 shape: the supplier(s) whose one-year revenue equals the
+    * maximum — revenue aggregate reused for both the ranking and the
+    * scalar max (exact DECIMAL equality, so ties are engine-independent).
+    * The 1-row max side is broadcast; supplier attaches after the agg.
+    */
+  def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(lineRevenue).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    table(spark, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(mx), col("total_rev") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q9 shape (supplycost proxied by p_retailprice — this schema
+    * has no partsupp): profit per supplier nation per order year across
+    * lineitem⋈part⋈supplier⋈orders⋈nation. Cost arithmetic is carried in
+    * DOUBLE with fixed left-to-right association, then the profit is
+    * cast DECIMAL per row and summed exactly.
+    */
+  def nationProfitByYear(spark: SparkSession, dir: String): DataFrame = {
+    val cost = (col("p_retailprice") * col("l_quantity") * lit(0.1))
+      .cast("decimal(24,8)")
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "part"), col("p_partkey") === col("l_partkey"))
+      .join(table(spark, dir, "supplier"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(table(spark, dir, "orders"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(table(spark, dir, "nation")),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(sum(lineRevenue - cost).cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q12 shape (returnflag standing in for shipmode): per-flag
+    * counts of high- vs low-priority lines shipped in one year —
+    * conditional integer aggregation over the lineitem⋈orders join,
+    * CASE evaluated after the join, partial sums map-side.
+    */
+  def priorityLineCounts(spark: SparkSession, dir: String,
+      shipYear: Int = 1997): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    table(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === shipYear)
+      .join(table(spark, dir, "orders"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    * bucket, excluding a NOT-IN supplier blocklist (negative balance).
+    * The blocklist subquery is tiny → broadcast left-anti; the distinct
+    * count shuffles (partkey-grouped pairs) once.
+    */
+  def partSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = table(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    table(spark, dir, "lineitem")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(table(spark, dir, "part"), col("p_partkey") === col("l_partkey"))
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
 }
