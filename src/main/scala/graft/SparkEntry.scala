@@ -160,6 +160,14 @@ object SparkEntry {
     "ema_close" -> ((s, dir) =>
       TradingOps.emaClose(Tables.candles(s, dir), 14)),
 
+    // ---- Bollinger bands + Donchian channel (exact-moment dispersion) ----
+    "bollinger_bands" -> ((s, dir) =>
+      TradingOps.bollingerBands(Tables.candles(s, dir), 20, 2.0)),
+
+    // ---- per-symbol Sharpe ratio over close-to-close returns -------------
+    "sharpe_ratio" -> ((s, dir) =>
+      TradingOps.sharpeRatio(Tables.candles(s, dir))),
+
     // ---- value histogram over events -------------------------------------
     "value_histogram" -> ((s, dir) =>
       Tables.table(s, dir, "events")
@@ -1151,6 +1159,55 @@ object SparkEntry {
          |       WHEN sl = 0.0 THEN 100.0
          |       ELSE round(100.0 - 100.0 / (1.0 + sg / sl), 6) END AS rsi
          |FROM sums""".stripMargin,
+
+    // both moments as exact DECIMAL frame sums; variance/std/bands are one
+    // fixed-association double formula mirrored verbatim from the Spark side
+    "bollinger_bands" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |sums AS (
+         |  SELECT symbol, ts, close,
+         |    CAST(sum(CAST(close AS DECIMAL(28,10))) OVER f AS DOUBLE) AS s,
+         |    CAST(sum(CAST(close * close AS DECIMAL(28,10))) OVER f
+         |         AS DOUBLE) AS sq,
+         |    CAST(count(*) OVER f AS DOUBLE) AS cnt,
+         |    max(high) OVER f AS donchian_hi,
+         |    min(low) OVER f AS donchian_lo
+         |  FROM candles
+         |  WINDOW f AS (PARTITION BY symbol ORDER BY ts
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |std AS (
+         |  SELECT symbol, ts, close, donchian_hi, donchian_lo,
+         |    s / cnt AS mid,
+         |    CASE WHEN cnt > 1.0 THEN
+         |      sqrt(greatest((sq - s * s / cnt) / (cnt - 1.0), 0.0))
+         |    END AS sd
+         |  FROM sums)
+         |SELECT symbol, ts, close,
+         |  round(mid, 6) AS bb_mid,
+         |  round(mid + 2.0 * sd, 6) AS bb_upper,
+         |  round(mid - 2.0 * sd, 6) AS bb_lower,
+         |  donchian_hi, donchian_lo
+         |FROM std""".stripMargin,
+
+    "sharpe_ratio" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |rets AS (
+         |  SELECT symbol,
+         |    close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)
+         |      - 1.0 AS r
+         |  FROM candles),
+         |agg AS (
+         |  SELECT symbol, count(*) AS n_returns,
+         |    CAST(sum(CAST(r AS DECIMAL(28,14))) AS DOUBLE) AS s,
+         |    CAST(sum(CAST(r * r AS DECIMAL(28,14))) AS DOUBLE) AS sq
+         |  FROM rets WHERE r IS NOT NULL GROUP BY symbol)
+         |SELECT symbol, n_returns,
+         |  round(s / n_returns, 10) AS mean_return,
+         |  CASE WHEN (sq - s * s / n_returns) / (n_returns - 1.0) > 0.0
+         |    THEN round((s / n_returns) /
+         |      sqrt((sq - s * s / n_returns) / (n_returns - 1.0)), 6)
+         |  END AS sharpe
+         |FROM agg""".stripMargin,
 
     // recursive CTE replays the Spark fold's exact double arithmetic in
     // the exact order (alpha*close + beta*ema, seeded with close at rn=1)

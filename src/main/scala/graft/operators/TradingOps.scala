@@ -388,4 +388,70 @@ object TradingOps {
           sum(col("dt").cast("decimal(28,10)")).cast(DoubleType), 6)
           .as("twap"))
   }
+
+  /** Bollinger bands + Donchian channel over a trailing `n`-row frame per
+    * symbol (reference domain: rolling stats over the close series,
+    * main.py:403-404 generalized from mean to dispersion). The standard
+    * deviation is NOT Spark's `stddev` (whose streaming update order is
+    * engine-specific): both moments accumulate as exact DECIMAL frame
+    * sums, then one fixed-association double formula
+    * `(sumsq − sum²/n) / (n−1)` — bit-identical in the DuckDB oracle.
+    * Shrinking head frames (min_periods=1 analog) yield NULL bands until
+    * the frame holds 2 rows. One shuffle on symbol; frame sums are
+    * single-pass (UnboundedPreceding not required).
+    */
+  def bollingerBands(candles: DataFrame, n: Int = 20,
+      k: Double = 2.0): DataFrame = {
+    val frame = bySymbolTs.rowsBetween(-(n - 1), 0)
+    val s = sum(col("close").cast("decimal(28,10)")).over(frame)
+      .cast(DoubleType)
+    val sq = sum((col("close") * col("close")).cast("decimal(28,10)"))
+      .over(frame).cast(DoubleType)
+    val cnt = count(lit(1)).over(frame).cast(DoubleType)
+    candles
+      .withColumn("s", s).withColumn("sq", sq).withColumn("cnt", cnt)
+      .withColumn("mid", col("s") / col("cnt"))
+      .withColumn("std",
+        when(col("cnt") > 1.0,
+          sqrt(greatest(
+            (col("sq") - col("s") * col("s") / col("cnt")) /
+              (col("cnt") - lit(1.0)),
+            lit(0.0)))))
+      .select(col("symbol"), col("ts"), col("close"),
+        round(col("mid"), 6).as("bb_mid"),
+        round(col("mid") + lit(k) * col("std"), 6).as("bb_upper"),
+        round(col("mid") - lit(k) * col("std"), 6).as("bb_lower"),
+        max(col("high")).over(frame).as("donchian_hi"),
+        min(col("low")).over(frame).as("donchian_lo"))
+  }
+
+  /** Per-symbol Sharpe ratio over simple close-to-close returns. Each
+    * return is one double division (deterministic per row); the two
+    * moments accumulate as exact DECIMAL sums, then mean/std/sharpe are
+    * single fixed-order double expressions — the same
+    * sample-variance identity as [[bollingerBands]], so the DuckDB
+    * oracle matches bit-for-bit. One shuffle (symbol hash-agg) with
+    * map-side partials; output is |symbols| rows.
+    */
+  def sharpeRatio(candles: DataFrame): DataFrame = {
+    val ret = col("close") / lag(col("close"), 1).over(bySymbolTs) - lit(1.0)
+    val base = candles
+      .withColumn("r", ret)
+      .filter(col("r").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n_returns"),
+        sum(col("r").cast("decimal(28,14)")).cast(DoubleType).as("s"),
+        sum((col("r") * col("r")).cast("decimal(28,14)")).cast(DoubleType)
+          .as("sq"))
+    base
+      .withColumn("mean_r", col("s") / col("n_returns"))
+      .withColumn("var_r",
+        (col("sq") - col("s") * col("s") / col("n_returns")) /
+          (col("n_returns") - lit(1.0)))
+      .select(col("symbol"), col("n_returns"),
+        round(col("mean_r"), 10).as("mean_return"),
+        when(col("var_r") > 0.0,
+          round(col("mean_r") / sqrt(col("var_r")), 6)).as("sharpe"))
+  }
 }
