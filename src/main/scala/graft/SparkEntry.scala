@@ -168,6 +168,10 @@ object SparkEntry {
     "sharpe_ratio" -> ((s, dir) =>
       TradingOps.sharpeRatio(Tables.candles(s, dir))),
 
+    // ---- MACD(12,26,9): second-order recursion in one typed fold ---------
+    "macd" -> ((s, dir) =>
+      TradingOps.macd(Tables.candles(s, dir), 12, 26, 9)),
+
     // ---- value histogram over events -------------------------------------
     "value_histogram" -> ((s, dir) =>
       Tables.table(s, dir, "events")
@@ -1208,6 +1212,37 @@ object SparkEntry {
          |      sqrt((sq - s * s / n_returns) / (n_returns - 1.0)), 6)
          |  END AS sharpe
          |FROM agg""".stripMargin,
+
+    // second-order recursion: the CTE carries (ef, es, esig) and replays
+    // the fold's exact double updates in the exact order; the esig update
+    // recomputes the NEW ef/es expressions verbatim (identical IEEE value)
+    "macd" ->
+      s"""WITH RECURSIVE candles AS (${Tables.candlesSql}),
+         |num AS (
+         |  SELECT symbol, ts, close,
+         |    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+         |  FROM candles),
+         |rec(symbol, ts, close, rn, ef, es, esig) AS (
+         |  SELECT symbol, ts, close, rn, close, close, CAST(0.0 AS DOUBLE)
+         |  FROM num WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.symbol, n.ts, n.close, n.rn,
+         |    (CAST(2.0 AS DOUBLE) / 13) * n.close +
+         |      (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 13) * r.ef,
+         |    (CAST(2.0 AS DOUBLE) / 27) * n.close +
+         |      (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 27) * r.es,
+         |    (CAST(2.0 AS DOUBLE) / 10) *
+         |      (((CAST(2.0 AS DOUBLE) / 13) * n.close +
+         |        (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 13) * r.ef) -
+         |       ((CAST(2.0 AS DOUBLE) / 27) * n.close +
+         |        (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 27) * r.es)) +
+         |      (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 10) * r.esig
+         |  FROM rec r JOIN num n ON n.symbol = r.symbol AND n.rn = r.rn + 1)
+         |SELECT symbol, ts, close,
+         |  round(ef - es, 6) AS macd,
+         |  round(esig, 6) AS macd_signal,
+         |  round((ef - es) - esig, 6) AS macd_hist
+         |FROM rec""".stripMargin,
 
     // recursive CTE replays the Spark fold's exact double arithmetic in
     // the exact order (alpha*close + beta*ema, seeded with close at rn=1)

@@ -291,6 +291,46 @@ object TradingOps {
         round(col("ema_raw"), 6).as("ema"))
   }
 
+  /** MACD(fast, slow, signal): a SECOND-ORDER recursion — the signal line
+    * is an EMA of the macd line, which is itself the difference of two
+    * EMAs of close. All three accumulators ride the same single ordered
+    * pass per symbol as [[emaClose]] (one shuffle, O(1) state — state
+    * never grows with series length, so a 10-year minute series streams
+    * through unchanged). Seeds: both EMAs = first close, so macd starts
+    * at 0 and the signal EMA seeds at 0. The DuckDB oracle replays the
+    * identical double updates in the identical order via a recursive CTE
+    * carrying (ef, es, esig) — bit-exact, no tolerance.
+    */
+  def macd(candles: DataFrame, fast: Int = 12, slow: Int = 26,
+      signal: Int = 9): DataFrame = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val af = 2.0 / (fast + 1); val bf = 1.0 - af
+    val as = 2.0 / (slow + 1); val bs = 1.0 - as
+    val ag = 2.0 / (signal + 1); val bg = 1.0 - ag
+    candles.select(col("symbol"), col("ts"), col("close"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts")) { (symbol, rows) =>
+        var eF = 0.0; var eS = 0.0; var eSig = 0.0
+        var first = true
+        rows.map { case (_, ts, close) =>
+          if (first) { first = false; eF = close; eS = close; eSig = 0.0 }
+          else {
+            eF = af * close + bf * eF
+            eS = as * close + bs * eS
+            eSig = ag * (eF - eS) + bg * eSig
+          }
+          (symbol, ts, close, eF - eS, eSig)
+        }
+      }
+      .toDF("symbol", "ts", "close", "macd_raw", "sig_raw")
+      .select(col("symbol"), col("ts"), col("close"),
+        round(col("macd_raw"), 6).as("macd"),
+        round(col("sig_raw"), 6).as("macd_signal"),
+        round(col("macd_raw") - col("sig_raw"), 6).as("macd_hist"))
+  }
+
   /** Pearson correlation of close prices for every symbol pair over their
     * time-aligned candles (the pairs-trading screen). Built from the five
     * DECIMAL-exact co-moment sums (Σx, Σy, Σxy, Σx², Σy²) so the sums are

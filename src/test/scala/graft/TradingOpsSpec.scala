@@ -200,4 +200,52 @@ class TradingOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("vwap") - 20.0) < 1e-9)
     assert(math.abs(r.getAs[Double]("twap") - 29.516129) < 1e-6)
   }
+
+  test("bollingerBands matches hand computation; head frames yield null") {
+    // closes 10, 20, 30: at row 3 the 20-row frame holds all 3 rows
+    // mean = 20, sample std = 10 → upper 40, lower 0; donchian from
+    // candleFrame's high = close+1, low = close−1
+    val df = candleFrame(Map("a" -> Seq(10.0, 20.0, 30.0)))
+    val rows = TradingOps.bollingerBands(df, 20, 2.0).collect()
+      .sortBy(_.getTimestamp(1).getTime)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("bb_upper"))) // 1-row frame
+    val r3 = rows(2)
+    assert(r3.getAs[Double]("bb_mid") == 20.0)
+    assert(r3.getAs[Double]("bb_upper") == 40.0)
+    assert(r3.getAs[Double]("bb_lower") == 0.0)
+    assert(r3.getAs[Double]("donchian_hi") == 31.0)
+    assert(r3.getAs[Double]("donchian_lo") == 9.0)
+  }
+
+  test("sharpeRatio matches hand computation") {
+    // closes 100, 110, 99: returns 0.1 and (99/110 − 1) = −0.1 exactly
+    // → mean 0, var = (0.01 + 0.01 − 0)/1 = 0.02, sharpe = 0
+    val df = candleFrame(Map("a" -> Seq(100.0, 110.0, 99.0)))
+    val r = TradingOps.sharpeRatio(df).collect().head
+    assert(r.getAs[Long]("n_returns") == 2L)
+    assert(math.abs(r.getAs[Double]("mean_return")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sharpe")) < 1e-9)
+  }
+
+  test("macd replays the exact three-accumulator recursion in time order") {
+    val closes = Seq(10.0, 12.0, 9.0, 15.0, 11.0, 13.0)
+    val df = candleFrame(Map("a" -> closes))
+    val got = TradingOps.macd(df, 12, 26, 9).collect()
+      .sortBy(_.getTimestamp(1).getTime)
+    val (af, as, ag) = (2.0 / 13, 2.0 / 27, 2.0 / 10)
+    var eF = closes.head; var eS = closes.head; var eSig = 0.0
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    closes.zipWithIndex.foreach { case (c, i) =>
+      if (i > 0) {
+        eF = af * c + (1 - af) * eF
+        eS = as * c + (1 - as) * eS
+        eSig = ag * (eF - eS) + (1 - ag) * eSig
+      }
+      assert(got(i).getAs[Double]("macd") == r6(eF - eS), s"row $i macd")
+      assert(got(i).getAs[Double]("macd_signal") == r6(eSig), s"row $i sig")
+      assert(got(i).getAs[Double]("macd_hist") == r6((eF - eS) - eSig),
+        s"row $i hist")
+    }
+  }
 }
