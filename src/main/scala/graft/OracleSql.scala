@@ -400,6 +400,21 @@ object OracleSql {
        |  FROM scored)
        |WHERE rank <= $topK""".stripMargin
 
+  /** Inverted index (mirrors TextAnalysis.invertedIndex): distinct
+    * (doc_id, token) postings, exact df per token, sorted posting list
+    * joined to a comma string — emitted only when df ≤ maxDf (stop
+    * words keep their df with an empty posting string, exactly as the
+    * Spark side's fused CappedDocList cap).
+    */
+  def invertedIndex(maxDf: Int): String =
+    s"""WITH tt AS (
+       |  SELECT DISTINCT doc_id, unnest($toks) AS term FROM documents)
+       |SELECT term, count(*) AS df,
+       |  CASE WHEN count(*) <= $maxDf
+       |    THEN array_to_string(list_sort(list(doc_id)), ',')
+       |    ELSE '' END AS postings
+       |FROM tt GROUP BY term""".stripMargin
+
   /** Deterministic per-language stratified sample (mirrors
     * TextAnalysis.stratifiedSample: salted md5 bucket < per-lang rate).
     * The lang equality predicates are mutually exclusive, so WHEN order

@@ -282,6 +282,9 @@ object SparkEntry {
     // TextAnalysis.tfidfTopTerms scaladoc; ranking tie-break on term)
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.table(s, dir, "documents"), 3)),
+    // inverted index: exact df per token, df-capped sorted posting lists
+    "inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.table(s, dir, "documents"), 20)),
     // deterministic per-language downsampling (en-dominant corpus → keep
     // 40% en, 80% zh, everything else whole)
     "stratified_sample" -> ((s, dir) =>
@@ -949,6 +952,7 @@ object SparkEntry {
     "pack_sequences" -> OracleSql.packSequences(512, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
     "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),
+    "inverted_index" -> OracleSql.invertedIndex(20),
     "stratified_sample" ->
       OracleSql.stratifiedSample(Seq("en" -> 40, "zh" -> 80), 100),
     "pii_scrub" -> OracleSql.piiScrub,

@@ -374,4 +374,29 @@ object TextAnalysis {
           i => array_min(slice(col("h"), i + lit(1), lit(w))))).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
   }
+
+  /** Inverted index (the corpus-search primitive): per normalized token,
+    * the exact document frequency plus a sorted posting list, emitted
+    * only for tokens with df ≤ `maxDf` (stop words keep their exact df
+    * but an empty posting string — at 100 TB a stop word's postings ARE
+    * the corpus, so materializing them is never right). The cap is FUSED
+    * into the aggregate via [[graft.functions.CappedDocList]] (exact
+    * count, at most `maxDf` members retained, O(maxDf) memory per
+    * group) — one distinct + one hash-agg, both map-side partial; the
+    * posting list is joined to a comma string so the row stays flat for
+    * any engine.
+    */
+  def invertedIndex(docs: DataFrame, maxDf: Int = 20): DataFrame = {
+    val posting = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val collected = udaf(new CappedDocList(maxDf))
+      .apply(col("doc_id"), lit(0))
+    posting.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), array_sort(collected).as("ds"))
+      .select(col("term"), col("df"),
+        concat_ws(",",
+          transform(col("ds"), x => x.getField("doc_id").cast("string")))
+          .as("postings"))
+  }
 }

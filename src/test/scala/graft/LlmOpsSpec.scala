@@ -370,4 +370,15 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((0L, 2L)))
   }
+
+  test("invertedIndex: sorted postings, stop word capped to empty string") {
+    val df = docs(
+      3L -> "alpha beta", 1L -> "beta gamma", 2L -> "beta alpha alpha")
+    val got = TextAnalysis.invertedIndex(df, maxDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq(
+      ("alpha", 2L, "2,3"),   // df within cap → sorted doc ids
+      ("beta", 3L, ""),       // df 3 > cap 2 → exact df, empty postings
+      ("gamma", 1L, "1")))
+  }
 }
