@@ -443,13 +443,18 @@ object TradingOps {
   def bollingerBands(candles: DataFrame, n: Int = 20,
       k: Double = 2.0): DataFrame = {
     val frame = bySymbolTs.rowsBetween(-(n - 1), 0)
-    val s = sum(col("close").cast("decimal(28,10)")).over(frame)
-      .cast(DoubleType)
-    val sq = sum((col("close") * col("close")).cast("decimal(28,10)"))
-      .over(frame).cast(DoubleType)
-    val cnt = count(lit(1)).over(frame).cast(DoubleType)
+    // all five frame aggregates in ONE select → Catalyst extracts a
+    // single Window operator (one sort pass); layered withColumns would
+    // split them into three Windows (PlanShapeSpec pins this)
     candles
-      .withColumn("s", s).withColumn("sq", sq).withColumn("cnt", cnt)
+      .select(col("symbol"), col("ts"), col("close"),
+        sum(col("close").cast("decimal(28,10)")).over(frame)
+          .cast(DoubleType).as("s"),
+        sum((col("close") * col("close")).cast("decimal(28,10)"))
+          .over(frame).cast(DoubleType).as("sq"),
+        count(lit(1)).over(frame).cast(DoubleType).as("cnt"),
+        max(col("high")).over(frame).as("donchian_hi"),
+        min(col("low")).over(frame).as("donchian_lo"))
       .withColumn("mid", col("s") / col("cnt"))
       .withColumn("std",
         when(col("cnt") > 1.0,
@@ -461,8 +466,7 @@ object TradingOps {
         round(col("mid"), 6).as("bb_mid"),
         round(col("mid") + lit(k) * col("std"), 6).as("bb_upper"),
         round(col("mid") - lit(k) * col("std"), 6).as("bb_lower"),
-        max(col("high")).over(frame).as("donchian_hi"),
-        min(col("low")).over(frame).as("donchian_lo"))
+        col("donchian_hi"), col("donchian_lo"))
   }
 
   /** Per-symbol Sharpe ratio over simple close-to-close returns. Each

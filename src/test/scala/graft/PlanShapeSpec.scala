@@ -62,4 +62,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "BroadcastExchange") >= 2,
       s"nation and region are bounded — both must broadcast:\n$plan")
   }
+
+  test("bollinger_bands runs all frames in one symbol exchange") {
+    val plan = finalPlan(SparkEntry.queries("bollinger_bands")(spark, dir))
+    // candle agg shuffles on (symbol, hour); the window re-shuffles on
+    // symbol. Any third exchange means a frame/order mismatch split the
+    // Window into multiple sorts.
+    assert(count(plan, "Exchange hashpartitioning") <= 2,
+      s"moments + donchian must share one Window exchange:\n$plan")
+    assert(count(plan, "Window ") == 1,
+      s"all five frame aggregates must fuse into ONE Window op:\n$plan")
+  }
+
+  test("q10 aggregates revenue before attaching customer names") {
+    val plan = finalPlan(SparkEntry.queries("q10_returned_customers")(spark, dir))
+    // the join with the 8-column customer table must sit ABOVE the
+    // revenue aggregate: the aggregate's output (custkey, rev) appears
+    // as a join child, never raw lineitem columns joined to customer
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0, s"missing revenue aggregate:\n$plan")
+    assert(count(plan, "BroadcastExchange") >= 1,
+      s"nation (and the aggregated rev side under AQE) must broadcast:\n$plan")
+  }
+
+  test("inverted_index is two partial-agg exchanges, no join") {
+    val plan = finalPlan(SparkEntry.queries("inverted_index")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") == 2,
+      s"distinct + term agg — exactly two exchanges:\n$plan")
+    assert(count(plan, "Join") == 0,
+      s"posting-list build must not join:\n$plan")
+  }
 }
