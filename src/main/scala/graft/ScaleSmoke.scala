@@ -108,7 +108,20 @@ object ScaleSmoke {
       // the EMA recursion over the full many-symbol candle corpus — the
       // stateful typed fold at candle scale
       stage("ema_fold")(
-        TradingOps.emaClose(candles).count()))
+        TradingOps.emaClose(candles).count()),
+      // second-order recursion (three accumulators, same single pass)
+      stage("macd_fold")(
+        TradingOps.macd(candles).count()),
+      // five frame aggregates in ONE Window operator (PlanShapeSpec pin).
+      // The isNotNull filter REFERENCES a window output — a bare count()
+      // would let ColumnPruning drop the whole Window operator and time
+      // nothing but the candle scan.
+      stage("bollinger")(
+        TradingOps.bollingerBands(candles)
+          .filter(col("bb_upper").isNotNull).count()),
+      // posting-list build: distinct + df-capped hash agg, no join
+      stage("inverted_index_docs")(
+        graft.functions.TextAnalysis.invertedIndex(docs, 20).count()))
 
     val js = results.map { case (n, sec, out) =>
       s""""$n":{"sec":$sec,"rows_per_sec":${(baseOf(n) / sec).toLong},"out_rows":$out}"""

@@ -52,6 +52,7 @@ object SparkEntry {
     "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
     "full_outer_recon" -> ((s, dir) => Analytics.nationPartyReconciliation(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
+    "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
     "q9_nation_profit" -> ((s, dir) => Analytics.nationProfitByYear(s, dir)),
     "q10_returned_customers" -> ((s, dir) => Analytics.returnedCustomerRevenue(s, dir)),
     "q11_important_parts" -> ((s, dir) => Analytics.importantPartValues(s, dir)),
@@ -599,6 +600,17 @@ object SparkEntry {
         |      AND CAST(sq AS DOUBLE) >
         |          CAST(3.0 AS DOUBLE) * CAST(pq AS DOUBLE) / CAST(ns AS DOUBLE))
         |  GROUP BY l_suppkey) d ON s_suppkey = d.l_suppkey""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,8)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q9_nation_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,

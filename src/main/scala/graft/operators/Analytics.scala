@@ -612,6 +612,23 @@ object Analytics {
         sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
   }
 
+  /** TPC-H Q6 shape: the forecasting-revenue-change filter-aggregate —
+    * no join at all; its whole point is that every predicate (date
+    * range, discount band, quantity cap) reaches the parquet scan as
+    * PushedFilters and the aggregate is a single map-side-partial sum.
+    * The revenue product is per-row double (deterministic), summed in
+    * DECIMAL.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01" &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(24,8)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   /** TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
     * bucket, excluding a NOT-IN supplier blocklist (negative balance).
     * The blocklist subquery is tiny → broadcast left-anti; the distinct

@@ -186,6 +186,44 @@ object EventStreams {
       }
   }
 
+  /** MACD carry-state: the three EMA accumulators per symbol. */
+  case class MacdState(ef: Double, es: Double, esig: Double, seeded: Boolean)
+
+  case class MacdPoint(symbol: String, ts: Timestamp, close: Double,
+      macd: Double, macd_signal: Double)
+
+  /** Streaming MACD(12,26,9): the second-order recursion of
+    * [[graft.operators.TradingOps.macd]] carried across micro-batches —
+    * three doubles of state per symbol, same in-order-arrival ≡ batch
+    * guarantee as [[emaStream]] (asserted in StreamingSpec).
+    */
+  def macdStream(ticks: Dataset[Tick], fast: Int = 12, slow: Int = 26,
+      signal: Int = 9): Dataset[MacdPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val af = 2.0 / (fast + 1); val bf = 1.0 - af
+    val as = 2.0 / (slow + 1); val bs = 1.0 - as
+    val ag = 2.0 / (signal + 1); val bg = 1.0 - ag
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, rows: Iterator[Tick], state: GroupState[MacdState]) =>
+          var st = state.getOption
+            .getOrElse(MacdState(0.0, 0.0, 0.0, seeded = false))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { t =>
+            st = if (!st.seeded) MacdState(t.close, t.close, 0.0, seeded = true)
+                 else {
+                   val ef = af * t.close + bf * st.ef
+                   val es = as * t.close + bs * st.es
+                   MacdState(ef, es, ag * (ef - es) + bg * st.esig,
+                     seeded = true)
+                 }
+            MacdPoint(symbol, t.ts, t.close, st.ef - st.es, st.esig)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming MA-crossover backtest via flatMapGroupsWithState keyed by
     * symbol. Rows inside each micro-batch are processed in event-time
     * order; cross-batch disorder is accepted as-at-arrival (documented

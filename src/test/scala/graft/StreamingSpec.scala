@@ -208,6 +208,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming MACD carries all three accumulators across micro-batches") {
+    val closes = Seq(10.0, 12.0, 9.0, 15.0, 11.0, 14.0, 8.0)
+    val base = 1704067200000L
+    val ticks = closes.zipWithIndex.map { case (c, i) =>
+      EventStreams.Tick("x", new Timestamp(base + i * 60000L), c)
+    }
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Tick](spark)
+    ms.addData(ticks.take(4))
+    val q = EventStreams.macdStream(ms.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_macd").start()
+    q.processAllAvailable()
+    ms.addData(ticks.drop(4)) // signal EMA must carry across the batch cut
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_macd")
+      .as[EventStreams.MacdPoint].collect()
+      .map(p => p.ts.getTime -> ((p.macd, p.macd_signal))).toMap
+    val batch = operators.TradingOps.macd(candleFrame(Map("x" -> closes)))
+      .collect()
+      .map(r => r.getTimestamp(1).getTime ->
+        ((r.getAs[Double]("macd"), r.getAs[Double]("macd_signal")))).toMap
+    assert(streamed.size == closes.size)
+    streamed.foreach { case (ts, (m, s)) =>
+      assert(math.abs(m - batch(ts)._1) < 5e-7 &&
+        math.abs(s - batch(ts)._2) < 5e-7,
+        s"stream/batch MACD diverged at $ts: ($m,$s) vs ${batch(ts)}")
+    }
+  }
+
   test("stateful streaming backtest closes positions across micro-batches") {
     val closes = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 5.0, 5.0, 5.0, 30.0, 2.0)
     val base = 1704067200000L

@@ -58,8 +58,13 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
+    import os
     for name, sql in sorted(oracle.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            # subset Verify run (dev-only 3-arg form) — not a failure
+            n_skip += 1
+            continue
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -96,7 +101,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(grows)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    skipped = f", {n_skip} not dumped (subset run)" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skipped}")
     return 1 if n_fail else 0
 
 
