@@ -412,6 +412,22 @@ object SparkEntry {
           round(cume_dist().over(w), 6).as("cume"))
     }),
 
+    // CDC upsert compaction: latest record per (user, type) key by event
+    // time — the keep-newest dedup every mutable-source ingest needs.
+    // row_number (not dropDuplicates) so the survivor is deterministic:
+    // ties break on event_id, and the window partitions by the key, so
+    // at scale this is one hash exchange and no full sort.
+    "latest_events" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.table(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+    }),
+
     // greatest-n-per-group: top customer by account balance per nation
     "top_customer_per_nation" -> ((s, dir) =>
       Tables.table(s, dir, "customer")
@@ -1052,6 +1068,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "latest_events" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "top_customer_per_nation" ->
       """SELECT c_nationkey, c_name AS top_customer, max_acctbal FROM (

@@ -88,6 +88,24 @@ class PropertiesSpec extends SparkSpec {
       }
   }
 
+  test("indicator folds and windows are partition-invariant on generated walks") {
+    val cases = samples(Gen.zip(closesGen, Gen.chooseNum(1, 9)), 6)
+    cases.filter(_._1.size >= 3).foreach { case (closes, p) =>
+      val df = candleFrame(Map("s" -> closes, "t" -> closes.reverse))
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq).toSet
+      // typed sorted-group folds: order restored inside each group
+      assert(rows(TradingOps.macd(df)) == rows(TradingOps.macd(df.repartition(p))),
+        s"macd p=$p")
+      // window family: exact DECIMAL frame sums make the result
+      // independent of input partitioning, not merely close to it
+      assert(rows(TradingOps.bollingerBands(df)) ==
+        rows(TradingOps.bollingerBands(df.repartition(p))), s"bollinger p=$p")
+      assert(rows(TradingOps.sharpeRatio(df)) ==
+        rows(TradingOps.sharpeRatio(df.repartition(p))), s"sharpe p=$p")
+    }
+  }
+
   test("exact dedup representative is always the minimum doc_id of its group") {
     import spark.implicits._
     samples(Gen.listOfN(20,
