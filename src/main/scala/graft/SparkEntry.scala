@@ -471,6 +471,13 @@ object SparkEntry {
         operators.Multimodal.syntheticImages(
           Tables.table(s, dir, "documents").select(col("doc_id"))))),
 
+    // real per-frame video decode: frame-packed PNG container, every 2nd
+    // frame decoded via ImageIO, skipped frames seek past by length field
+    "video_features" -> ((s, dir) =>
+      operators.Multimodal.videoFeatures(
+        operators.Multimodal.syntheticVideos(
+          Tables.table(s, dir, "documents").select(col("doc_id"))), 2)),
+
     // ---- multimodal: REAL WAV decode via JDK javax.sound ------------------
     // one real RIFF/WAV clip per doc_id (deterministic integer PCM
     // pattern, id-derived length), decoded back through AudioSystem — the
@@ -1136,6 +1143,35 @@ object SparkEntry {
         |    sum((media_id*29 + (i % w)*3 + (i // w)*19) % 256) AS sb
         |  FROM px GROUP BY 1, 2, 3)
         |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  round(CAST(sr AS DOUBLE) / (w*h), 6) AS mean_r,
+        |  round(CAST(sg AS DOUBLE) / (w*h), 6) AS mean_g,
+        |  round(CAST(sb AS DOUBLE) / (w*h), 6) AS mean_b
+        |FROM s""".stripMargin,
+
+    // closed-form mirror of the frame-packed video roundtrip: PNG frames
+    // are lossless, so each sampled frame's decoded channel sums equal
+    // the pattern formula keyed by media_id*1000 + frame_idx
+    "video_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |frames AS (
+        |  SELECT media_id, w, h, unnest(range(0, nf, 2)) AS frame_idx
+        |  FROM dims),
+        |px AS (
+        |  SELECT media_id, w, h, frame_idx,
+        |    media_id*1000 + frame_idx AS k, unnest(range(0, w*h)) AS i
+        |  FROM frames),
+        |s AS (
+        |  SELECT media_id, frame_idx, w, h,
+        |    sum((k*31 + (i % w)*7 + (i // w)*13) % 256) AS sr,
+        |    sum((k*17 + (i % w)*11 + (i // w)*5) % 256) AS sg,
+        |    sum((k*29 + (i % w)*3 + (i // w)*19) % 256) AS sb
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  round(CAST(sr AS DOUBLE) / (w*h), 6) AS mean_r,
         |  round(CAST(sg AS DOUBLE) / (w*h), 6) AS mean_g,
         |  round(CAST(sb AS DOUBLE) / (w*h), 6) AS mean_b

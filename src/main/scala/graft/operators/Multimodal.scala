@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   * `Graphics2D` rescale, and [[encodePng]] produces real PNG payloads.
   * The AUDIO path is a REAL codec too: WAV/AIFF/AU decode via
   * `javax.sound.sampled.AudioSystem` ([[decodeAudio]] reads actual PCM
-  * samples; [[encodeWav]] writes real RIFF payloads). Only compressed
-  * video remains byte-level (the JVM has no built-in mp3/h264 codecs):
-  * [[decodeAndFeaturize]] is the codec-free byte featurizer and
-  * [[sampleFrameOffsets]] the container-level frame sampler; swapping in
-  * javacpp/ffmpeg is a local change inside their partition loops.
+  * samples; [[encodeWav]] writes real RIFF payloads). The VIDEO path
+  * does real per-frame codec work over a frame-packed container
+  * ([[encodeVideo]]/[[decodeVideoFrames]]: length-prefixed real PNG
+  * frames — the MJPEG idea with a lossless intra-frame codec; sampled
+  * frames decode through ImageIO, skipped frames cost one seek). Only
+  * INTER-frame compressed formats (h264/vp9) stay out of reach — the
+  * JVM has no such codec; swapping javacpp/ffmpeg into the
+  * [[decodeVideoFrames]] partition loop is a local change.
+  * [[decodeAndFeaturize]] remains the codec-free byte featurizer for
+  * anything else.
   */
 object Multimodal {
 
@@ -327,6 +332,112 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("frame_idx"),
         (lit(8) + col("frame_idx") * lit(frameBytes)).as("byte_offset"))
+
+  // ---- REAL video path: frame-packed container of real PNG frames ------
+
+  /** Per-sampled-frame decode output: exact integer channel sums. */
+  case class VideoFrameStats(
+      media_id: Long, frame_idx: Int, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Encode a frame-packed video: `FPV1` magic, big-endian frame count,
+    * then length-prefixed REAL PNG frames (the MJPEG idea with a lossless
+    * intra-frame codec: every frame decodes through the real ImageIO
+    * path, and losslessness keeps frame features closed-form for the
+    * oracle). Frame f's pixels follow [[patternPixel]] keyed by
+    * `mediaId·1000 + f`, so frames differ within one video.
+    */
+  def encodeVideo(mediaId: Long, nFrames: Int, width: Int,
+      height: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeBytes("FPV1")
+    dos.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = encodePng(mediaId * 1000L + f, width, height)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Synthetic frame-packed video corpus keyed off an id column: 2-4
+    * frames per video, id-derived dimensions. Test-data generator; at
+    * production scale the payloads arrive from a binary-column scan.
+    */
+  def syntheticVideos(ids: DataFrame, idCol: String = "doc_id"): Dataset[Media] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        Media(id, "video/x-frame-packed",
+          encodeVideo(id, 2 + (id % 3).toInt,
+            8 + (id % 5).toInt, 8 + (id % 3).toInt))
+      }
+    }
+  }
+
+  /** REAL frame extraction + decode: walk the container, decode every
+    * `stride`-th frame through ImageIO (actual pixel reads — the same
+    * real-codec path as [[decodeImages]]), skip the rest by length field
+    * without decoding (the point of frame sampling: unsampled frames
+    * cost one seek, zero codec work). Batched per partition; truncated
+    * or unparsable containers yield no rows.
+    */
+  def decodeVideoFrames(media: Dataset[Media],
+      stride: Int = 2): Dataset[VideoFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val p = m.payload
+        if (p.length < 8 || p(0) != 'F' || p(1) != 'P' || p(2) != 'V' ||
+          p(3) != '1') Nil
+        else {
+          val in = new java.io.DataInputStream(new ByteArrayInputStream(p))
+          in.skipBytes(4)
+          val nFrames = in.readInt()
+          (0 until nFrames).flatMap { f =>
+            val len = in.readInt()
+            if (f % stride != 0) { in.skipBytes(len); Nil }
+            else {
+              val buf = new Array[Byte](len)
+              in.readFully(buf)
+              val img = ImageIO.read(new ByteArrayInputStream(buf))
+              if (img == null) Nil
+              else {
+                val w = img.getWidth; val h = img.getHeight
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var i = 0
+                while (i < px.length) {
+                  val v = px(i)
+                  sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                  i += 1
+                }
+                Seq(VideoFrameStats(m.media_id, f, w, h, sr, sg, sb))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Per-sampled-frame mean channels — the oracle-checked query form of
+    * the video pipeline (generate → decode every `stride`-th frame →
+    * featurize).
+    */
+  def videoFeatures(media: Dataset[Media], stride: Int = 2): DataFrame = {
+    val n = (col("width") * col("height")).cast("double")
+    decodeVideoFrames(media, stride).toDF().select(
+      col("media_id"), col("frame_idx"), col("width"), col("height"),
+      round(col("sum_r").cast("double") / n, 6).as("mean_r"),
+      round(col("sum_g").cast("double") / n, 6).as("mean_g"),
+      round(col("sum_b").cast("double") / n, 6).as("mean_b"))
+  }
 
   /** Batched resize over the FAKE raster format (see [[encodeFakeHeader]]):
     * nearest-neighbor over the body byte at the scaled offset. The real

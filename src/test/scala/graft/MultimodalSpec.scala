@@ -193,4 +193,36 @@ class MultimodalSpec extends SparkSpec {
     val topk = operators.Similarity.annTopK(emb, 2, 3).collect()
     assert(topk.length == 6) // 2 queries x top-3
   }
+
+  test("decodeVideoFrames: real per-frame PNG decode with strided sampling") {
+    import spark.implicits._
+    // media_id = 7 → 5 frames of 6×4; stride 2 samples frames 0, 2, 4
+    val media = Seq(Multimodal.Media(7L, "video/x-frame-packed",
+      Multimodal.encodeVideo(7L, 5, 6, 4))).toDS()
+    val got = Multimodal.decodeVideoFrames(media, stride = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    got.foreach { st =>
+      assert(st.width == 6 && st.height == 4)
+      // losslessness: decoded channel sums equal the pattern formula
+      val key = 7L * 1000L + st.frame_idx
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until 4; x <- 0 until 6) {
+        val (r, g, b) = Multimodal.patternPixel(key, x, y)
+        er += r; eg += g; eb += b
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((er, eg, eb)),
+        s"frame ${st.frame_idx}")
+    }
+  }
+
+  test("decodeVideoFrames rejects containers without the FPV1 magic") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(1L, "video/x-frame-packed", Array[Byte](1, 2, 3)),
+      Multimodal.Media(2L, "video/x-frame-packed",
+        Multimodal.encodeVideo(2L, 2, 8, 8))).toDS()
+    val got = Multimodal.decodeVideoFrames(media, stride = 2).collect()
+    assert(got.map(_.media_id).distinct.toSeq == Seq(2L))
+  }
 }
