@@ -105,6 +105,12 @@ object ScaleSmoke {
         operators.Multimodal.audioFeatures(operators.Multimodal
           .syntheticAudio(spark.range(nDocs / 20).toDF("doc_id")))
           .count()),
+      // frame-packed video: ~3 PNG encodes + ~1.5 real frame decodes per
+      // payload (stride 2), unsampled frames seek past by length field
+      stage("video_decode")(
+        operators.Multimodal.videoFeatures(operators.Multimodal
+          .syntheticVideos(spark.range(nDocs / 20).toDF("doc_id")), 2)
+          .count()),
       // the EMA recursion over the full many-symbol candle corpus — the
       // stateful typed fold at candle scale
       stage("ema_fold")(
