@@ -157,6 +157,37 @@ object OracleSql {
   private def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${normSq(a)}) * sqrt(${normSq(b)}))"
 
+  /** SRP-LSH near-dup pairs (mirrors Similarity.srpLshNearDupPairs):
+    * identical md5-parity ±1 hyperplanes, DECIMAL(19,18) projection sums,
+    * band-signature equi-join, exact-decimal cosine verification — the
+    * oracle mirrors CANDIDATE GENERATION, not just the final threshold.
+    */
+  def srpLshNearDupPairs(planes: Int, bandBits: Int, minSim: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, j,
+       |    CASE WHEN CAST(list_sum(list_transform(range(0, len(v)),
+       |      d -> CAST(v[d+1] * (CASE WHEN
+       |             CAST('0x' || substr(md5(j || ':' || d), 1, 15) AS BIGINT)
+       |             % 2 = 0 THEN 1.0 ELSE -1.0 END)
+       |        AS DECIMAL(19,18)))) AS DOUBLE) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $planes)) AS j) js),
+       |bands AS (
+       |  SELECT vec_id, j // $bandBits AS band,
+       |    string_agg(CAST(bit AS VARCHAR), '' ORDER BY j) AS key
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, sim FROM (
+       |  SELECT c.vec_a, c.vec_b, round(${cosine("ea.v", "eb.v")}, 6) AS sim
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.vec_a
+       |  JOIN e eb ON eb.vec_id = c.vec_b)
+       |WHERE sim >= $minSim""".stripMargin
+
   /** Per-label centroid components (mirrors Similarity.labelCentroids):
     * zipped unnest for 0-based positions, DECIMAL(28,18) component sums.
     */

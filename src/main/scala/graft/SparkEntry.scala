@@ -365,6 +365,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.table(s, dir, "documents"), 3, 0.5,
         maxDf = 50)),
+    // Same clusters via alternating large-star/small-star — the
+    // O(log² n)-round form that survives deep components (a propagation
+    // loop needs diameter-many rounds); oracle identical to dedup_clusters
+    "dedup_clusters_lss" -> ((s, dir) =>
+      Dedup.nearDupClustersLSS(Tables.table(s, dir, "documents"), 3, 0.5,
+        maxDf = 50)),
 
     "simhash_fingerprints" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.table(s, dir, "documents"))),
@@ -493,6 +499,12 @@ object SparkEntry {
       Similarity.annTopK(Tables.table(s, dir, "embeddings"), 8, 5)),
     "embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.table(s, dir, "embeddings"), 0.3)),
+    // label-FREE near-dup via signed-random-projection LSH — the scale
+    // path when no blocking key exists; oracle mirrors candidate
+    // generation (md5-parity hyperplanes), not just the threshold
+    "embedding_lsh_neardup" -> ((s, dir) =>
+      Similarity.srpLshNearDupPairs(Tables.table(s, dir, "embeddings"),
+        32, 8, 0.3)),
     // per-label mean vectors (K-means/IVF training primitive)
     "embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.table(s, dir, "embeddings"))),
@@ -1044,6 +1056,19 @@ object SparkEntry {
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
          |FROM reach GROUP BY src""".stripMargin,
 
+    "dedup_clusters_lss" ->
+      s"""WITH RECURSIVE
+         |jac AS (${OracleSql.jaccardPairs(0.5, 50)}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |  UNION SELECT doc_b, doc_a FROM jac),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |FROM reach GROUP BY src""".stripMargin,
+
     "simhash_fingerprints" -> OracleSql.simhashFingerprints,
     "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(3, 4, 15),
     "pivot_orders" ->
@@ -1201,6 +1226,7 @@ object SparkEntry {
 
     "ann_topk" -> OracleSql.annTopK(8, 5),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
+    "embedding_lsh_neardup" -> OracleSql.srpLshNearDupPairs(32, 8, 0.3),
     "embedding_centroids" -> OracleSql.labelCentroids,
     "kmeans_assign" -> OracleSql.kmeansAssign,
     "kmeans_clusters" -> OracleSql.kmeansLloyd2,

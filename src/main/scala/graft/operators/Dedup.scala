@@ -435,6 +435,90 @@ object Dedup {
       call_function("simhash64", tokens(col("text"))).as("simhash"))
   }
 
+  /** Connected components over an undirected edge list via the ALTERNATING
+    * large-star/small-star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14) — the scale path past min-label
+    * propagation: propagation needs diameter-many rounds (a 10⁶-node chain
+    * = 10⁶ joins), while alternating star operations contract any graph in
+    * O(log² n) rounds regardless of depth, each round two join+agg stages
+    * over the (shrinking) edge set.
+    *
+    *  - large-star(u): connect every neighbor v > u to m = min(Γ(u) ∪ {u})
+    *  - small-star(u): connect u and all smaller neighbors to that min
+    *
+    * The fixpoint is a star per component (every node → component min);
+    * stars are stable under both ops, so set-equality of consecutive edge
+    * sets is the exact termination test. Input: two columns (either
+    * orientation, duplicates fine). Output: canonical (hi=node, lo=root)
+    * star edges — roots appear only on the lo side.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("hi"),
+          least(col("u"), col("v")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+    // for v > u: (v, min(Γ(u) ∪ {u})) — the min is ≤ u < v, stays canonical
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      canon(sym.filter(col("v") > col("u")).join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // connect hi and each smaller neighbor to min(smaller neighbors)
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      canon(e.join(m, Seq("hi")).select(col("lo").as("u"), col("m").as("v"))
+        .union(m.select(col("hi").as("u"), col("m").as("v"))))
+    }
+    val cols = pairs.columns
+    var edges = canon(pairs.select(col(cols(0)).as("u"), col(cols(1)).as("v")))
+      .localCheckpoint()
+    // Edge-graph-sized width, same rationale as [[nearDupClusters]]: star
+    // rounds run over the pair graph, not the corpus.
+    val defaultPar = pairs.sparkSession.sparkContext.defaultParallelism
+    var n = edges.count()
+    val parts = math.max(1, math.min(defaultPar, (n / 100000L).toInt + 1))
+    edges = edges.repartition(parts, col("hi")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // Both sides are distinct canonical sets, so |next| = |prev| plus
+      // next ⊆ prev ⇒ equality. At 100 TB the same test is two metrics of
+      // the round's jobs (a count and an anti-join count), not a collect.
+      val nn = next.count()
+      converged = nn == n && next.except(edges).isEmpty
+      edges = next
+      n = nn
+      iter += 1
+    }
+    edges
+  }
+
+  /** [[nearDupClusters]] semantics (same (doc_id, cluster_rep) contract,
+    * same pair graph) computed with the large-star/small-star alternating
+    * algorithm — the form that survives deep components at 100 TB.
+    */
+  def nearDupClustersLSS(docs: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.5, maxIters: Int = 15,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = jaccardPairs(docs, n, minJaccard, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+    val stars = connectedComponents(pairs, maxIters)
+    // Stars: every non-root node is a `hi` with lo = its component root;
+    // roots appear only as `lo`. min() is a no-op at fixpoint, kept so a
+    // maxIters-truncated run still yields one row per node.
+    val nonRoots = stars.groupBy(col("hi").as("doc_id"))
+      .agg(min(col("lo")).as("cluster_rep"))
+    val roots = stars.select(col("lo").as("doc_id")).distinct()
+      .join(nonRoots, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"))
+    nonRoots.unionByName(roots)
+  }
+
   /** SimHash near-duplicates: pairs at Hamming distance ≤ `maxHamming`,
     * found via band LSH on `bands` disjoint `bandBits`-bit slices. With
     * maxHamming < bands, pigeonhole guarantees at least one clean band, so

@@ -131,6 +131,88 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Label-free near-duplicate pairs via signed-random-projection LSH
+    * (SimHash-for-vectors): `planes` ±1 hyperplanes project each vector to
+    * a sign bit; bits group into `planes/bandBits` bands; vectors sharing
+    * any full band signature become candidates; candidates are verified
+    * with the exact-decimal cosine. [[nearDupPairs]] needs a `label`
+    * blocking key — this is the scale path when no label exists: pair
+    * generation is an equi-join on (band, key), never O(n²), and the
+    * candidate volume is tuned by `bandBits` (each extra bit halves the
+    * expected bucket size; at 100 TB you run 16-24 bits per band, here 8
+    * keeps the small-SF result set meaningful).
+    *
+    * Determinism: hyperplane component (j, d) is +1 iff the 60-bit
+    * md5(j ‖ ':' ‖ d) value is even — reproducible in any engine, so the
+    * DuckDB oracle mirrors candidate generation EXACTLY, not just the
+    * final threshold. Projections accumulate in decimal (same policy as
+    * every similarity op), so the sign of a near-zero projection is
+    * engine-independent — no tolerance games even at the bucket boundary.
+    *
+    * Recall semantics are standard LSH: collision probability per plane is
+    * 1 − θ/π, so high-sim pairs (true near-dups) are found with high
+    * probability while low-sim pairs mostly aren't candidates; the
+    * verification step makes precision exact regardless.
+    *
+    * The hyperplane codebook is ONE broadcast row (|planes| ±1-vectors);
+    * signatures are a map-side array expression over the corpus scan. The
+    * only corpus-wide shuffle is the (band, key) candidate join. The
+    * codebook needs `dim`, read once from the data (a metadata-sized
+    * driver action at plan-build time).
+    */
+  def srpLshNearDupPairs(embeddings: DataFrame, planes: Int = 32,
+      bandBits: Int = 8, minSim: Double = 0.3): DataFrame = {
+    require(planes % bandBits == 0,
+      s"planes ($planes) must be a multiple of bandBits ($bandBits)")
+    val bands = planes / bandBits
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val dim = embeddings.select(max(size(vec(col("embedding"))))).head().getInt(0)
+    val hplanes = spark.range(planes.toLong)
+      .select(col("id").cast("int").as("plane"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          when(call_function("md5_base60",
+            concat(col("id").cast("string"), lit(":"), d.cast("string")))
+            % 2 === 0, lit(1.0)).otherwise(lit(-1.0))).as("hvec"))
+      .agg(array_sort(collect_list(struct(col("plane"), col("hvec"))))
+        .as("planes"))
+    val banded = embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .crossJoin(broadcast(hplanes))
+      .select(col("vec_id"),
+        transform(col("planes"), p =>
+          when(call_function("decimal_dot", col("v"), p.getField("hvec"))
+            > 0, lit(1)).otherwise(lit(0))).as("bits"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("bits"))
+      .select(col("vec_id"), col("band"),
+        array_join(transform(
+          slice(col("bits"), col("band") * lit(bandBits) + lit(1),
+            lit(bandBits)),
+          b => b.cast("string")), "").as("key"))
+    val cand = banded.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("key"), col("vec_id").as("vec_b")),
+        Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val withNorm = embeddings.select(col("vec_id"),
+      vec(col("embedding")).as("emb"),
+      sqrt(normSqDecimal(col("embedding"))).as("nrm"))
+    // same two-stage verify as nearDupPairs: cheap double prefilter with a
+    // 1e-5 margin, exact-decimal cosine decides
+    cand
+      .join(withNorm.select(col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("nrm").as("norm_a")), Seq("vec_a"))
+      .join(withNorm.select(col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("nrm").as("norm_b")), Seq("vec_b"))
+      .filter(dotDouble(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotDecimal(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Per-label mean embedding (centroid) in exploded (label, pos) form —
     * the K-means / IVF-training primitive and the embedding-drift monitor.
     * Sums accumulate in DECIMAL(28,18) per component (order-independent,

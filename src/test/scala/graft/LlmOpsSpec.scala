@@ -133,6 +133,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents (large-star/small-star) matches union-find " +
+      "on deep and branchy graphs") {
+    // Deep path (diameter 40 — the case propagation is slow on), a
+    // star, a triangle with a pendant, and isolated-pair components.
+    val edges: Seq[(Long, Long)] =
+      (1L until 40L).map(i => i -> (i + 1)) ++          // path 1..40
+        Seq(100L -> 101L, 100L -> 102L, 100L -> 103L) ++ // star
+        Seq(200L -> 201L, 201L -> 202L, 202L -> 200L, 202L -> 203L) ++
+        Seq(300L -> 301L, 400L -> 401L)
+    // Local union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val stars = Dedup.connectedComponents(
+      edges.toDF("u", "v").repartition(7))
+    val nonRoots = stars.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val got = want.keys.map(k =>
+      k -> nonRoots.collectFirst { case (h, l) if h == k => l }.getOrElse(k))
+      .toMap
+    assert(got == want)
+    // star shape: every lo is a component root (appears in no hi position)
+    val his = nonRoots.map(_._1).toSet
+    assert(nonRoots.map(_._2).forall(lo => !his.contains(lo)))
+  }
+
+  test("nearDupClustersLSS agrees with nearDupClusters") {
+    val d = docs(
+      0L -> "a b c d e f g h i j",
+      1L -> "a b c d e f x y z w",
+      2L -> "c d e f x y z w q r",
+      5L -> "m n o p m n o p m n",
+      6L -> "m n o p m n o p m n",
+      9L -> "lone words without any pair here")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(Dedup.nearDupClustersLSS(d, 3, 0.3)) ==
+      canon(Dedup.nearDupClusters(d, 3, 0.3)))
+  }
+
   test("winnowFingerprints: shared runs collide, short docs covered, invariant") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta eta theta",

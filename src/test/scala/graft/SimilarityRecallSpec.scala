@@ -23,6 +23,32 @@ class SimilarityRecallSpec extends SparkSpec {
       f"IVF recall@5 degraded to $recall%.3f ($hit/${exact.size})")
   }
 
+  test("srpLshNearDupPairs finds planted near-identical vectors, " +
+      "prunes unrelated ones, and is partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randVec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val base = (0 until 60).map(i => (i.toLong, randVec(), 0))
+    // plant: 1000 ≈ copy of 0 (tiny perturbation), 1001 = exact copy of 1
+    val planted = Seq(
+      (1000L, base(0)._2.map(v => v + 0.001f), 0),
+      (1001L, base(1)._2.clone(), 0))
+    val emb = (base ++ planted).toDF("vec_id", "embedding", "label")
+    val got = Similarity.srpLshNearDupPairs(emb, 32, 8, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // identical signatures in every band -> planted pairs always found
+    assert(got.contains((0L, 1000L)) && got((0L, 1000L)) >= 0.999)
+    assert(got.contains((1L, 1001L)) && got((1L, 1001L)) == 1.0)
+    // precision is exact: nothing below the verify threshold is emitted
+    assert(got.values.forall(_ >= 0.9))
+    // deterministic hyperplanes -> result invariant under repartitioning
+    val re = Similarity.srpLshNearDupPairs(emb.repartition(7), 32, 8, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(re == got)
+  }
+
   test("kmeansLloyd corrects mislabeled vectors and reaches a fixpoint") {
     import spark.implicits._
     // two tight clusters around orthogonal directions; two vectors start
