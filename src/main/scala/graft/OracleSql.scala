@@ -527,6 +527,36 @@ object OracleSql {
        |      / CAST(len(g3) AS DOUBLE), 6) END AS dup3_frac
        |FROM g""".stripMargin
 
+  /** Reference-LM bigram coverage (mirrors TextAnalysis.lmCoverage):
+    * positional bigrams hashed to the 60-bit md5 domain, reference table
+    * floored at `minCount`, per-doc occurrence coverage with one final
+    * double division. LEFT JOIN UNNEST keeps zero-bigram docs (Spark's
+    * explode_outer) with coverage 0.
+    */
+  def lmCoverage(minCount: Long): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(0, len(t)-1),
+       |           i -> array_to_string(t[i+1:i+2], ' '))
+       |    ELSE [] END AS gl
+       |FROM t),
+       |bg AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(u.b), 1, 15) AS BIGINT) AS bkey
+       |FROM g LEFT JOIN unnest(g.gl) AS u(b) ON true),
+       |lm AS (SELECT bkey FROM bg WHERE bkey IS NOT NULL
+       |       GROUP BY bkey HAVING count(*) >= $minCount)
+       |SELECT doc_id,
+       |  count(bg.bkey) AS n_bigrams,
+       |  CAST(sum(CASE WHEN lm.bkey IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS known_bigrams,
+       |  CASE WHEN count(bg.bkey) = 0 THEN 0.0
+       |    ELSE round(CAST(sum(CASE WHEN lm.bkey IS NOT NULL THEN 1 ELSE 0
+       |      END) AS DOUBLE) / CAST(count(bg.bkey) AS DOUBLE), 6)
+       |  END AS lm_coverage
+       |FROM bg LEFT JOIN lm ON bg.bkey = lm.bkey
+       |GROUP BY doc_id""".stripMargin
+
   /** Bigram collocations by lift (mirrors TextAnalysis.bigramCollocations):
     * positional bigrams, unigram/bigram/N counts, lift as the identical
     * double expression, deterministic (lift DESC, term_a, term_b) top-k.

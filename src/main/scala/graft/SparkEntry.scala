@@ -313,6 +313,10 @@ object SparkEntry {
     "bigram_lift" -> ((s, dir) =>
       TextAnalysis.bigramCollocations(Tables.table(s, dir, "documents"),
         3, 20)),
+    // CCNet-style LM quality gate, log-free: fraction of each doc's
+    // bigram occurrences found in the corpus bigram table floored at 3
+    "lm_coverage" -> ((s, dir) =>
+      TextAnalysis.lmCoverage(Tables.table(s, dir, "documents"), 3)),
     // concat-and-chunk sequence packing into 512-token training
     // sequences over 4 hash shards per language
     "pack_sequences" -> ((s, dir) =>
@@ -433,6 +437,12 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts"), col("value"))
     }),
+
+    // SCD2 dimension-history build: collapse consecutive same-state
+    // events per user, intervalize survivors into
+    // [effective_from, effective_to) versions (NULL = current)
+    "scd2_intervals" -> ((s, dir) =>
+      TimeSeriesOps.scd2Intervals(Tables.table(s, dir, "events"))),
 
     // greatest-n-per-group: top customer by account balance per nation
     "top_customer_per_nation" -> ((s, dir) =>
@@ -996,6 +1006,7 @@ object SparkEntry {
     "decontaminate" -> OracleSql.contamination(97, 2),
     "text_repetition" -> OracleSql.repetitionStats,
     "bigram_lift" -> OracleSql.bigramCollocations(3, 20),
+    "lm_coverage" -> OracleSql.lmCoverage(3),
     "pack_sequences" -> OracleSql.packSequences(512, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
     "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),
@@ -1107,6 +1118,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "scd2_intervals" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, event_type, ts FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER w AS version,
+        |  event_type AS state, event_id,
+        |  ts AS effective_from,
+        |  lead(ts) OVER w AS effective_to,
+        |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "top_customer_per_nation" ->
       """SELECT c_nationkey, c_name AS top_customer, max_acctbal FROM (

@@ -276,6 +276,48 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Reference-LM coverage score — the log-free stand-in for the CCNet
+    * perplexity filter. The "language model" is a bigram table floored at
+    * `minCount` (trained here on the corpus itself; a curated reference
+    * corpus would simply swap the training DataFrame); a document's score
+    * is the fraction of its positional bigram OCCURRENCES found in the
+    * reference table. Clean prose re-uses common word transitions and
+    * scores high; gibberish, keyboard mash, and wrong-language text score
+    * low — the same separation CCNet's KenLM perplexity gate provides,
+    * expressed as integer counts + ONE final double division per doc
+    * (libm-free, so the oracle is bit-identical; precedent: linear-idf
+    * TF-IDF and log-free PMI above).
+    *
+    * Scale shape: bigrams travel as 60-bit md5 int64 keys, never strings.
+    * Three stages: (1) one hash-agg builds the reference table (map-side
+    * partials), (2) one equi-join of doc-bigram occurrences against it —
+    * a shuffle join by design, since a 100 TB corpus's floored bigram
+    * table is itself large (raise `minCount` to shrink it into broadcast
+    * range), (3) one per-doc count agg. Docs with no full bigram (< 2
+    * tokens) score 0 by convention (no evidence of fluency).
+    */
+  def lmCoverage(docs: DataFrame, minCount: Long = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), ngramsFromTokens(col("w"), 2).as("g"))
+      .select(col("doc_id"), explode_outer(col("g")).as("bigram"))
+      .select(col("doc_id"),
+        call_function("md5_base60", col("bigram")).as("bkey"))
+    val lm = bg.filter(col("bkey").isNotNull)
+      .groupBy(col("bkey")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("bkey"), lit(1).as("known"))
+    bg.join(lm, Seq("bkey"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("bkey")).as("n_bigrams"),
+        coalesce(sum(col("known")), lit(0)).cast("long").as("known_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("known_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(round(col("known_bigrams").cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("lm_coverage"))
+  }
+
   /** Concat-and-chunk sequence packing: the pretraining step that turns a
     * document stream into fixed-budget training sequences. Documents are
     * concatenated in deterministic (doc_id) order within a (lang, shard)

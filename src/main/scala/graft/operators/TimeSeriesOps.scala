@@ -53,6 +53,34 @@ object TimeSeriesOps {
     matched.select(leftOut ++ rightOut: _*)
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) intervalization of a change
+    * log: per key, consecutive events with an UNCHANGED tracked attribute
+    * collapse into one version, and each surviving version carries a
+    * validity interval [effective_from, effective_to) — effective_to is
+    * the next version's start, NULL on the current version. The standard
+    * warehouse dimension-history build (and the inverse of an as-of
+    * lookup: as-of ts against the result is a plain BETWEEN join).
+    *
+    * One shuffle on the key: the change-collapse lag and the interval
+    * lead share the (user_id, ts) sort — Catalyst plans one Exchange +
+    * one Sort with both Window operators pipelined on it (the filter
+    * between them preserves ordering).
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("effective_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"), col("event_id"),
+        col("ts").as("effective_from"), col("effective_to"),
+        when(col("effective_to").isNull, 1).otherwise(0).as("is_current"))
+  }
+
   /** Sessionization: split each user's event stream into sessions separated
     * by more than `gapMinutes` of inactivity, then aggregate per session.
     * Gaps-and-islands: a session starts where the lag gap exceeds the

@@ -133,6 +133,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("lmCoverage separates fluent repetition from gibberish; " +
+      "short docs score 0") {
+    // "the cat sat" repeated across docs 0-2 makes those bigrams pass
+    // minCount=3; doc 3 is one-off gibberish (every bigram unique);
+    // doc 4 has < 2 tokens (no bigram evidence)
+    val d = docs(
+      0L -> "the cat sat on the mat",
+      1L -> "the cat sat on the rug",
+      2L -> "the cat sat on the bed",
+      3L -> "zq xv qp wk jm vn",
+      4L -> "hi")
+    val got = TextAnalysis.lmCoverage(d, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // docs 0-2: bigrams "the cat","cat sat","sat on","on the" hit 3 times
+    // each; the last bigram ("the mat"/...) is unique per doc -> 4/5
+    assert(got(0L) == ((5L, 4L, 0.8)))
+    assert(got(1L) == ((5L, 4L, 0.8)))
+    assert(got(2L) == ((5L, 4L, 0.8)))
+    assert(got(3L) == ((5L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("connectedComponents (large-star/small-star) matches union-find " +
       "on deep and branchy graphs") {
     // Deep path (diameter 40 — the case propagation is slow on), a

@@ -47,6 +47,31 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("scd2Intervals collapses unchanged states and chains intervals") {
+    // user 1: view, view (collapse), click, view — 3 versions
+    // user 2: single event — 1 current version
+    val ev = Seq(
+      (10L, ts(0), 1L, "view", 1.0),
+      (11L, ts(1), 1L, "view", 2.0),
+      (12L, ts(2), 1L, "click", 3.0),
+      (13L, ts(5), 1L, "view", 4.0),
+      (14L, ts(3), 2L, "buy", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TimeSeriesOps.scd2Intervals(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version")) ->
+        (r.getAs[String]("state"), r.getAs[Long]("event_id"),
+         Option(r.getAs[Timestamp]("effective_to")).map(_.getTime),
+         r.getAs[Int]("is_current"))).toMap
+    assert(got.size == 4)
+    assert(got((1L, 1)) ==
+      (("view", 10L, Some(base + 2 * 60000L), 0)))
+    assert(got((1L, 2)) ==
+      (("click", 12L, Some(base + 5 * 60000L), 0)))
+    assert(got((1L, 3)) == (("view", 13L, None, 1)))
+    assert(got((2L, 1)) == (("buy", 14L, None, 1)))
+    // intervals chain: version k's effective_to = version k+1's start
+  }
+
   test("sessionize splits on inactivity gaps and aggregates per session") {
     val events = Seq(
       // user 1: minutes 0,10,20 (one session), 100,105 (second session)
