@@ -347,6 +347,43 @@ object OracleSql {
        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
        |FROM q GROUP BY 1""".stripMargin
 
+  /** Uniform-target mixture rates (mirrors TextAnalysis.domainMixture):
+    * integer token counts, two single double divisions, least before
+    * round on both sides.
+    */
+  def domainMixture(budgetTokens: Long): String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CAST(len(t) AS BIGINT)) AS BIGINT) AS n_tokens
+       |  FROM (SELECT source, $toks AS t FROM documents) GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+       |        count(*) AS n_sources FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6)
+       |    AS corpus_share,
+       |  round(least(CAST(1.0 AS DOUBLE), CAST($budgetTokens AS DOUBLE) /
+       |    CAST(n_sources * n_tokens AS DOUBLE)), 6) AS sample_rate
+       |FROM per CROSS JOIN tot""".stripMargin
+
+  /** Hash-bucketed negative sampling (mirrors TextAnalysis.negativeSamples):
+    * identical md5-60bit bucket draws, min-doc_id representatives,
+    * self-pairs dropped.
+    */
+  def negativeSamples(k: Int, nBuckets: Int): String =
+    s"""WITH reps AS (
+       |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % $nBuckets AS bucket,
+       |    min(doc_id) AS neg_doc_id
+       |  FROM documents GROUP BY 1),
+       |draws AS (
+       |  SELECT doc_id, j,
+       |    CAST('0x' || substr(md5(doc_id || ':' || j), 1, 15) AS BIGINT)
+       |      % $nBuckets AS bucket
+       |  FROM documents CROSS JOIN (SELECT unnest(range(0, $k)) AS j) js)
+       |SELECT d.doc_id, d.j, r.neg_doc_id
+       |FROM draws d JOIN reps r USING (bucket)
+       |WHERE r.neg_doc_id <> d.doc_id""".stripMargin
+
   val langMarkersSql: Seq[(String, String)] = Seq(
     "en" -> enStops,
     "de" -> "(der|die|das|und|ist|nicht|mit|ein|zu|den)",

@@ -56,11 +56,39 @@ object ScaleSmoke {
             concat(lit(s"t${j}x"), col("pair_id"))) :+
             concat(lit("u"), col("doc_id")): _*).as("text"))
 
+    // Deep-graph CC fixture: `nChains` disjoint chains of `chainLen`
+    // consecutive ids — diameter = chainLen, the adversarial case for
+    // min-label propagation (needs diameter/2 materialization rounds)
+    // that large-star/small-star contracts in O(log² n) rounds.
+    val chainLen = 1000L
+    val nChainNodes = math.max(100000L, rows / 20L)
+    val chainEdges = spark.range(nChainNodes)
+      .filter(col("id") % chainLen =!= (chainLen - 1))
+      .select(col("id").as("u"), (col("id") + 1L).as("v"))
+
+    // Synthetic embedding corpus for SRP-LSH: deterministic 64-dim
+    // vectors; every 50th vector and its successor are identical
+    // (planted near-dups, sim = 1.0), everything else quasi-random.
+    val nVecs = math.max(5000L, nDocs / 10L)
+    val vecs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      when(col("id") % 50L === 1L, col("id") - 1L).otherwise(col("id"))
+        .as("seed"))
+      .select(col("vec_id"),
+        // murmur3-mixed components (NOT a linear formula — shifted
+        // arithmetic progressions give sawtooth vectors where thousands
+        // of non-planted pairs really do exceed 0.9 cosine)
+        transform(sequence(lit(0), lit(63)),
+          d => pmod(hash(col("seed"), d), lit(1000))
+            .cast("double") / 1000.0 - 0.5).as("embedding"))
+
     // per-stage throughput denominator: candle stages process `rows`,
     // *_docs stages process the doc corpus, codec stages docs/20 payloads
     def baseOf(name: String): Long =
       if (name.endsWith("_decode")) math.max(nDocs / 20, 1)
       else if (name.endsWith("_docs")) nDocs
+      else if (name.startsWith("cc_lss")) nChainNodes
+      else if (name.endsWith("_vecs")) nVecs
       else rows
 
     val results = Seq(
@@ -127,7 +155,22 @@ object ScaleSmoke {
           .filter(col("bb_upper").isNotNull).count()),
       // posting-list build: distinct + df-capped hash agg, no join
       stage("inverted_index_docs")(
-        graft.functions.TextAnalysis.invertedIndex(docs, 20).count()))
+        graft.functions.TextAnalysis.invertedIndex(docs, 20).count()),
+      // alternating large-star/small-star over diameter-1000 chains —
+      // min-label propagation would need ~500 materialization rounds
+      // here; LSS contracts it in ~log rounds. Expected star edges =
+      // nodes − components.
+      stage("cc_lss_deep")(
+        Dedup.connectedComponents(chainEdges, maxIters = 20).count()),
+      // SRP-LSH over the synthetic vector corpus: 32 decimal-exact
+      // hyperplane projections per vector + banded candidate join;
+      // planted identical pairs must all surface (nVecs/50)
+      stage("srp_lsh_vecs")(
+        graft.operators.Similarity.srpLshNearDupPairs(vecs, 32, 8, 0.9)
+          .count()),
+      // LM coverage: bigram hash-agg + corpus-wide reference join
+      stage("lm_coverage_docs")(
+        graft.functions.TextAnalysis.lmCoverage(docs, 3).count()))
 
     val js = results.map { case (n, sec, out) =>
       s""""$n":{"sec":$sec,"rows_per_sec":${(baseOf(n) / sec).toLong},"out_rows":$out}"""

@@ -324,6 +324,13 @@ object SparkEntry {
     // per-source dataset-card aggregate (counts, quality, token dist)
     "corpus_stats_by_source" -> ((s, dir) =>
       TextAnalysis.corpusStatsBySource(Tables.table(s, dir, "documents"))),
+    // uniform-target mixture reweighting under a 10k-token budget
+    "domain_mixture" -> ((s, dir) =>
+      TextAnalysis.domainMixture(Tables.table(s, dir, "documents"), 10000L)),
+    // contrastive negatives: 4 hash-bucket draws per doc, broadcast reps
+    "negative_samples" -> ((s, dir) =>
+      TextAnalysis.negativeSamples(Tables.table(s, dir, "documents"),
+        4, 64)),
     // strict-ordering conversion funnel over first occurrences
     "funnel_conversion" -> ((s, dir) =>
       TimeSeriesOps.funnel(Tables.table(s, dir, "events"),
@@ -990,6 +997,8 @@ object SparkEntry {
     "text_bpe_tokens" -> OracleSql.bpeTokens,
     "text_winnow_fingerprints" -> OracleSql.winnowFingerprints(3, 4),
     "corpus_stats_by_source" -> OracleSql.corpusStatsBySource,
+    "domain_mixture" -> OracleSql.domainMixture(10000L),
+    "negative_samples" -> OracleSql.negativeSamples(4, 64),
     "funnel_conversion" ->
       OracleSql.funnel(Seq("view", "click", "purchase")),
     "cohort_retention" ->

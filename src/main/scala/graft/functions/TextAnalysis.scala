@@ -372,6 +372,63 @@ object TextAnalysis {
         round(percentile(col("n_tok"), lit(0.9)), 6).as("p90_tokens"),
         sum(col("n_tok")).as("total_tokens"))
 
+  /** Per-source sampling rates that flatten the corpus toward a UNIFORM
+    * source mixture under a total token budget — the mixture-reweighting
+    * step of training-data curation (DoReMi-lite: the target weights here
+    * are uniform; a learned weight vector would just replace
+    * `budget / n_sources`). rate_s = min(1, (budget/n_sources) / tokens_s),
+    * so under-budget sources keep everything and over-represented sources
+    * downsample toward the per-source allowance.
+    *
+    * One source-keyed hash aggregate + one broadcast single-row total —
+    * integer token counts, two single double divisions (libm-free,
+    * oracle-exact). The output is |sources|-sized: the table a sampler
+    * (e.g. [[trainValSplit]]'s hash gate reused per-source) consumes.
+    */
+  def domainMixture(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val per = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("corpus_tokens").cast("double"), 6).as("corpus_share"),
+        round(least(lit(1.0), lit(budgetTokens).cast("double") /
+          (col("n_sources") * col("n_tokens")).cast("double")), 6)
+          .as("sample_rate"))
+  }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * document, `k` pseudo-random "negative" partner docs drawn via the
+    * md5-60bit hash family. The corpus is bucketed by hash of doc_id
+    * (`nBuckets` buckets, representative = min doc_id per bucket); draw j
+    * for doc d lands in bucket md5(d ‖ ':' ‖ j) mod nBuckets. The bucket
+    * table is |nBuckets| rows → a BROADCAST join: sampling is map-side
+    * over the corpus scan, no corpus shuffle, fully reproducible on any
+    * partitioning (no RNG state). Self-pairs are dropped (a doc drawn as
+    * its own negative), so a doc can yield < k rows — standard practice
+    * is to oversample k by one.
+    */
+  def negativeSamples(docs: DataFrame, k: Int = 4,
+      nBuckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val reps = docs
+      .select((call_function("md5_base60", col("doc_id").cast("string"))
+        % nBuckets).as("bucket"), col("doc_id"))
+      .groupBy(col("bucket")).agg(min(col("doc_id")).as("neg_doc_id"))
+    docs.select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("bucket",
+        call_function("md5_base60",
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("j").cast("string"))) % nBuckets)
+      .join(broadcast(reps), Seq("bucket"))
+      .filter(col("neg_doc_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("j"), col("neg_doc_id"))
+  }
+
   /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
     * POSITIONAL token k-gram (duplicates kept — winnowing is positional,
     * unlike the distinct shingle sets in Dedup), then keep the minimum

@@ -133,6 +133,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("domainMixture: over-represented sources downsample toward the " +
+      "per-source allowance, small ones keep everything") {
+    // source a: 30 tokens, source b: 6 tokens; budget 20 over 2 sources
+    // -> allowance 10: rate_a = 10/30, rate_b = 1.0
+    val d = Seq(
+      (0L, "w w w w w w w w w w w w w w w", "a"),
+      (1L, "w w w w w w w w w w w w w w w", "a"),
+      (2L, "x x x x x x", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.domainMixture(d, 20L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("a") == ((2L, 30L, 0.833333, 0.333333)))
+    assert(got("b") == ((1L, 6L, 0.166667, 1.0)))
+  }
+
+  test("negativeSamples: deterministic draws, no self-pairs, k per doc " +
+      "minus self-collisions") {
+    val d = (0L until 20L).map(i => (i, s"doc $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.negativeSamples(d, 4, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall { case (d0, _, n) => d0 != n })
+    // every (doc, j) draw appears at most once and at most k=4 per doc
+    val perDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc.values.forall(n => n >= 1 && n <= 4))
+    assert(got.distinct.length == got.length)
+    // deterministic under repartitioning
+    val re = TextAnalysis.negativeSamples(d.repartition(5), 4, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(re.sorted.toSeq == got.sorted.toSeq)
+  }
+
   test("lmCoverage separates fluent repetition from gibberish; " +
       "short docs score 0") {
     // "the cat sat" repeated across docs 0-2 makes those bigrams pass
