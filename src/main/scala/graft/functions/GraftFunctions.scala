@@ -26,3 +26,42 @@ object GraftFunctions {
     }
   }
 }
+
+/** `SparkSessionExtensions` entry point — the deployment-grade way to get
+  * the engine's expressions into EVERY session of a cluster without code
+  * changes:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * }}}
+  *
+  * Injected functions are registered at session BUILD time (before any
+  * query), so plain `spark.sql("SELECT md5_base60(...)")` works in
+  * thriftserver/notebook sessions that never touch the Scala API. The
+  * library's own code paths still call [[GraftFunctions.register]]
+  * defensively — both routes are idempotent.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("decimal_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DecimalDotProduct].getName, "decimal_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DecimalDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("double_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DoubleDotProduct].getName, "double_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DoubleDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("md5_base60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Md5Base60].getName, "md5_base60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Base60(exprs.head)))
+  }
+}

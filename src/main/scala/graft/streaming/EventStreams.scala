@@ -224,6 +224,45 @@ object EventStreams {
       }
   }
 
+  /** Change-collapse carry-state: the last emitted state per user. */
+  case class ScdState(last: String)
+
+  case class UserEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String)
+
+  case class ScdChange(user_id: Long, ts: Timestamp, event_id: Long,
+      state: String)
+
+  /** Streaming SCD2 change capture: the change-collapse half of
+    * [[graft.operators.TimeSeriesOps.scd2Intervals]] as a
+    * flatMapGroupsWithState stream keyed by user — emit an event only
+    * when its tracked attribute differs from the last EMITTED one, with
+    * one string of state per user carried across micro-batches.
+    * (Intervalization needs the NEXT change and so belongs to batch /
+    * the downstream sink-side as-of; a CDC pipeline streams the change
+    * log and intervalizes at rest.) In-order arrival reproduces the
+    * batch collapse row-for-row — asserted stream≡batch in StreamingSpec.
+    */
+  def scdChangeStream(events: Dataset[UserEvent]): Dataset[ScdChange] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[ScdState]) =>
+          var last = state.getOption.map(_.last)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .flatMap { e =>
+              if (last.contains(e.event_type)) None
+              else {
+                last = Some(e.event_type)
+                Some(ScdChange(user, e.ts, e.event_id, e.event_type))
+              }
+            }
+          last.foreach(l => state.update(ScdState(l)))
+          out.iterator
+      }
+  }
+
   /** Streaming MA-crossover backtest via flatMapGroupsWithState keyed by
     * symbol. Rows inside each micro-batch are processed in event-time
     * order; cross-batch disorder is accepted as-at-arrival (documented

@@ -89,6 +89,42 @@ class BucketingSpec extends SparkSpec {
       s"expected the day predicate as a partition filter:\n$scan")
   }
 
+  test("DYNAMIC partition pruning: a filtered dimension prunes the " +
+      "fact scan at runtime") {
+    // the 100 TB star-join scan reducer: the date dimension's predicate
+    // is only known at runtime (it sits on the dim side of the join), so
+    // Catalyst injects a dynamicpruning subquery into the fact scan's
+    // PartitionFilters — the fact side reads ONE day's directory, not all
+    import spark.implicits._
+    // 20 day-partitions so DPP's benefit heuristic (pruned bytes >
+    // subquery overhead) clearly holds — on a 2-partition toy fact the
+    // rule correctly declines to fire
+    val candles = candleFrame(Map(
+      "a" -> (1 to 28800).map(_.toDouble))) // 20 days of minutes
+      .withColumn("day", to_date(col("ts")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    candles.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a REAL source with a surviving Filter — a local Seq
+    // constant-folds the predicate away and DPP's selective-predicate
+    // check never fires
+    // the predicate must be a LITERAL comparison — DPP's
+    // isLikelySelective check rejects a bare boolean attribute
+    (1 to 20).map(d => (f"2024-01-$d%02d", if (d == 2) "keep" else "drop"))
+      .toDF("d", "tag")
+      .select(to_date(col("d")).as("day"), col("tag"))
+      .write.mode("overwrite").parquet(s"$dir-dim")
+    val dim = spark.read.parquet(s"$dir-dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, Seq("day"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan's " +
+        s"PartitionFilters:\n$plan")
+    assert(joined.count() == 1440)
+  }
+
   test("one file per bucket (sort-order-exposing layout)") {
     // bucket id is encoded in the file name as the _NNNNN suffix; empty
     // buckets write no file — the invariant is no bucket has TWO files

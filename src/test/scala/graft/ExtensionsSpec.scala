@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The `spark.sql.extensions=graft.functions.GraftExtensions` deployment
+  * path: a session built with the extensions config must expose the
+  * custom expressions to PURE SQL with no `GraftFunctions.register` call
+  * anywhere — the route a thriftserver/notebook user takes.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects the function family at session build") {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions: the in-process route through the same injector.
+      // (The `spark.sql.extensions` CONFIG string only applies on a fresh
+      // JVM — getOrCreate reads it from the SparkContext's conf, which is
+      // already fixed here; spark-submit users set the config, embedded
+      // users call withExtensions.)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions()(_))
+        .getOrCreate()
+      assert(s2 ne old, "expected a NEW session (extensions apply at build)")
+      // md5_base60('x') = int64 of the first 15 hex chars of md5("x")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest("x".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      val want = java.lang.Long.parseLong(hex, 16)
+      val got = s2.sql("SELECT md5_base60('x') AS h").collect()(0).getLong(0)
+      assert(got == want)
+      // the decimal_dot expression rides in through the same injection
+      val dot = s2.sql(
+        "SELECT decimal_dot(array(1.5d, 2.0d), array(2.0d, 3.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(dot == 9.0)
+    } finally {
+      SparkSession.setActiveSession(old)
+      SparkSession.setDefaultSession(old)
+    }
+  }
+}

@@ -85,6 +85,33 @@ class PlanShapeSpec extends SparkSpec {
       s"nation (and the aggregated rev side under AQE) must broadcast:\n$plan")
   }
 
+  test("embedding_lsh_neardup broadcasts the hyperplane codebook; " +
+      "signatures never sort-merge against it") {
+    val plan = finalPlan(SparkEntry.queries("embedding_lsh_neardup")(spark, dir))
+    // the ±1 codebook collapses to one row — it must reach the corpus as
+    // a BroadcastNestedLoopJoin/BroadcastExchange, never an exchange of
+    // the corpus side keyed on it
+    assert(count(plan, "BroadcastExchange") >= 1,
+      s"hyperplane codebook must broadcast:\n$plan")
+  }
+
+  test("negative_samples broadcasts the bucket representatives") {
+    val plan = finalPlan(SparkEntry.queries("negative_samples")(spark, dir))
+    assert(count(plan, "BroadcastExchange") >= 1,
+      s"the |buckets|-row rep table must broadcast (sampling stays " +
+        s"map-side):\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"draw join must never shuffle the corpus:\n$plan")
+  }
+
+  test("lm_coverage is reference-agg + join + doc-agg — no extra exchanges") {
+    val plan = finalPlan(SparkEntry.queries("lm_coverage")(spark, dir))
+    // bigram agg (bkey), the probe join reuses the bkey partitioning
+    // under AQE, doc agg (doc_id): at most three hash exchanges total
+    assert(count(plan, "Exchange hashpartitioning") <= 3,
+      s"lm_coverage grew extra shuffles:\n$plan")
+  }
+
   test("inverted_index is two partial-agg exchanges, no join") {
     val plan = finalPlan(SparkEntry.queries("inverted_index")(spark, dir))
     assert(count(plan, "Exchange hashpartitioning") == 2,

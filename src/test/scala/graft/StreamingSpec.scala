@@ -239,6 +239,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SCD change capture collapses across micro-batches " +
+      "(stream ≡ batch collapse)") {
+    val base = 1704067200000L
+    val evs = Seq(
+      (10L, 0, 1L, "view"), (11L, 1, 1L, "view"), (12L, 2, 1L, "click"),
+      (13L, 3, 1L, "click"), (14L, 4, 1L, "view"), (15L, 0, 2L, "buy"))
+      .map { case (id, m, u, t) =>
+        EventStreams.UserEvent(u, new Timestamp(base + m * 60000L), id, t) }
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.UserEvent](spark)
+    // cut MID-RUN of user 1's duplicate "click": the collapse state must
+    // carry across the micro-batch boundary or event 13 double-emits
+    ms.addData(evs.take(3))
+    val q = EventStreams.scdChangeStream(ms.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_scd").start()
+    q.processAllAvailable()
+    ms.addData(evs.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_scd")
+      .as[EventStreams.ScdChange].collect()
+      .map(c => (c.user_id, c.event_id, c.state)).toSet
+    // batch reference: scd2Intervals on the same rows (its surviving
+    // (user, event_id, state) rows ARE the collapsed change log)
+    val batch = operators.TimeSeriesOps.scd2Intervals(
+      evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("state"))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 10L, "view"), (1L, 12L, "click"),
+      (1L, 14L, "view"), (2L, 15L, "buy")))
+  }
+
   test("stateful streaming backtest closes positions across micro-batches") {
     val closes = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 5.0, 5.0, 5.0, 30.0, 2.0)
     val base = 1704067200000L
