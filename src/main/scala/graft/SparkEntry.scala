@@ -50,6 +50,7 @@ object SparkEntry {
     "q21_sole_returned" -> ((s, dir) => Analytics.soleReturnedSuppliers(s, dir)),
     "q20_dominant_suppliers" -> ((s, dir) => Analytics.dominantPartSuppliers(s, dir)),
     "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
+    "q2_min_cost_supplier" -> ((s, dir) => Analytics.minCostSuppliers(s, dir)),
     "full_outer_recon" -> ((s, dir) => Analytics.nationPartyReconciliation(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
@@ -726,6 +727,31 @@ object SparkEntry {
         |      AS DOUBLE), 6) AS promo_share
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_type FROM part
+        |           WHERE p_size = 15),
+        |sr AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey
+        |       WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(20,4))) AS cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM p)
+        |    AND l_suppkey IN (SELECT s_suppkey FROM sr)
+        |  GROUP BY 1, 2)
+        |SELECT s_acctbal, s_suppkey, s_name, n_name,
+        |  o.l_partkey AS p_partkey, p_brand, p_type,
+        |  CAST(o.cost AS DOUBLE) AS cost
+        |FROM offers o
+        |JOIN sr ON o.l_suppkey = sr.s_suppkey
+        |JOIN p ON o.l_partkey = p.p_partkey
+        |WHERE o.cost = (SELECT min(cost) FROM offers o2
+        |                WHERE o2.l_partkey = o.l_partkey)
+        |ORDER BY s_acctbal DESC, s_suppkey, p_partkey
+        |LIMIT 100""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (

@@ -646,4 +646,54 @@ object Analytics {
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
   }
+
+  /** TPC-H Q2 shape, adapted (no partsupp table — the minimum OFFERED
+    * extended price per (part, supplier) observed in lineitem stands in
+    * for ps_supplycost): for parts of one size class supplied from one
+    * region, the supplier(s) whose best offer equals the per-part
+    * regional minimum. The classic correlated scalar-MIN subquery
+    * decorrelates into a keyed MIN re-aggregate joined back on partkey.
+    *
+    * Scale story: the (partkey, suppkey) MIN aggregate runs FIRST (the
+    * big reduction), pruned before the shuffle by two semi-joins — the
+    * size-filtered part keys and the region-filtered supplier keys (both
+    * dimension-sized; AQE broadcasts them). nation⨝region is bounded and
+    * broadcast. Costs compare as DECIMAL — exact equality, so the
+    * min-cost set is engine-independent; the final top-k orders by
+    * (acctbal, suppkey, partkey), a unique triple.
+    */
+  def minCostSuppliers(spark: SparkSession, dir: String,
+      region: String = "EUROPE", size: Int = 15, k: Int = 100): DataFrame = {
+    val nationsInRegion = broadcast(table(spark, dir, "nation")
+      .join(broadcast(table(spark, dir, "region")
+        .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    val suppRegion = table(spark, dir, "supplier")
+      .join(nationsInRegion, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val sizedParts = table(spark, dir, "part")
+      .filter(col("p_size") === size)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    val offers = table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(sizedParts.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(suppRegion.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast("decimal(20,4)")).as("cost"))
+    val minCost = offers.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost")).as("min_cost"))
+    offers
+      .join(minCost,
+        col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
+      .join(sizedParts, col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_suppkey"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("p_type"),
+        col("cost").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"), col("p_partkey"))
+      .limit(k)
+  }
 }
