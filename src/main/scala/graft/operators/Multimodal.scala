@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO defaults to FILE-backed stream caching — one temp file per
+    * image read/write. Every payload here is an in-memory byte array, so
+    * that cache is pure syscall overhead on small images. The setter is a
+    * static boolean: called at the top of every codec closure so it takes
+    * effect on EXECUTOR JVMs too, not just wherever the object
+    * initialized.
+    */
+  @inline private def noDiskCache(): Unit = ImageIO.setUseCache(false)
+
   /** A media row: payload stays opaque binary end-to-end. */
   case class Media(media_id: Long, kind: String, payload: Array[Byte])
 
@@ -74,6 +83,7 @@ object Multimodal {
       }
       y += 1
     }
+    noDiskCache()
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -105,6 +115,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      noDiskCache()
       rows.flatMap { m =>
         val img = ImageIO.read(new ByteArrayInputStream(m.payload))
         if (img == null) None
@@ -138,6 +149,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      noDiskCache()
       rows.flatMap { m =>
         val img = ImageIO.read(new ByteArrayInputStream(m.payload))
         if (img == null) None
@@ -391,6 +403,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      noDiskCache()
       rows.flatMap { m =>
         val p = m.payload
         if (p.length < 8 || p(0) != 'F' || p(1) != 'P' || p(2) != 'V' ||
