@@ -384,6 +384,11 @@ object SparkEntry {
       Dedup.nearDupClustersLSS(Tables.table(s, dir, "documents"), 3, 0.5,
         maxDf = 50)),
 
+    // Fixed-point integer PageRank over the customer↔supplier trade
+    // graph — iterative-rank workload with a bit-exact unrolled oracle
+    // (floor division + integer sums are engine- and order-independent)
+    "pagerank_trade" -> ((s, dir) => operators.GraphOps.pageRank(s, dir)),
+
     "simhash_fingerprints" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.table(s, dir, "documents"))),
     "simhash_neardup_pairs" -> ((s, dir) =>
@@ -1114,6 +1119,32 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
          |FROM reach GROUP BY src""".stripMargin,
+
+    "pagerank_trade" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |params AS (SELECT 1000000000000 // count(*) AS init,
+        |  (3 * (1000000000000 // count(*))) // 20 AS base FROM deg),
+        |r0 AS (SELECT src AS node, init AS rk FROM deg, params),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(r.rk // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN r0 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT node, base + (17 * s) // 20 AS rk FROM c1, params),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(r.rk // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN r1 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT node, base + (17 * s) // 20 AS rk FROM c2, params),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(r.rk // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN r2 r ON e.src = r.node
+        |       JOIN deg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT node, base + (17 * s) // 20 AS rk FROM c3, params)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  node // 2 AS node_key, rk AS rank
+        |FROM r3""".stripMargin,
 
     "simhash_fingerprints" -> OracleSql.simhashFingerprints,
     "simhash_neardup_pairs" -> OracleSql.simhashNearDupPairs(3, 4, 15),
