@@ -125,6 +125,50 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() == 1440)
   }
 
+  test("runtime BLOOM filter: a selective dim predicate injects " +
+      "bloom_filter_might_contain into the shuffle-join probe side") {
+    // DPP's sibling for NON-partition join keys: when the fact⋈fact join
+    // must shuffle, a selective literal predicate on one side lets Spark
+    // build a bloom filter over its join keys and push a might_contain
+    // pre-filter into the other side's scan — at 100 TB this drops most
+    // probe rows BEFORE the exchange instead of after it. Thresholds are
+    // lowered because the heuristics (correctly) decline on toy inputs.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bloom").toString
+    (1 to 200000).map(k => (k.toLong, k % 97)).toDF("fk", "v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (1 to 5000).map(k => (k.toLong, if (k % 500 == 0) "keep" else "drop"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(s"$dir/build")
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // force a shuffle join: broadcast would make the bloom filter moot
+      // (and the rule skip) — the proof is about the shuffle path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val build = spark.read.parquet(s"$dir/build")
+        .filter(col("tag") === "keep")
+      val joined = fact.join(build, col("fk") === col("k"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a bloom runtime filter on the probe side:\n$plan")
+      assert(joined.count() == 10)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("one file per bucket (sort-order-exposing layout)") {
     // bucket id is encoded in the file name as the _NNNNN suffix; empty
     // buckets write no file — the invariant is no bucket has TWO files
