@@ -87,7 +87,8 @@ object ScaleSmoke {
     def baseOf(name: String): Long =
       if (name.endsWith("_decode")) math.max(nDocs / 20, 1)
       else if (name.endsWith("_docs")) nDocs
-      else if (name.startsWith("cc_lss")) nChainNodes
+      else if (name.startsWith("cc_lss") ||
+        name.startsWith("pagerank")) nChainNodes
       else if (name.endsWith("_vecs")) nVecs
       else rows
 
@@ -170,7 +171,15 @@ object ScaleSmoke {
           .count()),
       // LM coverage: bigram hash-agg + corpus-wide reference join
       stage("lm_coverage_docs")(
-        graft.functions.TextAnalysis.lmCoverage(docs, 3).count()))
+        graft.functions.TextAnalysis.lmCoverage(docs, 3).count()),
+      // Fixed-point PageRank on the symmetrized chain graph: 3
+      // iterations × (1 join + 1 agg) over ~nChainNodes edges each way —
+      // the iterative-rank workload at graph scale, integer-exact
+      stage("pagerank_chain")(
+        graft.operators.GraphOps.pageRankEdges(
+          chainEdges.select(col("u").as("src"), col("v").as("dst")).union(
+            chainEdges.select(col("v").as("src"), col("u").as("dst"))),
+          iters = 3).count()))
 
     val js = results.map { case (n, sec, out) =>
       s""""$n":{"sec":$sec,"rows_per_sec":${(baseOf(n) / sec).toLong},"out_rows":$out}"""

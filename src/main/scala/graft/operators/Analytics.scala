@@ -683,11 +683,13 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice").cast("decimal(20,4)")).as("cost"))
-    val minCost = offers.groupBy(col("l_partkey").as("mk"))
-      .agg(min(col("cost")).as("min_cost"))
+    // per-part min via a window over the SAME partkey the aggregate just
+    // shuffled on — one pass; a min re-aggregate + self-join would make
+    // Catalyst compute the whole offers subtree twice
     offers
-      .join(minCost,
-        col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .withColumn("min_cost",
+        min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost") === col("min_cost"))
       .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
       .join(sizedParts, col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_suppkey"), col("s_name"), col("n_name"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -48,13 +49,31 @@ object GraphOps {
     // union IS the symmetric closure, no second distinct needed
     val edges = forward
       .union(forward.select(col("dst").as("src"), col("src").as("dst")))
+    pageRankEdges(edges, iters, scale).select(
+      when(col("node") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("node_type"),
+      expr("node div 2").as("node_key"),
+      col("rk").as("rank"))
+  }
+
+  /** The iteration core over an arbitrary SYMMETRIC `(src, dst)` edge
+    * list (every node must have out-degree ≥ 1 — guaranteed by
+    * symmetrization). Returns `(node, rk)` fixed-point ranks.
+    */
+  def pageRankEdges(edgeList: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    // degree attaches in ONE window pass and the (src, dst, deg) list is
+    // MATERIALIZED — the unrolled iteration lineage re-scans it instead
+    // of re-aggregating degrees inside every level (the naive
+    // edges⋈groupBy form re-planned the degree exchange per iteration)
+    val withDeg = edgeList.withColumn("deg",
+      count(lit(1)).over(Window.partitionBy(col("src"))))
       .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = deg.count() // driver-coordinated like the Lloyd/cluster loops
+    val nodes = withDeg.select(col("src")).distinct()
+    val n = nodes.count() // driver-coordinated like the Lloyd/cluster loops
     val init = scale / n
     val base = (3L * init) / 20L // (1-d) * scale/N in fixed point
-    val withDeg = edges.join(deg, "src")
-    var rank = deg.select(col("src").as("node"), lit(init).as("rk"))
+    var rank = nodes.select(col("src").as("node"), lit(init).as("rk"))
     for (_ <- 1 to iters) {
       rank = withDeg.join(rank, col("src") === col("node"))
         .select(col("dst"), expr("rk div deg").as("c"))
@@ -63,10 +82,6 @@ object GraphOps {
         .select(col("dst").as("node"),
           (lit(base) + expr("(17 * s) div 20")).as("rk"))
     }
-    rank.select(
-      when(col("node") % 2 === 0, lit("customer"))
-        .otherwise(lit("supplier")).as("node_type"),
-      expr("node div 2").as("node_key"),
-      col("rk").as("rank"))
+    rank
   }
 }
