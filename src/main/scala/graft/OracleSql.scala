@@ -671,6 +671,27 @@ object OracleSql {
        |$rows""".stripMargin
   }
 
+  /** Vocabulary build + id encoding (mirrors TextAnalysis.vocabEncode):
+    * dense ids by (count DESC, token) over tokens with count ≥ minCount,
+    * docs re-encoded as position-ordered id strings, OOV → 0.
+    */
+  def vocabEncode(minCount: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(t)),
+       |    i -> {'pos': i, 'tok': t[i+1]}), recursive := true)
+       |  FROM (SELECT doc_id, $toks AS t FROM documents)),
+       |vocab AS (
+       |  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS tok_id
+       |  FROM (SELECT tok, count(*) AS cnt FROM toks
+       |        GROUP BY tok HAVING count(*) >= $minCount)),
+       |enc AS (
+       |  SELECT t.doc_id, t.pos, coalesce(v.tok_id, 0) AS tid
+       |  FROM toks t LEFT JOIN vocab v USING (tok))
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+       |FROM enc GROUP BY doc_id""".stripMargin
+
   val eventsPropsJson: String =
     """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
       |  count(k) AS n_with_k, max(k) AS max_k

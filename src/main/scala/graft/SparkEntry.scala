@@ -318,6 +318,10 @@ object SparkEntry {
     // bigram occurrences found in the corpus bigram table floored at 3
     "lm_coverage" -> ((s, dir) =>
       TextAnalysis.lmCoverage(Tables.table(s, dir, "documents"), 3)),
+    // tokenizer-vocab build (dense ids by count desc, deterministic) +
+    // per-doc id-sequence encoding, OOV → 0
+    "vocab_encode" -> ((s, dir) =>
+      TextAnalysis.vocabEncode(Tables.table(s, dir, "documents"), 3)),
     // concat-and-chunk sequence packing into 512-token training
     // sequences over 4 hash shards per language
     "pack_sequences" -> ((s, dir) =>
@@ -1047,6 +1051,7 @@ object SparkEntry {
     "text_repetition" -> OracleSql.repetitionStats,
     "bigram_lift" -> OracleSql.bigramCollocations(3, 20),
     "lm_coverage" -> OracleSql.lmCoverage(3),
+    "vocab_encode" -> OracleSql.vocabEncode(3),
     "pack_sequences" -> OracleSql.packSequences(512, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
     "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),

@@ -498,4 +498,38 @@ object TextAnalysis {
           transform(col("ds"), x => x.getField("doc_id").cast("string")))
           .as("postings"))
   }
+
+  /** Tokenizer-vocabulary build + id encoding — the step between curation
+    * and training: rank corpus tokens with count ≥ `minCount` by
+    * (count DESC, token) into dense ids (deterministic — no hash
+    * collisions, no RNG), then encode every document as its token-id
+    * sequence; out-of-vocab tokens map to id 0 (<unk>). Emits per doc the
+    * id string plus token/unk counts.
+    *
+    * Scale: the only global ORDER BY runs on the AGGREGATED vocabulary —
+    * |V| is dimension-sized (bounded by the token distribution, not the
+    * corpus), which is why every real tokenizer pipeline can sort it on
+    * one node. The token stream itself sees one hash-agg (vocab counts),
+    * one broadcast join (encode), and one doc-keyed exchange
+    * (reassembly) — never a global sort.
+    */
+  def vocabEncode(docs: DataFrame, minCount: Long = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("tok_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))))
+      .select(col("tok").as("vtok"), col("tok_id"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tok_id"), lit(0)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_unk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid").cast("string")), " ").as("ids"))
+  }
 }

@@ -484,4 +484,19 @@ class LlmOpsSpec extends SparkSpec {
       ("beta", 3L, ""),       // df 3 > cap 2 → exact df, empty postings
       ("gamma", 1L, "1")))
   }
+
+  test("vocabEncode ranks by count desc then token, OOV maps to 0") {
+    // counts: aa×4, bb×3, cc×2, dd×1 → vocab(minCount=2): aa=1 bb=2 cc=3
+    val df = docs(
+      1L -> "aa bb aa",
+      2L -> "bb cc aa",
+      3L -> "aa bb cc dd")
+    val got = TextAnalysis.vocabEncode(df, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 0L, "1 2 1"),
+      (2L, 3L, 0L, "2 3 1"),
+      (3L, 4L, 1L, "1 2 3 0"))) // dd below minCount → unk id 0
+  }
 }
