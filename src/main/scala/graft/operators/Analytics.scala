@@ -248,10 +248,15 @@ object Analytics {
     val l = table(spark, dir, "lineitem")
     val bySupp = l.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("sq"))
-    val byPart = l.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("pq"),
-        count_distinct(col("l_suppkey")).as("ns"))
-    val dominant = bySupp.join(byPart, col("l_partkey") === col("pk"))
+    // per-part totals derive from the (partkey, suppkey) aggregate via a
+    // window on the partitioning that aggregate just produced — one
+    // lineitem scan, no self-join (the groupBy-twice form scanned the
+    // fact table twice); distinct-supplier count = the window row count
+    // because bySupp already has one row per (part, supplier)
+    val w = Window.partitionBy(col("l_partkey"))
+    val dominant = bySupp
+      .withColumn("pq", sum(col("sq")).over(w))
+      .withColumn("ns", count(lit(1)).over(w))
       .filter(col("ns") >= minSuppliers &&
         col("sq").cast("double") >
           lit(mult) * col("pq").cast("double") / col("ns").cast("double"))
