@@ -671,6 +671,36 @@ object OracleSql {
        |$rows""".stripMargin
   }
 
+  /** Exact duplicated-substring spans (mirrors Dedup.duplicateSpans):
+    * positions whose k-token shingle repeats ≥ minDf corpus-wide,
+    * merged into maximal spans by gaps-and-islands (lag flag + running
+    * sum, split across CTEs — window calls cannot nest).
+    */
+  def duplicateSpans(k: Int, minDf: Long): String =
+    s"""WITH tok AS (SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(t) - $k + 1),
+       |    i -> {'pos': i, 'shash': CAST('0x' ||
+       |      substr(md5(array_to_string(t[i+1:i+$k], ' ')), 1, 15)
+       |      AS BIGINT)}), recursive := true)
+       |  FROM tok WHERE len(t) >= $k),
+       |hot AS (SELECT shash FROM sh GROUP BY shash
+       |        HAVING count(*) >= $minDf),
+       |dup AS (SELECT s.doc_id, s.pos FROM sh s SEMI JOIN hot USING (shash)),
+       |flg AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      <= $k THEN 0 ELSE 1 END AS new_island
+       |  FROM dup),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM flg)
+       |SELECT doc_id, min(pos) AS start_tok, max(pos) + $k - 1 AS end_tok,
+       |  max(pos) + $k - min(pos) AS span_tokens
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
   /** Vocabulary build + id encoding (mirrors TextAnalysis.vocabEncode):
     * dense ids by (count DESC, token) over tokens with count ≥ minCount,
     * docs re-encoded as position-ordered id strings, OOV → 0.

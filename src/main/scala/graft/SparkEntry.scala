@@ -366,6 +366,11 @@ object SparkEntry {
           concat(col("source"), lit(" standard header boilerplate\n"),
             col("text"), lit("\nshared footer "), col("lang")).as("text")),
         maxDf = 2)),
+    // exact duplicated-substring spans (suffix-array family, done
+    // relationally): 5-token shingles with corpus df ≥ 2, merged into
+    // maximal per-doc spans via gaps-and-islands
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.table(s, dir, "documents"), 5, 2)),
     // maxDf = 50 (10% of the corpus): stop-shingle pruning — at scale one
     // hot shingle in 1M docs would otherwise build a single 1M-element
     // aggregate row and a df² candidate explode; the oracle mirrors the
@@ -1067,6 +1072,7 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "dedup_exact" -> OracleSql.exactDuplicates,
+    "dedup_spans" -> OracleSql.duplicateSpans(5, 2),
     // identical wrapped corpus + identical md5-60bit line-key domain;
     // string_agg skips the NULLed dropped lines exactly as Spark's
     // collect_list skips the NULLed structs

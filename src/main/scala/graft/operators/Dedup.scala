@@ -426,6 +426,51 @@ object Dedup {
           "\n").as("text_clean"))
   }
 
+  /** Exact duplicated-SUBSTRING spans — the suffix-array dedup family
+    * (Lee et al. 2022, arXiv:2107.06499 "Deduplicating Training Data
+    * Makes Language Models Better"), done relationally: a token position
+    * is duplicated if its k-token shingle occurs ≥ `minDf` times
+    * corpus-wide; overlapping/adjacent duplicated shingles merge into
+    * MAXIMAL spans per doc via gaps-and-islands (two window passes: a
+    * lag flag, then its running sum — positions ≤ k apart share an
+    * island because their k-token windows touch). One row per maximal
+    * span with inclusive token offsets.
+    *
+    * A true suffix array finds arbitrary-length repeats; fixing the
+    * minimum repeat length at k tokens is what makes it relational —
+    * the standard scalable approximation. Scale: positions travel as
+    * (doc_id, pos, 60-bit shash); the df aggregate is one corpus-wide
+    * hash-agg (map-side partial) on the int64 key; the semi-join back
+    * drops every unique position BEFORE the per-doc window exchange,
+    * so the window sees only duplicated content.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 5,
+      minDf: Long = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => md5Base60(concat_ws(" ", slice(col("t"), i + lit(1), lit(k))))))
+        .as(Seq("pos", "shash")))
+    val hot = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(hot.select(col("shash")), Seq("shash"), "left_semi")
+      .withColumn("new_island",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(k - 1)).as("end_tok"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).as("span_tokens"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        col("span_tokens"))
+  }
+
   /** 60-bit SimHash fingerprints via the codegen'd [[graft.functions.SimHash64]]
     * expression — one pass over the scan, no shuffle.
     */

@@ -485,6 +485,21 @@ class LlmOpsSpec extends SparkSpec {
       ("gamma", 1L, "1")))
   }
 
+  test("duplicateSpans merges overlapping duplicated shingles into maximal spans") {
+    // docs 1 and 2 share the 7-token run "a b c d e f g" (3 overlapping
+    // 5-shingles each → ONE maximal span of 7 tokens); doc 3 is unique
+    val df = docs(
+      1L -> "a b c d e f g x1 y1 z1",
+      2L -> "p2 q2 a b c d e f g r2",
+      3L -> "u3 v3 w3 x3 y3 z3 s3 t3")
+    val got = Dedup.duplicateSpans(df, k = 5, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0, 6, 7),   // tokens 0-6 = the shared run
+      (2L, 2, 8, 7)))  // same run shifted by the "p2 q2" prefix
+  }
+
   test("vocabEncode ranks by count desc then token, OOV maps to 0") {
     // counts: aa×4, bb×3, cc×2, dd×1 → vocab(minCount=2): aa=1 bb=2 cc=3
     val df = docs(
