@@ -701,6 +701,28 @@ object OracleSql {
        |  max(pos) + $k - min(pos) AS span_tokens
        |FROM isl GROUP BY doc_id, island""".stripMargin
 
+  /** Deterministic epoch shuffle (mirrors TextAnalysis.epochShuffle):
+    * md5(epoch ':' doc_id) sort keys, 60-bit-prefix shard assignment,
+    * row_number within (epoch, shard).
+    */
+  def epochShuffle(epochs: Int, nShards: Int): String =
+    s"""WITH e AS (SELECT doc_id, unnest(range(0, $epochs)) AS epoch
+       |           FROM documents),
+       |keyed AS (
+       |  SELECT epoch, doc_id,
+       |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+       |      AS skey
+       |  FROM e),
+       |sharded AS (
+       |  SELECT epoch, doc_id, skey,
+       |    CAST('0x' || substr(skey, 1, 15) AS BIGINT) % $nShards AS shard
+       |  FROM keyed)
+       |SELECT epoch, shard,
+       |  row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY skey, doc_id) AS pos,
+       |  doc_id
+       |FROM sharded""".stripMargin
+
   /** Vocabulary build + id encoding (mirrors TextAnalysis.vocabEncode):
     * dense ids by (count DESC, token) over tokens with count ≥ minCount,
     * docs re-encoded as position-ordered id strings, OOV → 0.

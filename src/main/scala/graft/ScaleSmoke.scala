@@ -179,7 +179,15 @@ object ScaleSmoke {
         graft.operators.GraphOps.pageRankEdges(
           chainEdges.select(col("u").as("src"), col("v").as("dst")).union(
             chainEdges.select(col("v").as("src"), col("u").as("dst"))),
-          iters = 3).count()))
+          iters = 3).count()),
+      // suffix-array-family duplicated-substring spans: the planted
+      // every-50th near-dup pairs share a 24-token run → long spans
+      stage("dedup_spans_docs")(
+        Dedup.duplicateSpans(docs, 5, 2).count()),
+      // tokenizer vocab build + id encoding: one corpus hash-agg, a
+      // dimension-sized vocab sort, broadcast encode, per-doc reassembly
+      stage("vocab_encode_docs")(
+        graft.functions.TextAnalysis.vocabEncode(docs, 3).count()))
 
     val js = results.map { case (n, sec, out) =>
       s""""$n":{"sec":$sec,"rows_per_sec":${(baseOf(n) / sec).toLong},"out_rows":$out}"""

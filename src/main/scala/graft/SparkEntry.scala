@@ -322,6 +322,10 @@ object SparkEntry {
     // per-doc id-sequence encoding, OOV → 0
     "vocab_encode" -> ((s, dir) =>
       TextAnalysis.vocabEncode(Tables.table(s, dir, "documents"), 3)),
+    // RNG-free per-epoch training-order shuffle: md5 sort keys, loader
+    // shards, ordering only within (epoch, shard) — never corpus-wide
+    "epoch_shuffle" -> ((s, dir) =>
+      TextAnalysis.epochShuffle(Tables.table(s, dir, "documents"), 2, 8)),
     // concat-and-chunk sequence packing into 512-token training
     // sequences over 4 hash shards per language
     "pack_sequences" -> ((s, dir) =>
@@ -1057,6 +1061,7 @@ object SparkEntry {
     "bigram_lift" -> OracleSql.bigramCollocations(3, 20),
     "lm_coverage" -> OracleSql.lmCoverage(3),
     "vocab_encode" -> OracleSql.vocabEncode(3),
+    "epoch_shuffle" -> OracleSql.epochShuffle(2, 8),
     "pack_sequences" -> OracleSql.packSequences(512, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
     "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),

@@ -499,6 +499,32 @@ object TextAnalysis {
           .as("postings"))
   }
 
+  /** Deterministic per-epoch training-order shuffle — how a data loader
+    * re-orders the corpus each epoch WITHOUT an RNG: the sort key is
+    * md5(epoch ':' doc_id), so every epoch is a different but fully
+    * reproducible permutation (same corpus + epoch → same order on any
+    * engine, any partitioning, any rerun). Docs are first hashed into
+    * `nShards` loader shards; position is assigned WITHIN (epoch,
+    * shard) — exactly the sharded-file layout real training loaders
+    * consume, and the reason there is no global sort anywhere: the only
+    * window runs per (epoch, shard), never over the corpus.
+    */
+  def epochShuffle(docs: DataFrame, epochs: Int = 2,
+      nShards: Int = 8): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("skey", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 15), 16, 10).cast("long") % nShards)
+    keyed.select(col("epoch"), col("shard"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("skey"), col("doc_id"))).as("pos"),
+      col("doc_id"))
+  }
+
   /** Tokenizer-vocabulary build + id encoding — the step between curation
     * and training: rank corpus tokens with count ≥ `minCount` by
     * (count DESC, token) into dense ids (deterministic — no hash

@@ -485,6 +485,25 @@ class LlmOpsSpec extends SparkSpec {
       ("gamma", 1L, "1")))
   }
 
+  test("epochShuffle: complete permutation per epoch, epochs differ, reruns identical") {
+    val df = docs((1L to 40L).map(i => i -> s"doc $i"): _*)
+    def run() = TextAnalysis.epochShuffle(df, epochs = 2, nShards = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val out = run()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._4).toSet == (1L to 40L).toSet) // every doc once
+      rows.groupBy(_._2).values.foreach { shard => // positions dense in shard
+        assert(shard.map(_._3).sorted.toSeq == (1 to shard.length).toSeq)
+      }
+    }
+    val order = (e: Int) => byEpoch(e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(0) != order(1), "epochs must be different permutations")
+    assert(run().toSeq == out.toSeq, "shuffle must be rerun-deterministic")
+  }
+
   test("duplicateSpans merges overlapping duplicated shingles into maximal spans") {
     // docs 1 and 2 share the 7-token run "a b c d e f g" (3 overlapping
     // 5-shingles each → ONE maximal span of 7 tokens); doc 3 is unique
