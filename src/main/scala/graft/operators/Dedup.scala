@@ -439,10 +439,13 @@ object Dedup {
     * A true suffix array finds arbitrary-length repeats; fixing the
     * minimum repeat length at k tokens is what makes it relational —
     * the standard scalable approximation. Scale: positions travel as
-    * (doc_id, pos, 60-bit shash); the df aggregate is one corpus-wide
-    * hash-agg (map-side partial) on the int64 key; the semi-join back
-    * drops every unique position BEFORE the per-doc window exchange,
-    * so the window sees only duplicated content.
+    * (doc_id, pos, 60-bit shash); corpus-wide df comes from a count
+    * window over the shash partitioning (one pass over the position
+    * stream — a groupBy + semi-join back would regenerate the
+    * posexplode subtree per side), and the df filter drops every
+    * unique position BEFORE the per-doc window exchange, so the island
+    * merge sees only duplicated content. Two exchanges total
+    * (shash, then doc_id), one Generate — pinned in PlanShapeSpec.
     */
   def duplicateSpans(docs: DataFrame, k: Int = 5,
       minDf: Long = 2): DataFrame = {
@@ -453,11 +456,14 @@ object Dedup {
         sequence(lit(0), size(col("t")) - k),
         i => md5Base60(concat_ws(" ", slice(col("t"), i + lit(1), lit(k))))))
         .as(Seq("pos", "shash")))
-    val hot = sh.groupBy(col("shash")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
+    // corpus-wide df via a window over shash — ONE pass over the
+    // position stream (a groupBy + semi-join back would make Catalyst
+    // generate the posexplode subtree twice, once per side)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    sh.join(hot.select(col("shash")), Seq("shash"), "left_semi")
+    sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shash"))))
+      .filter(col("df") >= minDf)
       .withColumn("new_island",
         when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
       .withColumn("island", sum(col("new_island")).over(

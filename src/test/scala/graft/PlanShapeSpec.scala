@@ -119,4 +119,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "Join") == 0,
       s"posting-list build must not join:\n$plan")
   }
+
+  test("dedup_spans generates shingle positions once and prunes " +
+      "before the per-doc window") {
+    val plan = finalPlan(SparkEntry.queries("dedup_spans")(spark, dir))
+    // one posexplode over the token arrays; a second Generate means the
+    // position stream got re-built for the df side (the groupBy +
+    // semi-join form this pin originally caught)
+    assert(count(plan, "Generate ") == 1,
+      s"shingle positions must be generated exactly once:\n$plan")
+    // df window (shash) + island window (doc_id): exactly two exchanges
+    assert(count(plan, "Exchange hashpartitioning") <= 2,
+      s"df prune + island merge must be two exchanges:\n$plan")
+  }
+
+  test("q2 computes the offers aggregate once (window min, no self-join)") {
+    val plan = finalPlan(SparkEntry.queries("q2_min_cost_supplier")(spark, dir))
+    // the (partkey, suppkey) MIN aggregate must appear once — the
+    // min-reaggregate + self-join form duplicated the whole lineitem
+    // subtree (two semi-join chains in the plan)
+    assert(count(plan, "SortMergeJoin LeftSemi|BroadcastHashJoin LeftSemi") <= 2,
+      s"offers subtree duplicated — expected at most the two pruning " +
+        s"semi-joins, window-min must not re-run the aggregate:\n$plan")
+    assert(count(plan, "Window ") == 1,
+      s"per-part min must be ONE window pass:\n$plan")
+  }
 }
