@@ -83,6 +83,37 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("watermark drops late rows from a closed window (append semantics)") {
+    // the 100 TB correctness contract for unbounded streams: once the
+    // watermark passes a window's end, the window emits EXACTLY ONCE and
+    // later-arriving rows for it are dropped — state stays bounded and
+    // emitted results are immutable (no silent retraction downstream)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp, Double)](spark)
+    val base = 1704067200000L
+    def ts(off: Long) = new java.sql.Timestamp(base + off)
+    val agg = ms.toDF().toDF("symbol", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("symbol"), window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_drop").start()
+    ms.addData(Seq(("a", ts(0), 1.0), ("a", ts(60000), 2.0)))
+    q.processAllAvailable()
+    // advance event time 3h → watermark 2h, far past the first window
+    ms.addData(Seq(("a", ts(3L * 3600 * 1000), 10.0)))
+    q.processAllAvailable()
+    // a LATE row into the (now closed) first window: must be dropped
+    ms.addData(Seq(("a", ts(120000), 100.0)))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("late_drop")
+      .filter(col("window.start") === ts(0)).collect()
+    assert(w0.length == 1, "closed window must emit exactly once")
+    assert(w0(0).getAs[Long]("n") == 2 && w0(0).getAs[Double]("v") == 3.0,
+      "the late row must not appear in the closed window's aggregate")
+  }
+
   test("streaming session windows match the batch session_window aggregate") {
     val dir = "/root/testdata/sf0.001"
     runToMemory(
