@@ -77,4 +77,23 @@ class SourcesSpec extends SparkSpec {
     val cfg3 = Tables.parseTemplate("{}")
     assert(cfg3.initialBudget == 10000.0 && cfg3.perTrade == 1000.0)
   }
+
+  test("ORC round-trip preserves candles and pushes predicates to the scan") {
+    // format breadth beyond CSV/JSON/parquet: Spark's builtin ORC source
+    // carries the same pushdown contract — a filtered read must show the
+    // predicate in PushedFilters, not post-scan
+    import org.apache.spark.sql.functions._
+    val candles = candleFrame(Map(
+      "a" -> (1 to 100).map(_.toDouble), "b" -> (1 to 50).map(_.toDouble)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    candles.write.mode("overwrite").orc(s"$dir/candles")
+    val back = spark.read.orc(s"$dir/candles")
+    assert(back.count() == 150 &&
+      back.schema.fieldNames.toSet == candles.schema.fieldNames.toSet)
+    val filtered = back.filter(col("symbol") === "b" && col("close") > 10.0)
+    assert(filtered.count() == 40)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("symbol"),
+      s"expected the symbol predicate pushed into the ORC scan:\n$plan")
+  }
 }
