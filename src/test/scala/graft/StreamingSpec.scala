@@ -306,6 +306,45 @@ class StreamingSpec extends SparkSpec {
       (1L, 14L, "view"), (2L, 15L, "buy")))
   }
 
+  test("left-outer interval join emits null-padded signals once the " +
+      "watermark closes their window") {
+    // outer stream-stream joins are the "did a followup EVER arrive"
+    // shape: an unmatched signal cannot emit until the watermark proves
+    // no in-window event can still arrive — then it emits exactly once,
+    // null-padded. State stays bounded by the interval + lateness.
+    val sigS = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val evS = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val base = 1704067200000L
+    def ts(off: Long) = new java.sql.Timestamp(base + off)
+    val sig = sigS.toDF().toDF("sig_user", "sig_ts", "sig_value")
+      .withWatermark("sig_ts", "10 minutes")
+    val ev = evS.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+    val joined = sig.join(ev,
+      expr("sig_user = user_id AND ts > sig_ts" +
+        " AND ts <= sig_ts + INTERVAL 30 MINUTES"), "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("outer_interval").start()
+    // user 1: signal + in-window followup; user 2: signal, NO followup
+    sigS.addData(Seq((1L, ts(0), 5.0), (2L, ts(0), 7.0)))
+    evS.addData(Seq((1L, ts(5 * 60000), 50.0)))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past user 2's join window
+    sigS.addData(Seq((99L, ts(2 * 3600 * 1000), 0.0)))
+    evS.addData(Seq((99L, ts(2 * 3600 * 1000 + 1), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("outer_interval")
+      .filter(col("sig_user").isin(1L, 2L)).collect()
+      .map(r => (r.getLong(0), r.isNullAt(4), // event-side ts null?
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, false, 50.0), (2L, true, -1.0)),
+      s"user 1 must match, user 2 must emit null-padded exactly once: $rows")
+  }
+
   test("stateful streaming backtest closes positions across micro-batches") {
     val closes = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 5.0, 5.0, 5.0, 30.0, 2.0)
     val base = 1704067200000L
