@@ -51,6 +51,20 @@ object SparkEntry {
     "q20_dominant_suppliers" -> ((s, dir) => Analytics.dominantPartSuppliers(s, dir)),
     "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
     "q2_min_cost_supplier" -> ((s, dir) => Analytics.minCostSuppliers(s, dir)),
+    // the MANUAL skew fallback as a correctness row: salted fact⋈dim
+    // revenue rollup must equal the plain join bit-for-bit (the salt
+    // scatters hot keys and never reaches the output)
+    "salted_join_revenue" -> ((s, dir) => {
+      val l = Tables.table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(24,8)").as("rev"))
+      val sup = Tables.table(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      Analytics.saltedJoin(l, sup, "suppkey", 8)
+        .groupBy(col("s_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    }),
     "full_outer_recon" -> ((s, dir) => Analytics.nationPartyReconciliation(s, dir)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
@@ -770,6 +784,13 @@ object SparkEntry {
         |                WHERE o2.l_partkey = o.l_partkey)
         |ORDER BY s_acctbal DESC, s_suppkey, p_partkey
         |LIMIT 100""".stripMargin,
+
+    "salted_join_revenue" ->
+      """SELECT s_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (
