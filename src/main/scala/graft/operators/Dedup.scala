@@ -446,6 +446,16 @@ object Dedup {
     * unique position BEFORE the per-doc window exchange, so the island
     * merge sees only duplicated content. Two exchanges total
     * (shash, then doc_id), one Generate — pinned in PlanShapeSpec.
+    *
+    * Known skew ceiling (named upgrade path, same pattern as
+    * large-star/small-star for deep graphs): the df window gathers each
+    * shingle's positions into one task, so a mega-hot boilerplate
+    * shingle (df in the millions) would stall its task. At that corpus
+    * shape, switch to localCheckpoint'ing the position stream once,
+    * partial-agg df, and semi-joining back — AQE's skew split handles
+    * hot JOIN keys (SkewSpec) where a window partition cannot be split.
+    * On any corpus where df tops out in the thousands the window form
+    * is strictly better (no materialization, one pass).
     */
   def duplicateSpans(docs: DataFrame, k: Int = 5,
       minDf: Long = 2): DataFrame = {
