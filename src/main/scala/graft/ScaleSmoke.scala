@@ -82,6 +82,24 @@ object ScaleSmoke {
           d => pmod(hash(col("seed"), d), lit(1000))
             .cast("double") / 1000.0 - 0.5).as("embedding"))
 
+    // Synthetic event stream for the events-family stages: `rows` events
+    // across symbols×50 users; inter-event times are hash-jittered around
+    // a 10-minute stride, so a deterministic fraction of per-user gaps
+    // exceeds the 30-minute session cutoff; event_type cycles
+    // view/cart/buy by id hash. No RNG anywhere.
+    val nUsers = symbols.toLong * 50L
+    val events30 = spark.range(rows).select(
+      (col("id") % nUsers).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        expr(s"id div $nUsers") * 600000000L +
+        pmod(hash(col("id")), lit(3600)).cast("long") * 1000000L).as("ts"),
+      element_at(array(lit("view"), lit("cart"), lit("buy")),
+        (pmod(hash(col("id"), lit(7)), lit(3)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(hash(col("id"), lit(11)), lit(10000)).cast("double") / 100.0)
+        .as("value"))
+
     // per-stage throughput denominator: candle stages process `rows`,
     // *_docs stages process the doc corpus, codec stages docs/20 payloads
     def baseOf(name: String): Long =
@@ -180,6 +198,17 @@ object ScaleSmoke {
           chainEdges.select(col("u").as("src"), col("v").as("dst")).union(
             chainEdges.select(col("v").as("src"), col("u").as("dst"))),
           iters = 3).count()),
+      // events family at scale: user-keyed sessionization over the full
+      // row count (gaps-and-islands windows, one user exchange). The
+      // distinct count forces the session_id window to execute — a bare
+      // count() lets ColumnPruning drop it (same guard as bollinger)
+      stage("sessionize_scale")(
+        graft.operators.TimeSeriesOps.sessionize(events30, 30)
+          .select(col("user_id"), col("session_id")).distinct().count()),
+      // strict-ordering funnel: ONE user-keyed hash agg over 20M events
+      stage("funnel_scale")(
+        graft.operators.TimeSeriesOps.funnel(events30,
+          Seq("view", "cart", "buy")).count()),
       // suffix-array-family duplicated-substring spans: the planted
       // every-50th near-dup pairs share a 24-token run → long spans
       stage("dedup_spans_docs")(
