@@ -751,4 +751,62 @@ object OracleSql {
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type""".stripMargin
+
+  /** BM25 top-k (mirrors TextAnalysis.bm25TopK): identical log-free
+    * rational-idf formula in BIGINT floor division (`//` ≡ Spark `div`),
+    * per-doc scores summed as exact INT64s — bit-identical on both
+    * engines by construction, no float tolerance anywhere.
+    */
+  def bm25TopK(queries: Seq[(String, Seq[String])], topK: Int): String = {
+    val values = queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $values),
+       |ex AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len,
+       |         unnest(t) AS term
+       |       FROM (SELECT doc_id, $toks AS t FROM documents)),
+       |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CAST(len(t) AS BIGINT)) AS BIGINT) AS total_len
+       |  FROM (SELECT $toks AS t FROM documents)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       |    max(len) AS len
+       |  FROM ex WHERE term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |       FROM tf GROUP BY term),
+       |scored AS (SELECT q.query_id, tf.doc_id,
+       |    ((2*n_docs - 2*df + 1) * 22 * tf * (total_len // n_docs)
+       |      * 1000000)
+       |    // ((2*df + 1) * (10*tf*(total_len // n_docs)
+       |      + 3*(total_len // n_docs) + 9*len)) AS s
+       |  FROM tf JOIN df USING (term) JOIN q USING (term)
+       |  CROSS JOIN corpus),
+       |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT)
+       |    AS score_micros
+       |  FROM scored GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micros DESC, doc_id) AS INT) AS rank,
+       |  score_micros
+       |FROM agg
+       |QUALIFY rank <= $topK""".stripMargin
+  }
+
+  /** Triangle count (mirrors GraphOps.triangleCount): same co-purchase
+    * edge set; plain id-orientation instead of the Spark side's
+    * degree-orientation — the triangle TOTAL is orientation-invariant
+    * (each triangle is counted exactly once at its minimal vertex), so
+    * the counts must agree exactly.
+    */
+  val triangleCount: String =
+    """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.p < b.p),
+      |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      |  CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
 }

@@ -27,6 +27,14 @@ object SparkEntry {
     TradingOps.portfolioEvenlySpaced(
       Tables.candles(spark, "/root/testdata/sf0.001"))
 
+  /** Fixed BM25 query set over the synthetic documents vocabulary —
+    * hardcoded identically in the DuckDB oracle's VALUES list.
+    */
+  val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q_spark_hash_join" -> Seq("spark", "hash", "join"),
+    "q_window_agg" -> Seq("window", "agg"),
+    "q_scan_filter_fast" -> Seq("scan", "filter", "fast"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A: aggregation over lineitem (TPC-H Q1 shape) -------------------
@@ -301,6 +309,11 @@ object SparkEntry {
     // inverted index: exact df per token, df-capped sorted posting lists
     "inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(Tables.table(s, dir, "documents"), 20)),
+    // BM25 top-5 per query in fixed-point micros (log-free rational idf,
+    // BIGINT floor-division scores — exact on any engine/partitioning)
+    "bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.table(s, dir, "documents"),
+        SparkEntry.bm25Queries, 5)),
     // deterministic per-language downsampling (en-dominant corpus → keep
     // 40% en, 80% zh, everything else whole)
     "stratified_sample" -> ((s, dir) =>
@@ -415,6 +428,12 @@ object SparkEntry {
     // graph — iterative-rank workload with a bit-exact unrolled oracle
     // (floor division + integer sums are engine- and order-independent)
     "pagerank_trade" -> ((s, dir) => operators.GraphOps.pageRank(s, dir)),
+
+    // degree-oriented triangle count over the part co-purchase graph —
+    // the total is orientation-invariant, so the oracle's id-oriented
+    // count must match exactly
+    "triangle_count" -> ((s, dir) =>
+      operators.GraphOps.triangleCount(s, dir)),
 
     "simhash_fingerprints" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.table(s, dir, "documents"))),
@@ -1087,6 +1106,8 @@ object SparkEntry {
     "events_props_json" -> OracleSql.eventsPropsJson,
     "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),
     "inverted_index" -> OracleSql.invertedIndex(20),
+    "bm25_topk" -> OracleSql.bm25TopK(bm25Queries, 5),
+    "triangle_count" -> OracleSql.triangleCount,
     "stratified_sample" ->
       OracleSql.stratifiedSample(Seq("en" -> 40, "zh" -> 80), 100),
     "pii_scrub" -> OracleSql.piiScrub,

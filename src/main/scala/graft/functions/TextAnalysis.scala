@@ -558,4 +558,65 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("pos"), col("tid")))),
           s => s.getField("tid").cast("string")), " ").as("ids"))
   }
+
+  /** BM25 top-k retrieval over the corpus for a fixed query set — the
+    * ranking half of the retrieval stack [[invertedIndex]] builds the
+    * index half of. Okapi parameters k1 = 1.2, b = 0.75, with the
+    * log-free rational idf  (N − df + ½)/(df + ½)  (the same monotone
+    * df-damping as Robertson's log idf, minus the transcendental): every
+    * per-term score is then a ratio of INTEGER products,
+    *
+    *   score = (2N−2df+1)·22·tf·avgl / [(2df+1)·(10·tf·avgl + 3·avgl + 9·len)]
+    *
+    * (avgl = total_len div N), which this operator evaluates in
+    * fixed-point micros via BIGINT floor division — Spark `div` ≡ DuckDB
+    * `//`, the exactness contract PageRank established. Per-doc scores
+    * are SUMS OF INT64s: order-independent, bit-identical on any
+    * engine/partitioning (a double-sum would tie the result to shuffle
+    * order, which is why no query in this repo ever sums doubles).
+    *
+    * Scale: the broadcast query-term list prunes the exploded token
+    * stream BEFORE the tf aggregate, so the only shuffle carries
+    * (doc, query-term) rows — everything else (df, corpus stats) is
+    * dimension-sized and broadcast. The final top-k window partitions by
+    * query_id; at 100 TB with huge candidate sets, swap in annTopK's
+    * two-phase per-partition pre-top-k. Int64 headroom: the scaled
+    * numerator is ~(2N)·22·tf·avgl·10⁶ — at N ≥ ~10⁹ docs move the
+    * products to DECIMAL(38,0) (Spark IntegralDivide accepts decimals).
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, Seq[String])],
+      topK: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val qdf = spark.createDataFrame(
+      queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("query_id", "term")
+    val corpus = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_len"))
+    val exploded = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("len"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = exploded
+      .join(broadcast(qdf.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgl", expr("total_len div n_docs"))
+      .withColumn("s_micros", expr(
+        """((2*n_docs - 2*df + 1) * 22 * tf * avgl * 1000000) div
+          |((2*df + 1) * (10*tf*avgl + 3*avgl + 9*len))""".stripMargin))
+    scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_micros")).as("score_micros"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score_micros").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("score_micros"))
+  }
 }

@@ -65,7 +65,11 @@ object GraphOps {
     // degree attaches in ONE window pass and the (src, dst, deg) list is
     // MATERIALIZED — the unrolled iteration lineage re-scans it instead
     // of re-aggregating degrees inside every level (the naive
-    // edges⋈groupBy form re-planned the degree exchange per iteration)
+    // edges⋈groupBy form re-planned the degree exchange per iteration).
+    // Skew ceiling: the degree window gathers one node's edges into one
+    // task; for celebrity nodes (degree in the millions) swap to
+    // partial-agg degrees + an AQE-skew-split join against this same
+    // checkpointed list — the window form wins everywhere else.
     val withDeg = edgeList.withColumn("deg",
       count(lit(1)).over(Window.partitionBy(col("src"))))
       .localCheckpoint()
@@ -83,5 +87,77 @@ object GraphOps {
           (lit(base) + expr("(17 * s) div 20")).as("rk"))
     }
     rank
+  }
+
+  /** Triangle count over the co-purchase graph (parts linked by
+    * appearing on the same order) — the third classic iterative-graph
+    * primitive after components and ranks, and the standard
+    * clustering-coefficient ingredient.
+    *
+    * Algorithm: degree-ordered edge orientation (Schank-Wagner /
+    * "compact-forward"). Every undirected edge is oriented from the
+    * lower-(degree, id) endpoint to the higher one, so each node's
+    * out-degree is O(√m) regardless of raw-degree skew; wedges are then
+    * pairs of out-edges sharing a source, and a triangle is a wedge whose
+    * far endpoints are themselves an oriented edge — TWO equi-joins on
+    * the oriented list, never a join on the raw (possibly
+    * celebrity-skewed) adjacency. Each triangle is counted exactly once,
+    * at its lowest-rank apex, which makes the TOTAL independent of the
+    * orientation key — the DuckDB oracle uses plain id-orientation and
+    * must produce the identical count.
+    *
+    * Scale: the edge list is one distinct-shuffle over (order, part)
+    * pairs; degrees attach via one aggregate + broadcast-sized join per
+    * endpoint; the wedge join's fan-out is bounded by the orientation.
+    * All counts are exact BIGINTs.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val pp = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = pp.as("a").join(pp.as("b"), Seq("ok"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    triangleCountEdges(edges)
+  }
+
+  /** The counting core over an arbitrary UNDIRECTED edge list given as
+    * distinct `(u, v)` rows with u < v. Returns one row:
+    * `(n_nodes, n_edges, n_triangles)`.
+    */
+  def triangleCountEdges(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low-rank → high-rank, rank = (deg, id); carry the far
+    // endpoint's rank so the wedge join orders endpoints without a
+    // third join
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst"),
+          col("dv").as("ddst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+          col("du").as("ddst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddst").as("ddst"))
+      .localCheckpoint()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") &&
+            col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("w_src"), col("e2.dst").as("w_dst"))
+    val triangles = wedges.join(oriented,
+      col("w_src") === col("src") && col("w_dst") === col("dst"),
+      "left_semi")
+    triangles.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 }

@@ -36,4 +36,38 @@ class GraphSpec extends SparkSpec {
     assert(rows.getLong(1) >= base,
       s"min rank ${rows.getLong(1)} below teleport base $base")
   }
+
+  private def edgeFrame(es: (Long, Long)*) = {
+    import spark.implicits._
+    es.toDF("u", "v")
+  }
+
+  test("triangleCountEdges counts hand-verifiable graphs") {
+    // K4: C(4,3) = 4 triangles
+    val k4 = edgeFrame(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L)
+    val r4 = GraphOps.triangleCountEdges(k4).collect()(0)
+    assert((r4.getLong(0), r4.getLong(1), r4.getLong(2)) == (4L, 6L, 4L))
+    // 4-cycle: no triangles
+    val c4 = edgeFrame(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)
+    assert(GraphOps.triangleCountEdges(c4).collect()(0).getLong(2) == 0L)
+    // K4 minus one edge: exactly the 2 triangles through the remaining hub
+    val k4m = edgeFrame(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 3L -> 4L)
+    assert(GraphOps.triangleCountEdges(k4m).collect()(0).getLong(2) == 2L)
+  }
+
+  test("triangle count is invariant to partitioning and matches at sf0.001") {
+    val a = GraphOps.triangleCount(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(a.getLong(2) > 0L, "co-purchase graph must contain triangles " +
+      "(any order with >= 3 parts forms one)")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val b = GraphOps.triangleCount(spark, "/root/testdata/sf0.001")
+        .collect()(0)
+      assert(a.toSeq == b.toSeq,
+        "exact integer counts must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -11,6 +11,40 @@ class LlmOpsSpec extends SparkSpec {
   private def docs(texts: (Long, String)*) =
     texts.toDF("doc_id", "text")
 
+  test("bm25TopK matches the hand-computed integer formula exactly") {
+    // N=4, total_len=14, avgl = 14 div 4 = 3
+    val d = docs(
+      0L -> "spark hash join fast",
+      1L -> "spark spark spark table",
+      2L -> "window agg window",
+      3L -> "scan scan filter")
+    val got = TextAnalysis
+      .bm25TopK(d, Seq("q_a" -> Seq("spark", "join")), 2)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    // doc0: spark(tf=1,df=2): (5·22·1·3·1e6) div (5·75)      = 880000
+    //       join (tf=1,df=1): (7·22·1·3·1e6) div (3·75)      = 2053333
+    // doc1: spark(tf=3,df=2): (5·22·3·3·1e6) div (5·135)     = 1466666
+    assert(got == Seq((0L, 1, 2933333L), (1L, 2, 1466666L)))
+  }
+
+  test("bm25TopK respects topK and ranks multi-term matches first") {
+    val d = docs(
+      0L -> "spark join table",
+      1L -> "spark table row",
+      2L -> "join row scan",
+      3L -> "scan batch line",
+      4L -> "spark join scan")
+    val got = TextAnalysis
+      .bm25TopK(d, Seq("q" -> Seq("spark", "join")), 3)
+      .collect()
+    assert(got.length == 3)
+    val byRank = got.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    // docs 0 and 4 carry both terms, and tie exactly (same tf/len) →
+    // doc_id breaks the tie; doc 1 or 2 (one term) fills rank 3
+    assert(byRank.take(2) == Seq(0L, 4L))
+  }
+
   test("tokens: empty and whitespace-only text yield empty arrays") {
     val got = docs(0L -> "", 1L -> "   ", 2L -> "  a  b ")
       .select(size(TextAnalysis.tokens(col("text"))))
