@@ -106,7 +106,8 @@ object ScaleSmoke {
       if (name.endsWith("_decode")) math.max(nDocs / 20, 1)
       else if (name.endsWith("_docs")) nDocs
       else if (name.startsWith("cc_lss") ||
-        name.startsWith("pagerank")) nChainNodes
+        name.startsWith("pagerank") ||
+        name.startsWith("triangle")) nChainNodes
       else if (name.endsWith("_vecs")) nVecs
       else rows
 
@@ -216,7 +217,23 @@ object ScaleSmoke {
       // tokenizer vocab build + id encoding: one corpus hash-agg, a
       // dimension-sized vocab sort, broadcast encode, per-doc reassembly
       stage("vocab_encode_docs")(
-        graft.functions.TextAnalysis.vocabEncode(docs, 3).count()))
+        graft.functions.TextAnalysis.vocabEncode(docs, 3).count()),
+      // BM25 over the full corpus: the explode + broadcast-prune + tf agg
+      // touches every token; the planted query terms (pair-shared t0x/t1x
+      // shingle tokens + one unique u-token) select exactly 5 candidate
+      // docs, so top-5 output must be exactly 5 rows per run
+      stage("bm25_docs")(
+        graft.functions.TextAnalysis.bm25TopK(docs,
+          Seq("q0" -> Seq("t0x100", "t1x200", "u300")), 5).count()),
+      // band graph (edges i→i+1, i→i+2): exactly nChainNodes-2 triangles
+      // (one per consecutive triple) — the count IS the correctness check
+      stage("triangle_band")(
+        graft.operators.GraphOps.triangleCountEdges(
+          spark.range(nChainNodes - 1)
+            .select(col("id").as("u"), (col("id") + 1L).as("v"))
+            .union(spark.range(nChainNodes - 2)
+              .select(col("id").as("u"), (col("id") + 2L).as("v"))))
+          .collect()(0).getLong(2)))
 
     val js = results.map { case (n, sec, out) =>
       s""""$n":{"sec":$sec,"rows_per_sec":${(baseOf(n) / sec).toLong},"out_rows":$out}"""

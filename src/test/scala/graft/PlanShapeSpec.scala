@@ -144,4 +144,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "Window ") == 1,
       s"per-part min must be ONE window pass:\n$plan")
   }
+
+  test("bm25_topk never sort-merges: query terms, df, and corpus broadcast") {
+    val plan = finalPlan(SparkEntry.queries("bm25_topk")(spark, dir))
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"every bm25 join side is dimension-sized and must broadcast:\n$plan")
+    assert(count(plan, "BroadcastExchange") >= 3,
+      s"query-term list, df, and corpus stats must all broadcast:\n$plan")
+  }
+
+  test("triangle_count orients once: wedge joins read the checkpointed list") {
+    val plan = finalPlan(SparkEntry.queries("triangle_count")(spark, dir))
+    // the oriented edge list is localCheckpoint'ed; the wedge and
+    // closing-edge joins must scan it, never re-derive the
+    // lineitem→pairs→degrees subtree per aliased consumer
+    assert(count(plan, "Scan ExistingRDD|LocalTableScan") >= 2 ||
+      count(plan, "TableCacheQueryStage|InMemoryTableScan") >= 2,
+      s"wedge + closing joins must reuse the materialized oriented " +
+        s"list:\n$plan")
+    assert(count(plan, "Scan parquet") <= 3,
+      s"lineitem must be scanned for the edge build only, not once per " +
+        s"join consumer:\n$plan")
+  }
 }
