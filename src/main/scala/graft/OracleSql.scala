@@ -809,4 +809,87 @@ object OracleSql {
       |  CAST(count(*) AS BIGINT) AS n_triangles
       |FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
       |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
+
+  /** SemDeDup semantic dedup (mirrors Similarity.semanticDedup): the
+    * [[kmeansAssign]] cell-assignment CTEs verbatim, then intra-cell
+    * pair generation (one-sided), exact-decimal cosine at the rounded
+    * threshold, and a keep flag = "no lower-id near-dup in my cell"
+    * encoded as BIGINT 0/1.
+    */
+  def semanticDedup(minSim: Double): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |x AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS val
+       |      FROM e),
+       |cent AS (SELECT label AS c_label, pos,
+       |    round(CAST(sum(CAST(val AS DECIMAL(28,18))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS centroid
+       |  FROM x GROUP BY 1, 2),
+       |cvecs AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
+       |          FROM cent GROUP BY 1),
+       |scored AS (SELECT vec_id, c_label, ${cosine("v", "cvec")} AS sim
+       |           FROM e CROSS JOIN cvecs),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, c_label AS cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, c_label) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1),
+       |cv AS (SELECT e.vec_id, asg.cell, e.v FROM e JOIN asg USING (vec_id)),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosine("a.v", "b.v")}, 6) >= $minSim)
+       |SELECT cv.vec_id, cv.cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM cv LEFT JOIN dropped d ON cv.vec_id = d.vec_id""".stripMargin
+
+  /** Sliding-window chunking (mirrors TextAnalysis.chunkDocuments):
+    * start positions every `size − overlap` tokens via range(0, n,
+    * stride), chunk = 1-based clamped list slice joined with spaces.
+    */
+  def chunkDocuments(size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |s AS (SELECT doc_id, t, unnest(range(0, len(t), $stride)) AS start
+       |      FROM t WHERE len(t) > 0)
+       |SELECT doc_id,
+       |  CAST(start // $stride AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_token,
+       |  CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(ct, ' ') AS chunk_text
+       |FROM (SELECT doc_id, start, t[start+1:start+$size] AS ct FROM s)""".stripMargin
+  }
+
+  /** DSIR-lite importance weights (mirrors TextAnalysis.dsirWeights):
+    * positional bigrams hashed to `nBuckets` md5-60bit buckets, add-one
+    * smoothed target/source bucket counts, per-occurrence ratio in
+    * fixed-point micros via `//` (≡ Spark `div`), per-doc int64 mean.
+    * LEFT JOIN UNNEST keeps zero-bigram docs at weight 0 (the
+    * lmCoverage convention).
+    */
+  def dsirWeights(targetLang: String, nBuckets: Int): String =
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS t FROM documents),
+       |g AS (SELECT doc_id, lang,
+       |  CASE WHEN len(t) >= 2
+       |    THEN list_transform(range(0, len(t)-1),
+       |           i -> array_to_string(t[i+1:i+2], ' '))
+       |    ELSE [] END AS gl
+       |FROM t),
+       |bg AS (SELECT doc_id, lang,
+       |  CAST('0x' || substr(md5(u.b), 1, 15) AS BIGINT) % $nBuckets AS bucket
+       |FROM g LEFT JOIN unnest(g.gl) AS u(b) ON true),
+       |src AS (SELECT bucket, count(*) AS sc FROM bg
+       |        WHERE bucket IS NOT NULL GROUP BY 1),
+       |tgt AS (SELECT bucket, count(*) AS tc FROM bg
+       |        WHERE bucket IS NOT NULL AND lang = '$targetLang' GROUP BY 1),
+       |rates AS (SELECT src.bucket,
+       |    ((coalesce(tc, 0) + 1) * 1000000) // (sc + 1) AS r_micros
+       |  FROM src LEFT JOIN tgt ON src.bucket = tgt.bucket)
+       |SELECT doc_id,
+       |  count(bg.bucket) AS n_bigrams,
+       |  CAST(CASE WHEN count(bg.bucket) = 0 THEN 0
+       |    ELSE sum(r_micros) // count(bg.bucket) END AS BIGINT)
+       |    AS weight_micros
+       |FROM bg LEFT JOIN rates ON bg.bucket = rates.bucket
+       |GROUP BY doc_id""".stripMargin
 }

@@ -74,6 +74,8 @@ object SparkEntry {
         .agg(sum(col("rev")).cast("double").as("revenue"))
     }),
     "full_outer_recon" -> ((s, dir) => Analytics.nationPartyReconciliation(s, dir)),
+    // blocked fuzzy entity matching: brand-blocked Levenshtein ≤ 2 pairs
+    "fuzzy_join_parts" -> ((s, dir) => Analytics.fuzzyJoinParts(s, dir, 2)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
     "q9_nation_profit" -> ((s, dir) => Analytics.nationProfitByYear(s, dir)),
@@ -349,6 +351,12 @@ object SparkEntry {
     // per-doc id-sequence encoding, OOV → 0
     "vocab_encode" -> ((s, dir) =>
       TextAnalysis.vocabEncode(Tables.table(s, dir, "documents"), 3)),
+    // RAG-prep sliding-window chunking: 64-token chunks every 48 tokens
+    "chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.table(s, dir, "documents"), 64, 16)),
+    // DSIR-lite importance weights toward the en slice, 256 hash buckets
+    "dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(Tables.table(s, dir, "documents"), "en", 256)),
     // RNG-free per-epoch training-order shuffle: md5 sort keys, loader
     // shards, ordering only within (epoch, shard) — never corpus-wide
     "epoch_shuffle" -> ((s, dir) =>
@@ -586,7 +594,10 @@ object SparkEntry {
       Similarity.kmeansLloyd(Tables.table(s, dir, "embeddings"), 2)),
     // approximate by construction -> rows-only check, no oracle
     "ann_topk_ivf" -> ((s, dir) =>
-      Similarity.annTopKIvf(Tables.table(s, dir, "embeddings"), 8, 5))
+      Similarity.annTopKIvf(Tables.table(s, dir, "embeddings"), 8, 5)),
+    // SemDeDup: k-means cells, intra-cell cosine prune, keep lowest id
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.table(s, dir, "embeddings"), 0.3))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -810,6 +821,14 @@ object SparkEntry {
         |    AS DECIMAL(24,8))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+
+    "fuzzy_join_parts" ->
+      """SELECT p_brand, part_a, part_b, dist FROM (
+        |  SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+        |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+        |WHERE dist <= 2""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (
@@ -1101,6 +1120,8 @@ object SparkEntry {
     "bigram_lift" -> OracleSql.bigramCollocations(3, 20),
     "lm_coverage" -> OracleSql.lmCoverage(3),
     "vocab_encode" -> OracleSql.vocabEncode(3),
+    "chunk_documents" -> OracleSql.chunkDocuments(64, 16),
+    "dsir_weights" -> OracleSql.dsirWeights("en", 256),
     "epoch_shuffle" -> OracleSql.epochShuffle(2, 8),
     "pack_sequences" -> OracleSql.packSequences(512, 4),
     "events_props_json" -> OracleSql.eventsPropsJson,
@@ -1383,6 +1404,7 @@ object SparkEntry {
     "embedding_centroids" -> OracleSql.labelCentroids,
     "kmeans_assign" -> OracleSql.kmeansAssign,
     "kmeans_clusters" -> OracleSql.kmeansLloyd2,
+    "semantic_dedup" -> OracleSql.semanticDedup(0.3),
 
     "export_signals" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -619,4 +619,85 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("score_micros"))
   }
+
+  /** Sliding-window token chunking with overlap — the RAG/embedding-prep
+    * step that turns documents into fixed-size retrieval units: chunks of
+    * `size` tokens starting every `size − overlap` tokens, the last chunk
+    * truncated at the document end (standard text-splitter semantics).
+    * Docs with zero tokens yield zero chunks.
+    *
+    * Pure per-row array math: the token array materializes once per doc,
+    * start positions are a `sequence`, and each chunk is a `slice` +
+    * `array_join` — no shuffle anywhere, so the operator pipelines inside
+    * the scan stage at any scale (same zero-exchange story as
+    * [[winnowFingerprints]], and the same per-row memory caveat: a chunk
+    * fan-out of a pathologically huge doc stays inside one row buffer
+    * until the explode).
+    */
+  def chunkDocuments(docs: DataFrame, size: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size_(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size_(col("t")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_token"),
+        size_(slice(col("t"), col("start") + 1, lit(size))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("start") + 1, lit(size)), " ")
+          .as("chunk_text"))
+  }
+
+  // local alias: `size` the function vs `size` the parameter above
+  private def size_(c: Column): Column = size(c)
+
+  /** DSIR-lite importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023, done log-free): hash every positional
+    * bigram into `nBuckets` buckets, estimate the target distribution from
+    * the in-domain slice (here `lang = 'en'` stands in for the curated
+    * reference corpus) and the source distribution from the whole corpus,
+    * and score each document by the MEAN per-occurrence bucket ratio
+    * (tc+1)/(sc+1) (add-one smoothing). True DSIR multiplies ratios
+    * (i.e. sums logs); the per-occurrence mean is the libm-free surrogate
+    * with the same high-is-in-domain ordering signal, and it stays
+    * integer-exact: each ratio is evaluated in fixed-point micros via
+    * BIGINT floor division (the BM25/PageRank exactness contract), and
+    * per-doc totals are int64 sums — order-independent on any
+    * partitioning. The constant S/T normalization factor is omitted: it is
+    * identical for every doc (pure rank-preserving) and keeping it would
+    * push the integer products past int64 headroom.
+    *
+    * Scale: the bucket tables are `nBuckets` rows → both the target/source
+    * stats and the per-occurrence scoring join are BROADCAST; the only
+    * corpus-wide shuffle is the final doc-keyed aggregate (map-side
+    * partials). Docs with < 2 tokens (no bigram) score 0 by convention.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+      nBuckets: Int = 256): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val bg = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), ngramsFromTokens(col("w"), 2).as("g"))
+      .select(col("doc_id"), col("lang"), explode_outer(col("g")).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        (call_function("md5_base60", col("bigram")) % nBuckets).as("bucket"))
+    val src = bg.filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("sc"))
+    val tgt = bg.filter(col("bucket").isNotNull && col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val rates = src.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("((coalesce(tc, 0) + 1) * 1000000) div (sc + 1)").as("r_micros"))
+    bg.join(broadcast(rates), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("bucket")).as("n_bigrams"),
+        sum(col("r_micros")).as("tot"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("tot div n_bigrams")).as("weight_micros"))
+  }
 }

@@ -703,4 +703,35 @@ object Analytics {
       .orderBy(col("s_acctbal").desc, col("s_suppkey"), col("p_partkey"))
       .limit(k)
   }
+
+  /** Blocked fuzzy entity matching (record linkage): part-name pairs
+    * within the same brand whose Levenshtein edit distance is ≤ `maxDist`
+    * — the classic dedup/ER shape where an exact blocking key (brand)
+    * bounds the candidate space and an edit-distance predicate decides.
+    *
+    * Scale design: the blocking key is the whole story. Pair generation is
+    * an equi-join on `p_brand` followed by `p_partkey <` (one-sided — each
+    * pair once), so the cost is O(Σ block²) in block sizes, never O(n²)
+    * over the catalog; at 100 TB you tighten the block (brand × container,
+    * or an n-gram-prefix key) exactly like the LSH band keys in Dedup.
+    * `levenshtein` is a codegen'd built-in with the standard unit-cost
+    * DP semantics in both engines (Spark `levenshtein` ≡ DuckDB
+    * `levenshtein`), so the distances — and the oracle hash — agree
+    * exactly; the distance computes AFTER the join filter, only on
+    * intra-block pairs.
+    */
+  def fuzzyJoinParts(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    val p = table(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("part_a"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("part_a") < col("part_b"))
+      .select(col("p_brand"), col("part_a"), col("part_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

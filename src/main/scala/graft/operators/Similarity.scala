@@ -418,4 +418,52 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus (one
+    * [[kmeansAssign]] Lloyd step against the label centroids — the paper's
+    * k-means stage), then search for near-duplicates ONLY within each
+    * cluster cell and drop every vector that is ≥ `minSim` cosine-similar
+    * to a LOWER-id vector in its cell (the deterministic "keep one
+    * representative" rule; the keeper is always the smallest id, so the
+    * output is partitioning-independent).
+    *
+    * Scale shape: the cell assignment is the exchange-free broadcast
+    * argmax of [[assignTo]]; the only pair generation is the intra-cell
+    * self-join — O(Σ cell²), the SemDeDup cost model, where |cells| is
+    * chosen so cells stay executor-sized (nlist ~ √n at 100 TB; here the
+    * 10-label codebook stands in). The 2-column assignment is
+    * `localCheckpoint`ed because three consumers (both join sides + the
+    * final keep-flag projection) would otherwise re-evaluate the argmax
+    * plan per consumer. Verification follows the two-stage policy: cheap
+    * double prefilter with a 1e-5 margin, exact-decimal cosine decides.
+    *
+    * Output: every vector with its cell and `kept` ∈ {0,1} (BIGINT — the
+    * hash-stable cross-engine encoding of the decision).
+    */
+  def semanticDedup(embeddings: DataFrame, minSim: Double = 0.3): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val cells = kmeansAssign(embeddings)
+      .select(col("vec_id"), col("assigned_label").as("cell"))
+      .localCheckpoint()
+    val withNorm = embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("emb"),
+        sqrt(normSqDecimal(col("embedding"))).as("nrm"))
+      .join(cells, Seq("vec_id"))
+    val a = withNorm.select(col("cell"), col("vec_id").as("vec_a"),
+      col("emb").as("emb_a"), col("nrm").as("norm_a"))
+    val b = withNorm.select(col("cell"), col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"), col("nrm").as("norm_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(dotDouble(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
+      .filter(round(dotDecimal(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")), 6) >= minSim)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    cells
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("is_dropped").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
 }

@@ -567,4 +567,69 @@ class LlmOpsSpec extends SparkSpec {
       (2L, 3L, 0L, "2 3 1"),
       (3L, 4L, 1L, "1 2 3 0"))) // dd below minCount → unk id 0
   }
+
+  test("chunkDocuments: strided windows, truncated tail, empty doc → none") {
+    val df = docs(1L -> "a b c d e f g h i j", 2L -> "   ")
+    val got = TextAnalysis.chunkDocuments(df, size = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // stride 3 → starts 0,3,6,9; overlap token shared between neighbors;
+    // last chunk truncates at the doc end; whitespace-only doc vanishes
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 4L, "g h i j"),
+      (1L, 3L, 9L, 1L, "j")))
+  }
+
+  test("dsirWeights: target-like docs outweigh off-target; no-bigram doc " +
+    "scores 0") {
+    val df = Seq(
+      (1L, "x y x y x y", "en"), // every bigram in the target slice
+      (2L, "x y x y", "en"),
+      (3L, "p q p q p q", "de"), // bigrams absent from the target slice
+      (4L, "solo", "de"))        // < 2 tokens → no bigram
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirWeights(df, "en", 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val w = got.map(t => t._1 -> t._3).toMap
+    // doc 1's bigrams occur ONLY in the target slice → every bucket ratio
+    // is (c+1)/(c+1) = 1.0 → mean exactly 1e6 micros (no hash collisions
+    // among these 4 bigrams — deterministic md5, verified by this run)
+    assert(w(1L) == 1000000L && w(2L) == 1000000L)
+    assert(w(3L) < w(1L), "off-target doc must weigh less")
+    assert(got.find(_._1 == 4L).get == ((4L, 0L, 0L)))
+  }
+
+  test("semanticDedup drops higher-id near-dups within a cell, keeps " +
+    "cell representatives") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 0), // ~cos 0.99995 to vec 0, same cell
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.01f, 0.99f), 1)) // near-dup of vec 2
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(e, 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((0, 1L)) && got(2L) == ((1, 1L)), "lowest ids kept")
+    assert(got(1L) == ((0, 0L)) && got(3L) == ((1, 0L)), "near-dups dropped")
+  }
+
+  test("fuzzyJoinParts equals the unblocked brute force at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val blocked = graft.operators.Analytics.fuzzyJoinParts(spark, dir, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val p = Tables.table(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_name"))
+    val brute = p.toDF("ba", "ka", "na").crossJoin(p.toDF("bb", "kb", "nb"))
+      .filter(col("ba") === col("bb") && col("ka") < col("kb") &&
+        levenshtein(col("na"), col("nb")) <= 2)
+      .select(col("ba"), col("ka"), col("kb"),
+        levenshtein(col("na"), col("nb")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(blocked == brute && blocked.nonEmpty)
+  }
 }
