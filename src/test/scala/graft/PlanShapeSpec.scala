@@ -166,4 +166,33 @@ class PlanShapeSpec extends SparkSpec {
       s"lineitem must be scanned for the edge build only, not once per " +
         s"join consumer:\n$plan")
   }
+
+  test("chunk_documents is shuffle-free: one Generate, zero Exchanges") {
+    val plan = finalPlan(SparkEntry.queries("chunk_documents")(spark, dir))
+    assert(count(plan, "Exchange ") == 0,
+      s"chunking is per-row array math — it must pipeline inside the " +
+        s"scan stage with no shuffle:\n$plan")
+    assert(count(plan, "Generate ") == 1,
+      s"exactly one posexplode of the start positions:\n$plan")
+  }
+
+  test("dsir_weights broadcasts the bucket-ratio table, never sort-merges") {
+    val plan = finalPlan(SparkEntry.queries("dsir_weights")(spark, dir))
+    assert(count(plan, "BroadcastExchange") >= 1,
+      s"the nBuckets-row rates table must broadcast onto the bigram " +
+        s"stream:\n$plan")
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"no corpus-wide join key exists — scoring must never " +
+        s"sort-merge:\n$plan")
+  }
+
+  test("semantic_dedup and fuzzy_join_parts generate pairs via blocked " +
+    "equi-joins, never nested loops") {
+    for (q <- Seq("semantic_dedup", "fuzzy_join_parts")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
+      assert(count(plan, "CartesianProduct|BroadcastNestedLoopJoin") == 0,
+        s"$q pair generation must stay an equi-join on the blocking " +
+          s"key (cell / brand):\n$plan")
+    }
+  }
 }
