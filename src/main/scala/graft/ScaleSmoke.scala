@@ -233,7 +233,39 @@ object ScaleSmoke {
             .select(col("id").as("u"), (col("id") + 1L).as("v"))
             .union(spark.range(nChainNodes - 2)
               .select(col("id").as("u"), (col("id") + 2L).as("v"))))
-          .collect()(0).getLong(2)))
+          .collect()(0).getLong(2)),
+      // RAG chunking, shuffle-free: 25-token docs at size 8 / overlap 2
+      // (stride 6) → starts 0,6,12,18,24 → exactly 5 chunks per doc
+      stage("chunk_docs")(
+        graft.functions.TextAnalysis.chunkDocuments(docs, 8, 2).count()),
+      // DSIR weights: 30% of docs tagged en (the target slice); bucket
+      // stats broadcast, one doc-keyed agg — output = nDocs rows
+      stage("dsir_docs")(
+        graft.functions.TextAnalysis.dsirWeights(
+          docs.withColumn("lang",
+            when(col("doc_id") % 10 < 3, lit("en")).otherwise(lit("de"))),
+          "en", 256).count()),
+      // SemDeDup over an 8-cluster vector corpus: each vector gets a +2.0
+      // bias on axis seed%8 (label = the same bucket, so the codebook
+      // centroids really point along 8 distinct axes and the Lloyd
+      // assignment recovers the planted cluster). Intra-cell sim between
+      // DISTINCT vectors ≈ 0.43 ≪ 0.95, planted identical pairs (every
+      // 50th vector) = 1.0 and share a cell by construction → the
+      // dropped count must be EXACTLY nVecs/50
+      stage("semantic_dedup_vecs")(
+        graft.operators.Similarity.semanticDedup(
+          spark.range(nVecs).select(
+            col("id").as("vec_id"),
+            when(col("id") % 50L === 1L, col("id") - 1L).otherwise(col("id"))
+              .as("seed"))
+            .select(col("vec_id"),
+              pmod(col("seed"), lit(8)).cast("int").as("label"),
+              transform(sequence(lit(0), lit(63)),
+                d => pmod(hash(col("seed"), d), lit(1000)).cast("double")
+                  / 1000.0 - 0.5 +
+                  when(d === pmod(col("seed"), lit(8)).cast("int"),
+                    lit(2.0)).otherwise(lit(0.0))).as("embedding")),
+          0.95).filter(col("kept") === 0L).count()))
 
     val js = results.map { case (n, sec, out) =>
       s""""$n":{"sec":$sec,"rows_per_sec":${(baseOf(n) / sec).toLong},"out_rows":$out}"""

@@ -685,13 +685,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode_outer(col("g")).as("bigram"))
       .select(col("doc_id"), col("lang"),
         (call_function("md5_base60", col("bigram")) % nBuckets).as("bucket"))
-    val src = bg.filter(col("bucket").isNotNull)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("sc"))
-    val tgt = bg.filter(col("bucket").isNotNull && col("lang") === targetLang)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
-    val rates = src.join(tgt, Seq("bucket"), "left")
+    // source AND target bucket counts in ONE corpus pass (a conditional
+    // sum, not a second aggregate): the bigram Generate pipeline would
+    // otherwise re-run per stats consumer — plan-verified 3 Generates → 2
+    val rates = bg.filter(col("bucket").isNotNull)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("sc"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tc"))
       .select(col("bucket"),
-        expr("((coalesce(tc, 0) + 1) * 1000000) div (sc + 1)").as("r_micros"))
+        expr("((tc + 1) * 1000000) div (sc + 1)").as("r_micros"))
     bg.join(broadcast(rates), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("bucket")).as("n_bigrams"),

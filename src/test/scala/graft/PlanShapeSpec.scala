@@ -184,6 +184,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "SortMergeJoin") == 0,
       s"no corpus-wide join key exists — scoring must never " +
         s"sort-merge:\n$plan")
+    assert(count(plan, "Generate ") == 2,
+      s"bucket stats come from ONE conditional-sum pass — a third " +
+        s"Generate means the bigram pipeline re-runs per consumer:\n$plan")
   }
 
   test("semantic_dedup and fuzzy_join_parts generate pairs via blocked " +
