@@ -892,4 +892,21 @@ object OracleSql {
        |    AS weight_micros
        |FROM bg LEFT JOIN rates ON bg.bucket = rates.bucket
        |GROUP BY doc_id""".stripMargin
+
+  /** Int8 min-max quantization (mirrors Similarity.quantizeEmbeddings):
+    * the same three IEEE double ops per component in the same order, so
+    * codes and scales are bit-identical; codes as a space-joined string.
+    */
+  val embeddingQuantize: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        list_min(v) AS vmin, list_max(v) AS vmax FROM e)
+      |SELECT vec_id, vmin AS zero_point, (vmax - vmin) / 255 AS scale,
+      |  array_to_string(list_transform(v, x ->
+      |    CAST(CAST(CASE WHEN vmax = vmin THEN 0
+      |      ELSE least(255, greatest(0,
+      |        CAST(floor((x - vmin) * 255 / (vmax - vmin)) AS BIGINT)))
+      |      END AS BIGINT) AS VARCHAR)), ' ') AS codes
+      |FROM m""".stripMargin
 }

@@ -597,7 +597,10 @@ object SparkEntry {
       Similarity.annTopKIvf(Tables.table(s, dir, "embeddings"), 8, 5)),
     // SemDeDup: k-means cells, intra-cell cosine prune, keep lowest id
     "semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.table(s, dir, "embeddings"), 0.3))
+      Similarity.semanticDedup(Tables.table(s, dir, "embeddings"), 0.3)),
+    // int8 vector-store compression: per-vector min-max codes
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(Tables.table(s, dir, "embeddings")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1405,6 +1408,7 @@ object SparkEntry {
     "kmeans_assign" -> OracleSql.kmeansAssign,
     "kmeans_clusters" -> OracleSql.kmeansLloyd2,
     "semantic_dedup" -> OracleSql.semanticDedup(0.3),
+    "embedding_quantize" -> OracleSql.embeddingQuantize,
 
     "export_signals" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -466,4 +466,43 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         when(col("is_dropped").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
+
+  /** Per-vector int8 min-max quantization — the vector-store compression
+    * step (4× smaller than float32; at a 100 TB embedding corpus that is
+    * the difference between 100 TB and 25 TB of scan): each vector emits
+    * its `zero_point` (= component min), `scale` (= range/255), and the
+    * 0..255 integer code of every component,
+    * `code = floor((v − vmin) · 255 / (vmax − vmin))` clamped to [0, 255]
+    * (the clamp absorbs the one-ULP overshoot `(a·255)/a > 255` that IEEE
+    * division can produce at the max component). Constant vectors
+    * (vmax = vmin) code to all-zeros with scale 0.
+    *
+    * Exactness contract: everything is IEEE-754 double arithmetic in the
+    * SAME expression shape on both engines — float32 components widen to
+    * double exactly, min/max pick existing values, and `(x−vmin)·255 /
+    * (vmax−vmin)` is three exactly-specified IEEE ops, so Spark and
+    * DuckDB produce bit-identical codes and scales with no rounding-mode
+    * hazard (nothing here rounds half-anything). Codes travel as a
+    * space-joined string — the repo's cross-engine array-hash convention
+    * (vocab_encode, pack_sequences). De-quantization error is ≤ one step
+    * (`scale`), asserted in the unit spec.
+    *
+    * Scale shape: zero exchanges — pure per-row projection that pipelines
+    * inside the scan stage; parallelism = input splits.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val withRange = embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"))
+    withRange.select(
+      col("vec_id"),
+      col("vmin").as("zero_point"),
+      ((col("vmax") - col("vmin")) / 255.0).as("scale"),
+      array_join(transform(col("v"), x =>
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((x - col("vmin")) * 255.0 / (col("vmax") - col("vmin")))
+              .cast("long")))).cast("string")), " ").as("codes"))
+  }
 }

@@ -616,6 +616,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L) == ((0, 0L)) && got(3L) == ((1, 0L)), "near-dups dropped")
   }
 
+  test("quantizeEmbeddings: codes in [0,255], dequant error <= one step, " +
+    "constant vector codes to zeros") {
+    val e = Seq(
+      (0L, Array(-1.0f, 0.0f, 0.5f, 1.0f)),
+      (1L, Array(0.25f, 0.25f, 0.25f, 0.25f)), // constant → scale 0
+      (2L, Array(3.0f, -2.0f, 7.5f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeEmbeddings(e).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3).split(" ").map(_.toLong))).sortBy(_._1)
+    val orig = Map(0L -> Array(-1.0, 0.0, 0.5, 1.0),
+      1L -> Array(0.25, 0.25, 0.25, 0.25),
+      2L -> Array(3.0, -2.0, 7.5, 0.125))
+    for ((id, zero, scale, codes) <- got) {
+      assert(codes.forall(c => c >= 0L && c <= 255L))
+      // reconstruction: |v − (zero + code·scale)| ≤ scale (one step)
+      for ((c, v) <- codes.zip(orig(id)))
+        assert(math.abs(v - (zero + c * scale)) <= scale + 1e-12,
+          s"vec $id: code $c misses $v beyond one step $scale")
+    }
+    val const = got.find(_._1 == 1L).get
+    assert(const._3 == 0.0 && const._4.forall(_ == 0L))
+    // extremes map to the ends of the code range
+    assert(got.find(_._1 == 0L).get._4.toSeq == Seq(0L, 127L, 191L, 255L))
+  }
+
   test("fuzzyJoinParts equals the unblocked brute force at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val blocked = graft.operators.Analytics.fuzzyJoinParts(spark, dir, 2)

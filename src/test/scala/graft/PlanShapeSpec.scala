@@ -176,6 +176,12 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly one posexplode of the start positions:\n$plan")
   }
 
+  test("embedding_quantize is a zero-exchange per-row projection") {
+    val plan = finalPlan(SparkEntry.queries("embedding_quantize")(spark, dir))
+    assert(count(plan, "Exchange ") == 0,
+      s"int8 quantization must pipeline inside the scan stage:\n$plan")
+  }
+
   test("dsir_weights broadcasts the bucket-ratio table, never sort-merges") {
     val plan = finalPlan(SparkEntry.queries("dsir_weights")(spark, dir))
     assert(count(plan, "BroadcastExchange") >= 1,
