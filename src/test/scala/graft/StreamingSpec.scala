@@ -375,4 +375,34 @@ class StreamingSpec extends SparkSpec {
     assert(positions.forall(p =>
       batchSet.contains((p.entry_ts.getTime, p.entry_price, p.exit_ts.getTime))))
   }
+
+  test("streaming document chunking matches batch (stateless text prep " +
+    "composes with readStream)") {
+    // chunkDocuments is a pure per-row projection, so the SAME operator
+    // body runs unmodified on a streaming DataFrame — the parity claim
+    // for the whole stateless text-prep family (tokens/quality/chunk):
+    // no aggregation state, no watermark, append mode.
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val docs = Seq(1L -> "a b c d e f g h i j", 2L -> "k l m",
+      3L -> "   ", 4L -> "p q r s t u v w")
+    ms.addData(docs.take(2))
+    val stream = graft.functions.TextAnalysis.chunkDocuments(
+      ms.toDF().toDF("doc_id", "text"), size = 4, overlap = 1)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("stream_chunks").start()
+    q.processAllAvailable()
+    ms.addData(docs.drop(2)) // second micro-batch, incl. the empty doc
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    val batch = graft.functions.TextAnalysis.chunkDocuments(
+      docs.toDF("doc_id", "text"), size = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream must equal batch:\n$streamed\nvs\n$batch")
+  }
 }
