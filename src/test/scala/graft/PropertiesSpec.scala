@@ -88,6 +88,41 @@ class PropertiesSpec extends SparkSpec {
       }
   }
 
+  test("round-7 chunk/DSIR/quantize/semantic-dedup are partition-invariant") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    import graft.operators.Similarity
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val textGen = Gen.listOfN(10, Gen.oneOf(words)).map(_.mkString(" "))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    samples(Gen.zip(Gen.listOfN(30, textGen), Gen.chooseNum(2, 9)), 3)
+      .foreach { case (texts, p) =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t, if (i % 3 == 0) "en" else "de") }
+          .toDF("doc_id", "text", "lang")
+        val shuffled = docs.repartition(p)
+        assert(rows(TextAnalysis.chunkDocuments(docs, 4, 1)) ==
+          rows(TextAnalysis.chunkDocuments(shuffled, 4, 1)), s"chunk p=$p")
+        // int64-sum weights: order-independent by the micros contract
+        assert(rows(TextAnalysis.dsirWeights(docs, "en", 64)) ==
+          rows(TextAnalysis.dsirWeights(shuffled, "en", 64)), s"dsir p=$p")
+      }
+    samples(Gen.zip(Gen.listOfN(24,
+      Gen.listOfN(8, Gen.chooseNum(-100, 100))), Gen.chooseNum(2, 9)), 3)
+      .foreach { case (vs, p) =>
+        val vecs = vs.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.map(_.toFloat / 100f).toArray, i % 3) }
+          .toDF("vec_id", "embedding", "label")
+        val shuffled = vecs.repartition(p)
+        assert(rows(Similarity.quantizeEmbeddings(vecs)) ==
+          rows(Similarity.quantizeEmbeddings(shuffled)), s"quantize p=$p")
+        // lowest-id keeper rule makes the kept set partitioning-free
+        assert(rows(Similarity.semanticDedup(vecs, 0.9)) ==
+          rows(Similarity.semanticDedup(shuffled, 0.9)), s"semdedup p=$p")
+      }
+  }
+
   test("indicator folds and windows are partition-invariant on generated walks") {
     val cases = samples(Gen.zip(closesGen, Gen.chooseNum(1, 9)), 6)
     cases.filter(_._1.size >= 3).foreach { case (closes, p) =>
