@@ -425,6 +425,10 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.table(s, dir, "documents"), 3, 0.5,
         maxDf = 50)),
+    // quality-aware keeper: best doc per near-dup cluster survives
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupKeepBest(Tables.table(s, dir, "documents"), 3, 0.5,
+        maxDf = 50)),
     // Same clusters via alternating large-star/small-star — the
     // O(log² n)-round form that survives deep components (a propagation
     // loop needs diameter-many rounds); oracle identical to dedup_clusters
@@ -1201,6 +1205,30 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
          |FROM reach GROUP BY src""".stripMargin,
+
+    // the dedup_clusters recursive CTE + the text_quality expression,
+    // LEFT-joined so singletons are their own cluster; keeper = highest
+    // quality then lowest id, encoded BIGINT 0/1
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         |jac AS (${OracleSql.jaccardPairs(0.5, 50)}),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |  UNION SELECT doc_b, doc_a FROM jac),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |       FROM reach GROUP BY src),
+         |q AS (${OracleSql.qualityScore})
+         |SELECT q.doc_id,
+         |  coalesce(cl.cluster_rep, q.doc_id) AS cluster_rep, q.quality,
+         |  CAST(CASE WHEN row_number() OVER (
+         |      PARTITION BY coalesce(cl.cluster_rep, q.doc_id)
+         |      ORDER BY q.quality DESC, q.doc_id) = 1
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id""".stripMargin,
 
     "pagerank_trade" ->
       """WITH e0 AS (

@@ -605,4 +605,40 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Quality-aware cluster-representative selection (the FineWeb/
+    * RefinedWeb curation step after near-dup clustering): every document
+    * gets its [[nearDupClusters]] cluster (singletons are their own
+    * cluster) and a quality score, and exactly ONE doc per cluster —
+    * the highest-quality, ties broken by lowest doc_id — is marked
+    * `kept = 1`. This replaces the naive lowest-id keeper with the
+    * policy real pipelines ship: when near-duplicates differ (one copy
+    * truncated, one boilerplate-wrapped), keep the best copy.
+    *
+    * Scale shape: the cluster machinery is [[nearDupClusters]] (pair-
+    * graph-sized, never corpus-wide); the quality column fuses into the
+    * corpus projection (one pass, codegen CSE); cluster attachment is a
+    * left join against the pair-graph-sized label table; the keeper
+    * choice is one window over `cluster_rep` — and since non-clustered
+    * docs are singleton partitions, the window's skew ceiling is the
+    * largest dup cluster, not the corpus.
+    */
+  def dedupKeepBest(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(docs, n, minJaccard, maxDf = maxDf)
+    val scored = docs
+      .select(col("doc_id"), TextAnalysis.qualityCol(col("text"))
+        .as("quality"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        col("quality"))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_rep"), col("quality"),
+        when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
 }

@@ -616,6 +616,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L) == ((0, 0L)) && got(3L) == ((1, 0L)), "near-dups dropped")
   }
 
+  test("dedupKeepBest keeps the highest-quality cluster member, not the " +
+    "lowest id; singletons always kept") {
+    // docs 1 and 2 share 5 of 7 3-shingles (J ≈ 0.71 ≥ 0.5) — one
+    // cluster; doc 2 is longer with more distinct tokens → higher
+    // quality, so the keeper must be doc 2 even though doc 1 has the
+    // lower id. Doc 3 is a singleton.
+    val df = docs(
+      1L -> "the quick brown fox jumps over dog",
+      2L -> "the quick brown fox jumps over dog near marsh woods",
+      3L -> "completely unrelated text about spark engines")
+    val got = Dedup.dedupKeepBest(df, 3, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L, "docs 1,2 share a cluster")
+    assert(got(2L)._2 > got(1L)._2, "doc 2 must score higher quality")
+    assert(got(2L)._3 == 1L && got(1L)._3 == 0L,
+      "the keeper is the best-quality member, not the lowest id")
+    assert(got(3L)._1 == 3L && got(3L)._3 == 1L, "singletons are kept")
+  }
+
   test("quantizeEmbeddings: codes in [0,255], dequant error <= one step, " +
     "constant vector codes to zeros") {
     val e = Seq(
