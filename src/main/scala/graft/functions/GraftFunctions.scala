@@ -24,6 +24,12 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "md5_base60", exprs => Md5Base60(exprs.head), "built-in")
     }
+    // In-process route for the optimizer rule (the extensions config only
+    // applies at session build): idempotent append via contains-check.
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.BandedLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.BandedLevenshteinRule
   }
 }
 
@@ -63,5 +69,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[Md5Base60].getName, "md5_base60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Base60(exprs.head)))
+    // thresholded edit-distance predicates → banded Levenshtein
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
   }
 }

@@ -41,4 +41,35 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(old)
     }
   }
+
+  test("BandedLevenshteinRule rewrites thresholded edit distance to the " +
+    "banded early-exit form with identical results") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    import org.apache.spark.sql.functions.expr
+    // parquet-backed input: a LocalRelation would be constant-folded away
+    // at optimization time, hiding the rewrite from the plan assert
+    val df = Tables.table(spark, "/root/testdata/sf0.001", "part")
+      .selectExpr("p_name AS a", "p_type AS b")
+    def bandedCount(plan: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Int =
+      plan.collect { case n => n.expressions.map(e => e.collect {
+        case l: Levenshtein if l.threshold.isDefined => 1
+      }.size).sum }.sum
+    val reference = df.filter(
+      expr("levenshtein(a, b, 1000000) <= 12")).collect().length
+    assert(reference > 0, "need a non-empty within-threshold set")
+    for (pred <- Seq("levenshtein(a, b) <= 12", "levenshtein(a, b) < 13",
+        "12 >= levenshtein(a, b)")) {
+      val q = df.filter(expr(pred))
+      assert(bandedCount(q.queryExecution.optimizedPlan) == 1,
+        s"'$pred' must optimize to ONE banded levenshtein:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(q.collect().length == reference,
+        s"'$pred' must keep exactly the within-threshold rows")
+    }
+    // out-of-scope shapes must NOT be rewritten: a bare projection
+    val eq = df.select(expr("levenshtein(a, b)").as("d"))
+    assert(bandedCount(eq.queryExecution.optimizedPlan) == 0,
+      "a bare distance projection keeps the exact unbanded form")
+  }
 }
