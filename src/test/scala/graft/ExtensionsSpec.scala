@@ -72,4 +72,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(bandedCount(eq.queryExecution.optimizedPlan) == 0,
       "a bare distance projection keeps the exact unbanded form")
   }
+
+  test("banded rewrite parity on exhaustive short unicode strings " +
+    "(incl. surrogate pairs) against Spark's own unbanded distance") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    import org.apache.spark.sql.functions.{col, expr}
+    // all strings of length 0..2 over {latin, greek, cyrillic, emoji}
+    // (the emoji is a surrogate PAIR — the unit-counting edge case)
+    val chars = Seq("a", "χ", "д", "🙂")
+    val strs = Seq("") ++ chars ++
+      (for (x <- chars; y <- chars) yield x + y)
+    val pairs = for (x <- strs; y <- strs) yield (x, y)
+    // RDD-backed input: a LocalRelation would constant-fold the filter
+    // BEFORE the extraOptimizations batch runs, bypassing the rule
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs, 4)).toDF("a", "b")
+    // ground truth from Spark's own exact unbanded expression (a bare
+    // projection is out of the rule's scope — asserted above)
+    val exact = df.select(col("a"), col("b"),
+        expr("levenshtein(a, b)").as("d")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    for (k <- 0 to 3) {
+      val q = df.filter(expr(s"levenshtein(a, b) <= $k"))
+      val fired = q.queryExecution.optimizedPlan.collect { case n =>
+        n.expressions.map(_.collect {
+          case l: Levenshtein if l.threshold.isDefined => 1
+        }.size).sum }.sum
+      assert(fired == 1, s"rule must fire for k=$k")
+      val got = q.collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val want = exact.filter(_._3 <= k).map(t => (t._1, t._2))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"banded ≠ unbanded at k=$k")
+    }
+  }
 }
