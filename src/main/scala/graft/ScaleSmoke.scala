@@ -238,6 +238,13 @@ object ScaleSmoke {
       // (stride 6) → starts 0,6,12,18,24 → exactly 5 chunks per doc
       stage("chunk_docs")(
         graft.functions.TextAnalysis.chunkDocuments(docs, 8, 2).count()),
+      // quality-aware keeper: every planted pair keeps exactly ONE member
+      // (the longer successor doc never exists — pairs are id/id+1 with
+      // EQUAL quality, so the lowest id wins the tie) → kept count must
+      // be exactly nDocs − nDocs/50
+      stage("keep_best_docs")(
+        Dedup.dedupKeepBest(docs, 3, 0.5, maxDf = 50)
+          .filter(col("kept") === 1L).count()),
       // DSIR weights: 30% of docs tagged en (the target slice); bucket
       // stats broadcast, one doc-keyed agg — output = nDocs rows
       stage("dsir_docs")(
