@@ -182,6 +182,14 @@ class PlanShapeSpec extends SparkSpec {
       s"int8 quantization must pipeline inside the scan stage:\n$plan")
   }
 
+  test("dedup_keep_best: one keeper Window, no nested-loop joins") {
+    val plan = finalPlan(SparkEntry.queries("dedup_keep_best")(spark, dir))
+    assert(count(plan, "Window ") == 1,
+      s"keeper choice is ONE window over cluster_rep:\n$plan")
+    assert(count(plan, "CartesianProduct|BroadcastNestedLoopJoin") == 0,
+      s"cluster attachment must stay a keyed join:\n$plan")
+  }
+
   test("dsir_weights broadcasts the bucket-ratio table, never sort-merges") {
     val plan = finalPlan(SparkEntry.queries("dsir_weights")(spark, dir))
     assert(count(plan, "BroadcastExchange") >= 1,
