@@ -1,11 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression,
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
   GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
   Levenshtein, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: rewrite a thresholded edit-distance predicate into
   * Spark's banded Levenshtein.
@@ -34,9 +34,27 @@ import org.apache.spark.sql.types.IntegerType
   */
 object BandedLevenshteinRule extends Rule[LogicalPlan] {
 
+  /** An int-valued literal threshold: a plain int literal, or the long
+    * literal the analyzer pairs with `Cast(levenshtein, bigint)` when the
+    * user writes `<= 2L` (values beyond Int.MaxValue never bind — a
+    * distance above it cannot occur, so the predicate is left alone).
+    */
   private object IntK {
     def unapply(e: Expression): Option[Int] = e match {
       case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v >= Int.MinValue &&
+        v <= Int.MaxValue => Some(v.toInt)
+      case _ => None
+    }
+  }
+
+  /** The distance side: bare, or wrapped in the widening cast the
+    * analyzer inserts for a bigint comparison (exact — no overflow).
+    */
+  private object Lev {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(l, r, None) => Some((l, r))
+      case Cast(Levenshtein(l, r, None), LongType, _, _) => Some((l, r))
       case _ => None
     }
   }
@@ -46,13 +64,10 @@ object BandedLevenshteinRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case LessThanOrEqual(Levenshtein(l, r, None), IntK(k)) if k >= 0 =>
+      case LessThanOrEqual(Lev(l, r), IntK(k)) if k >= 0 => banded(l, r, k)
+      case GreaterThanOrEqual(IntK(k), Lev(l, r)) if k >= 0 =>
         banded(l, r, k)
-      case GreaterThanOrEqual(IntK(k), Levenshtein(l, r, None)) if k >= 0 =>
-        banded(l, r, k)
-      case LessThan(Levenshtein(l, r, None), IntK(k)) if k >= 1 =>
-        banded(l, r, k - 1)
-      case GreaterThan(IntK(k), Levenshtein(l, r, None)) if k >= 1 =>
-        banded(l, r, k - 1)
+      case LessThan(Lev(l, r), IntK(k)) if k >= 1 => banded(l, r, k - 1)
+      case GreaterThan(IntK(k), Lev(l, r)) if k >= 1 => banded(l, r, k - 1)
     }
 }

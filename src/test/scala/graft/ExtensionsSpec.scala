@@ -59,7 +59,7 @@ class ExtensionsSpec extends SparkSpec {
       expr("levenshtein(a, b, 1000000) <= 12")).collect().length
     assert(reference > 0, "need a non-empty within-threshold set")
     for (pred <- Seq("levenshtein(a, b) <= 12", "levenshtein(a, b) < 13",
-        "12 >= levenshtein(a, b)")) {
+        "12 >= levenshtein(a, b)", "levenshtein(a, b) <= 12L")) {
       val q = df.filter(expr(pred))
       assert(bandedCount(q.queryExecution.optimizedPlan) == 1,
         s"'$pred' must optimize to ONE banded levenshtein:\n" +
