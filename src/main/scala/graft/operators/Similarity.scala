@@ -467,6 +467,23 @@ object Similarity {
         when(col("is_dropped").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
 
+  /** Index-organized ANN storage: write the corpus PARTITIONED BY its
+    * k-means cell (one directory per cell — the IVF inverted-list layout
+    * as a parquet partitioning), so a query that probes `nprobe` cells
+    * reads ONLY those directories. At 100 TB this is the difference
+    * between scanning the corpus per query and scanning
+    * nprobe/nlist of it: Catalyst partition pruning turns the cell
+    * filter into directory-level PartitionFilters, no data files outside
+    * the probed cells are even opened (asserted via `inputFiles` in
+    * BucketingSpec). Returns the cell directory written per vector.
+    */
+  def writeCellPartitioned(embeddings: DataFrame, path: String): Unit =
+    embeddings
+      .join(kmeansAssign(embeddings)
+        .select(col("vec_id"), col("assigned_label").as("cell")),
+        Seq("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
   /** Per-vector int8 min-max quantization — the vector-store compression
     * step (4× smaller than float32; at a 100 TB embedding corpus that is
     * the difference between 100 TB and 25 TB of scan): each vector emits

@@ -180,4 +180,36 @@ class BucketingSpec extends SparkSpec {
     assert(files.nonEmpty && bucketIds.distinct.length == files.length,
       s"a bucket has multiple files: ${files.toSeq}")
   }
+
+  test("cell-partitioned embedding layout: probing n cells opens only " +
+    "those cells' files (IVF inverted-list as parquet partitioning)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout")
+      .toString
+    graft.operators.Similarity.writeCellPartitioned(emb, dir)
+    val layout = spark.read.parquet(dir)
+    // round trip: every vector lands in exactly one cell
+    assert(layout.count() == emb.count())
+    val cells = layout.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).sorted
+    assert(cells.length > 1, "need multiple cells for a pruning claim")
+    // probe 2 cells: the EXECUTED scan must open only those directories
+    // (inputFiles reflects the unfiltered relation — the authoritative
+    // count is the scan node's numFiles metric after execution)
+    val probed = Seq(cells(0), cells(1))
+    val q = layout.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val probedRows = q.collect().length
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the probed plan"))
+    assert(scan.metadata("PartitionFilters").contains("cell"),
+      s"the cell probe must be a PartitionFilter:\n${scan.metadata}")
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = layout.inputFiles.length
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"probe must prune directories: $readFiles/$allFiles files read")
+    // and the probed subset is exactly the vectors assigned to the cells
+    assert(probedRows > 0 && probedRows < layout.count().toInt)
+  }
 }
