@@ -477,12 +477,64 @@ object Similarity {
     * the probed cells are even opened (asserted via `inputFiles` in
     * BucketingSpec). Returns the cell directory written per vector.
     */
-  def writeCellPartitioned(embeddings: DataFrame, path: String): Unit =
+  def writeCellPartitioned(embeddings: DataFrame, path: String): Unit = {
     embeddings
       .join(kmeansAssign(embeddings)
         .select(col("vec_id"), col("assigned_label").as("cell")),
         Seq("vec_id"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    // the codebook rides along under an underscore dir (invisible to
+    // parquet discovery of the layout itself) — probes read it instead
+    // of re-deriving centroids from a full corpus scan
+    centroidVectors(embeddings)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Probe-side ANN over a [[writeCellPartitioned]] layout: rank the
+    * stored centroids per query (decimal-exact, tiny — |queries|·nlist
+    * pairs), keep the top `nprobe` cells, and scan ONLY those cells'
+    * directories for exact-decimal top-k scoring. The cell filter reaches
+    * the layout scan as a dynamic partition-pruning subquery (the probed
+    * cell set is data-dependent), so per-query IO is bounded by
+    * nprobe/nlist of the corpus — the full IVF lifecycle: build once
+    * ([[writeCellPartitioned]]), probe many.
+    *
+    * Exactness property (unit-tested): with `nprobe` = nlist the result
+    * is IDENTICAL to brute-force [[annTopK]] — the approximation lives
+    * only in which cells are probed, never in the scoring.
+    */
+  def annTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, nQueries: Int = 8, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(spark)
+    val layout = spark.read.parquet(path)
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val queries = layout.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), vec(col("embedding")).as("q"),
+        sqrt(normSqDecimal(col("embedding"))).as("q_norm"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q"), col("q_norm"), col("c_label"),
+        (dotDecimal(col("q"), col("cvec")) /
+          (col("q_norm") * sqrt(normSqDecimal(col("cvec"))))).as("csim"))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("csim").desc, col("c_label"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("q"), col("q_norm"),
+        col("c_label").as("cell"))
+    val scored = layout.filter(col("vec_id") >= nQueries)
+      .select(col("cell"), col("vec_id"), vec(col("embedding")).as("v"),
+        sqrt(normSqDecimal(col("embedding"))).as("v_norm"))
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        (dotDecimal(col("q"), col("v")) / (col("q_norm") * col("v_norm")))
+          .as("sim"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
 
   /** Per-vector int8 min-max quantization — the vector-store compression
     * step (4× smaller than float32; at a 100 TB embedding corpus that is

@@ -211,5 +211,21 @@ class BucketingSpec extends SparkSpec {
       s"probe must prune directories: $readFiles/$allFiles files read")
     // and the probed subset is exactly the vectors assigned to the cells
     assert(probedRows > 0 && probedRows < layout.count().toInt)
+
+    // probe path: with nprobe = nlist the layout probe must equal the
+    // brute-force annTopK EXACTLY — the approximation lives only in
+    // which cells are probed, never in the scoring
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val exact = rows(graft.operators.Similarity.annTopK(emb, 8, 5))
+    val probeAll = rows(graft.operators.Similarity.annTopKFromLayout(
+      spark, dir, 8, 5, nprobe = cells.length))
+    assert(probeAll == exact,
+      "probing every cell must reproduce brute force bit-for-bit")
+    val probe2 = rows(graft.operators.Similarity.annTopKFromLayout(
+      spark, dir, 8, 5, nprobe = 2))
+    assert(probe2.nonEmpty && probe2.map(_._1) == exact.map(_._1),
+      "a 2-cell probe still answers every query")
   }
 }
