@@ -272,7 +272,28 @@ object ScaleSmoke {
                   / 1000.0 - 0.5 +
                   when(d === pmod(col("seed"), lit(8)).cast("int"),
                     lit(2.0)).otherwise(lit(0.0))).as("embedding")),
-          0.95).filter(col("kept") === 0L).count()))
+          0.95).filter(col("kept") === 0L).count()),
+      // full IVF lifecycle at corpus scale: build the cell-partitioned
+      // layout + codebook once, then a directory-pruned 2-cell probe —
+      // output must be exactly nQueries × k rows
+      stage("ivf_lifecycle_vecs") {
+        val vecsIvf = spark.range(nVecs).select(
+          col("id").as("vec_id"),
+          pmod(hash(col("id")), lit(1000)).as("h"))
+          .select(col("vec_id"),
+            pmod(col("vec_id"), lit(8)).cast("int").as("label"),
+            transform(sequence(lit(0), lit(63)),
+              d => pmod(hash(col("vec_id"), d), lit(1000)).cast("double")
+                / 1000.0 - 0.5 +
+                when(d === pmod(col("vec_id"), lit(8)).cast("int"),
+                  lit(2.0)).otherwise(lit(0.0))).as("embedding"))
+          .drop("h")
+        val dir = java.nio.file.Files
+          .createTempDirectory("ivf_smoke").toString
+        graft.operators.Similarity.writeCellPartitioned(vecsIvf, dir)
+        graft.operators.Similarity.annTopKFromLayout(spark, dir, 8, 5, 2)
+          .count()
+      })
 
     val js = results.map { case (n, sec, out) =>
       s""""$n":{"sec":$sec,"rows_per_sec":${(baseOf(n) / sec).toLong},"out_rows":$out}"""
