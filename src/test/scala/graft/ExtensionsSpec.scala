@@ -36,6 +36,17 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT decimal_dot(array(1.5d, 2.0d), array(2.0d, 3.0d)) AS d")
         .collect()(0).getDouble(0)
       assert(dot == 9.0)
+      // the optimizer rule rides the SAME injection route (the s2
+      // session never called GraftFunctions.register, so this proves
+      // injectOptimizerRule, not the extraOptimizations fallback)
+      val q = s2.range(10).selectExpr("cast(id as string) AS a",
+        "cast(id + 1 as string) AS b").filter("levenshtein(a, b) <= 1")
+      val fired = q.queryExecution.optimizedPlan.collect { case n =>
+        n.expressions.map(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Levenshtein
+            if l.threshold.isDefined => 1
+        }.size).sum }.sum
+      assert(fired == 1, "injectOptimizerRule must band the predicate")
     } finally {
       SparkSession.setActiveSession(old)
       SparkSession.setDefaultSession(old)
