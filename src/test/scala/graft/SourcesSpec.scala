@@ -96,4 +96,47 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("symbol"),
       s"expected the symbol predicate pushed into the ORC scan:\n$plan")
   }
+
+  test("JSONL corpus round-trip: gzip-compressed lines, schema-ful read " +
+    "(no corpus-scan inference), unicode/newline-safe") {
+    // JSONL is the lingua franca of LLM corpora. Two scale contracts:
+    // (1) reads must pass an EXPLICIT schema — schema inference reads
+    // every byte of a 100 TB corpus before the query even starts;
+    // (2) writers must escape so one document = one line regardless of
+    // content (embedded newlines, quotes, unicode).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain ascii body", "en"),
+      (2L, "embedded \"quotes\" and\nnewlines\ttabs", "en"),
+      (3L, "unicode: χαίρετε — 🙂 done", "el"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    docs.write.mode("overwrite").option("compression", "gzip")
+      .json(s"$dir/docs")
+    // every document is exactly one physical line in the .json.gz parts
+    val lines = spark.read.textFile(s"$dir/docs").collect()
+    assert(lines.length == 3 && lines.forall(!_.contains('\n')))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val back = spark.read.schema(schema).json(s"$dir/docs")
+    assert(back.schema == schema, "explicit schema must be taken verbatim")
+    val got = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "plain ascii body", "en"),
+      (2L, "embedded \"quotes\" and\nnewlines\ttabs", "en"),
+      (3L, "unicode: χαίρετε — 🙂 done", "el")),
+      s"JSONL round-trip must be lossless, got $got")
+    // corrupt-line tolerance: PERMISSIVE (the default) nulls bad rows
+    // instead of failing the 100 TB job on one malformed document
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs/extra.json"),
+      """{"doc_id": 4, "text": "ok", "lang": "en"}""" + "\n" +
+        "{not json at all\n")
+    val tolerant = spark.read.schema(schema).json(s"$dir/docs")
+    assert(tolerant.filter(col("doc_id").isNotNull).count() == 4,
+      "well-formed rows survive a corrupt neighbor line")
+  }
 }
