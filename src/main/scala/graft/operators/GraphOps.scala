@@ -107,8 +107,13 @@ object GraphOps {
     * must produce the identical count.
     *
     * Scale: the edge list is one distinct-shuffle over (order, part)
-    * pairs; degrees attach via one aggregate + broadcast-sized join per
-    * endpoint; the wedge join's fan-out is bounded by the orientation.
+    * pairs, MATERIALIZED once (`localCheckpoint`) — the degree build,
+    * the two degree-attach joins, and the summary counts all read the
+    * materialized list instead of replaying the pair self-join per
+    * consumer. Degrees attach via one aggregate + broadcast-sized join
+    * per endpoint; the wedge join's fan-out is bounded by the
+    * orientation. n_nodes/n_edges come from ONE aggregate over the
+    * degree table (Σdeg = 2·|E| exactly), not separate edge re-scans.
     * All counts are exact BIGINTs.
     */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
@@ -126,10 +131,18 @@ object GraphOps {
     * distinct `(u, v)` rows with u < v. Returns one row:
     * `(n_nodes, n_edges, n_triangles)`.
     */
-  def triangleCountEdges(edges: DataFrame): DataFrame = {
+  def triangleCountEdges(edges0: DataFrame): DataFrame = {
+    // materialize the (possibly expensive) edge build ONCE — without
+    // this, each of {degree agg, u-attach, v-attach} replays the full
+    // upstream lineage (at sf0.1 the lineitem pair self-join + distinct,
+    // three times over: the single biggest cost in the round-7 bench)
+    val edges = edges0.localCheckpoint()
+    // deg is node-sized and consumed three times (two attach joins +
+    // the fused summary aggregate) — materialize it too
     val deg = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // orient low-rank → high-rank, rank = (deg, id); carry the far
     // endpoint's rank so the wedge join orders endpoints without a
     // third join
@@ -155,9 +168,13 @@ object GraphOps {
     val triangles = wedges.join(oriented,
       col("w_src") === col("src") && col("w_dst") === col("dst"),
       "left_semi")
+    // n_nodes and n_edges fuse into ONE pass over the node-sized degree
+    // table: every undirected edge contributes exactly 2 to Σdeg, so
+    // Σdeg div 2 is the exact BIGINT edge count — no edge re-scan
+    val summary = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"))
     triangles.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(summary)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 }

@@ -155,16 +155,18 @@ class PlanShapeSpec extends SparkSpec {
 
   test("triangle_count orients once: wedge joins read the checkpointed list") {
     val plan = finalPlan(SparkEntry.queries("triangle_count")(spark, dir))
-    // the oriented edge list is localCheckpoint'ed; the wedge and
-    // closing-edge joins must scan it, never re-derive the
-    // lineitem→pairs→degrees subtree per aliased consumer
+    // edges, deg, and oriented are all localCheckpoint'ed before the
+    // final query; the wedge join, closing semi-join, and summary
+    // aggregate must all root at materialized lists — the plan may not
+    // re-derive the lineitem→pairs→degrees subtree for ANY consumer
     assert(count(plan, "Scan ExistingRDD|LocalTableScan") >= 2 ||
       count(plan, "TableCacheQueryStage|InMemoryTableScan") >= 2,
       s"wedge + closing joins must reuse the materialized oriented " +
         s"list:\n$plan")
-    assert(count(plan, "Scan parquet") <= 3,
-      s"lineitem must be scanned for the edge build only, not once per " +
-        s"join consumer:\n$plan")
+    assert(count(plan, "Scan parquet") == 0,
+      s"the final count plan must root entirely at the checkpointed " +
+        s"edge/degree lists — a parquet scan means a consumer replayed " +
+        s"the edge build:\n$plan")
   }
 
   test("chunk_documents is shuffle-free: one Generate, zero Exchanges") {
