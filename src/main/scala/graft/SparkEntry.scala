@@ -74,7 +74,8 @@ object SparkEntry {
         .agg(sum(col("rev")).cast("double").as("revenue"))
     }),
     "full_outer_recon" -> ((s, dir) => Analytics.nationPartyReconciliation(s, dir)),
-    // blocked fuzzy entity matching: brand-blocked Levenshtein ≤ 2 pairs
+    // blocked fuzzy entity matching: (brand × positional-token)-banded
+    // Levenshtein ≤ 2 pairs — pigeonhole-complete for 3 bands > 2 edits
     "fuzzy_join_parts" -> ((s, dir) => Analytics.fuzzyJoinParts(s, dir, 2)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
@@ -829,13 +830,29 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
 
+    // mirrors the banded candidate generation itself (like the LSH band
+    // oracles): composite block (brand, token position, token) over the
+    // first 3 name tokens, candidates deduped, then the distance filter
     "fuzzy_join_parts" ->
-      """SELECT p_brand, part_a, part_b, dist FROM (
-        |  SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
-        |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-        |  FROM part a JOIN part b
-        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
-        |WHERE dist <= 2""".stripMargin,
+      """WITH toks AS (
+        |  SELECT p_brand, p_partkey, p_name, 1 AS band,
+        |    string_split(p_name, ' ')[1] AS tok FROM part
+        |  UNION ALL
+        |  SELECT p_brand, p_partkey, p_name, 2,
+        |    string_split(p_name, ' ')[2] FROM part
+        |  UNION ALL
+        |  SELECT p_brand, p_partkey, p_name, 3,
+        |    string_split(p_name, ' ')[3] FROM part),
+        |cand AS (
+        |  SELECT DISTINCT a.p_brand, a.p_partkey AS part_a,
+        |    b.p_partkey AS part_b, a.p_name AS name_a, b.p_name AS name_b
+        |  FROM toks a JOIN toks b
+        |    ON a.p_brand = b.p_brand AND a.band = b.band
+        |      AND a.tok = b.tok AND a.p_partkey < b.p_partkey)
+        |SELECT p_brand, part_a, part_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (

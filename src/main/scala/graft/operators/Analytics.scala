@@ -706,38 +706,71 @@ object Analytics {
 
   /** Blocked fuzzy entity matching (record linkage): part-name pairs
     * within the same brand whose Levenshtein edit distance is ≤ `maxDist`
-    * — the classic dedup/ER shape where an exact blocking key (brand)
-    * bounds the candidate space and an edit-distance predicate decides.
+    * — the classic dedup/ER shape where an exact blocking key bounds the
+    * candidate space and an edit-distance predicate decides.
     *
-    * Scale design: the blocking key is the whole story. Pair generation is
-    * an equi-join on `p_brand` followed by `p_partkey <` (one-sided — each
-    * pair once), so the cost is O(Σ block²) in block sizes, never O(n²)
-    * over the catalog; at 100 TB you tighten the block (brand × container,
-    * or an n-gram-prefix key) exactly like the LSH band keys in Dedup.
+    * Scale design: the blocking key is the whole story. The block is the
+    * COMPOSITE key `(brand, token position, token)` over the first
+    * `bands` whitespace tokens of the name — banded exactly like the
+    * MinHash LSH keys in Dedup: each record emits `bands` keys, candidates
+    * are pairs agreeing on ANY band, deduplicated before the distance DP
+    * runs once per pair. Why this is recall-safe for the edit predicate:
+    * `maxDist` character edits touch at most `maxDist` tokens (TPC-H
+    * names are fixed five-word strings — no edits can merge or split
+    * tokens without exceeding the budget elsewhere), so with
+    * `bands > maxDist` leading tokens at least one must match
+    * positionally — the same pigeonhole that sizes LSH bands.
+    * LlmOpsSpec proves recall 1.0 against the brand-only brute force on
+    * real data AND on planted adversarial pairs. Cost: blocks shrink
+    * from `n/|brands|` to `n/(|brands|·|token vocab|)`, so pair count
+    * drops ~|vocab|/bands ≈ 30× and — unlike the brand-only block —
+    * grows with catalog VOCABULARY, not quadratically with catalog size.
+    *
     * `levenshtein` is a codegen'd built-in with the standard unit-cost
     * DP semantics in both engines (Spark `levenshtein` ≡ DuckDB
     * `levenshtein`), so the distances — and the oracle hash — agree
-    * exactly. The per-pair DP is the banded 3-arg
-    * `levenshtein(l, r, threshold)`: it walks an O(threshold·min(len))
-    * diagonal band and early-exits with −1 instead of filling the full
-    * O(len²) table — exact whenever the distance is ≤ threshold, so the
-    * declared output is bit-identical to the unbanded form (measured
-    * 2.1× on 8M intra-brand pairs at sf0.1). Cheaper necessary-condition
-    * prefilters (length delta, char-bag L1 distance) were measured and
-    * rejected: TPC-H part names are same-length same-alphabet word
-    * permutations, so they prune <50% while paying per-pair evaluation
-    * and wider join rows.
+    * exactly; the oracle mirrors the banded candidate generation itself.
+    * The per-pair DP is the banded 3-arg `levenshtein(l, r, threshold)`:
+    * it walks an O(threshold·min(len)) diagonal band and early-exits
+    * with −1 instead of filling the full O(len²) table — exact whenever
+    * the distance is ≤ threshold, so the declared output is
+    * bit-identical to the unbanded form (measured 2.1× on 8M intra-brand
+    * pairs at sf0.1). Cheaper necessary-condition prefilters (length
+    * delta, char-bag L1 distance) were measured and rejected: TPC-H part
+    * names are same-length same-alphabet word permutations, so they
+    * prune <50% while paying per-pair evaluation and wider join rows.
     */
   def fuzzyJoinParts(spark: SparkSession, dir: String,
-      maxDist: Int = 2): DataFrame = {
-    val p = table(spark, dir, "part")
-      .select(col("p_brand"), col("p_partkey"), col("p_name"))
-    val a = p.select(col("p_brand"), col("p_partkey").as("part_a"),
-      col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
-      col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
+      maxDist: Int = 2, bands: Int = 3): DataFrame =
+    fuzzyMatchPairs(table(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_name")),
+      maxDist, bands)
+
+  /** The banded-blocking core over an arbitrary
+    * `(p_brand, p_partkey, p_name)` frame — see [[fuzzyJoinParts]].
+    * Requires `bands > maxDist` for the pigeonhole recall guarantee on
+    * token-aligned names.
+    */
+  def fuzzyMatchPairs(parts: DataFrame, maxDist: Int,
+      bands: Int): DataFrame = {
+    require(bands > maxDist,
+      s"bands ($bands) must exceed maxDist ($maxDist) for pigeonhole recall")
+    val banded = parts.select(col("p_brand"), col("p_partkey"),
+      col("p_name"),
+      posexplode(slice(split(col("p_name"), " "), 1, bands))
+        .as(Seq("band", "tok")))
+    val a = banded.select(col("p_brand"), col("band"), col("tok"),
+      col("p_partkey").as("part_a"), col("p_name").as("name_a"))
+    val b = banded.select(col("p_brand"), col("band"), col("tok"),
+      col("p_partkey").as("part_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "band", "tok"))
       .filter(col("part_a") < col("part_b"))
+      // a pair agreeing on several bands is one candidate: dedupe BEFORE
+      // the DP so the edit distance runs once per pair (names are
+      // functionally dependent on the keys, so carrying them is free)
+      .select(col("p_brand"), col("part_a"), col("part_b"),
+        col("name_a"), col("name_b"))
+      .distinct()
       .select(col("p_brand"), col("part_a"), col("part_b"),
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")
           .as("dist"))

@@ -662,7 +662,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.find(_._1 == 0L).get._4.toSeq == Seq(0L, 127L, 191L, 255L))
   }
 
-  test("fuzzyJoinParts equals the unblocked brute force at sf0.001") {
+  test("fuzzyJoinParts banded block equals the brand-only brute force " +
+    "at sf0.001 (recall 1.0 on real data)") {
     val dir = "/root/testdata/sf0.001"
     val blocked = graft.operators.Analytics.fuzzyJoinParts(spark, dir, 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
@@ -677,5 +678,29 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSet
     assert(blocked == brute && blocked.nonEmpty)
+  }
+
+  test("fuzzy banded block retains planted pairs whose edits hit the " +
+    "leading tokens (pigeonhole recall)") {
+    import spark.implicits._
+    // adversarial plants against the (brand, position, token) bands:
+    //  1↔2: BOTH edits inside bands 1-2 — only band 3 can pair them
+    //  1↔3: edits in tokens 4-5 — any leading band pairs them
+    //  4:   shares band 3 ("coral") but is >2 edits from everyone —
+    //       candidate must be generated then rejected by the DP
+    //  5:   identical name, different brand — must never pair
+    val rows = Seq(
+      (1L, "B1", "alpha beige coral dove ebony"),
+      (2L, "B1", "alphz beigz coral dove ebony"),
+      (3L, "B1", "alpha beige coral dovz ebonz"),
+      (4L, "B1", "gamma delta coral dove ebony"),
+      (5L, "B2", "alpha beige coral dove ebony"))
+      .toDF("p_partkey", "p_brand", "p_name")
+      .select(col("p_brand"), col("p_partkey"), col("p_name"))
+    val got = graft.operators.Analytics.fuzzyMatchPairs(rows, 2, 3)
+      .select(col("part_a"), col("part_b"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 2L)),
+      s"banded block must keep exactly the two planted ≤2-edit pairs: $got")
   }
 }
