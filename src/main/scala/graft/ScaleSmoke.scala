@@ -290,9 +290,16 @@ object ScaleSmoke {
           .drop("h")
         val dir = java.nio.file.Files
           .createTempDirectory("ivf_smoke").toString
-        graft.operators.Similarity.writeCellPartitioned(vecsIvf, dir)
-        graft.operators.Similarity.annTopKFromLayout(spark, dir, 8, 5, 2)
-          .count()
+        try {
+          graft.operators.Similarity.writeCellPartitioned(vecsIvf, dir)
+          graft.operators.Similarity.annTopKFromLayout(spark, dir, 8, 5, 2)
+            .count()
+        } finally {
+          // measurement-only layout: delete it so repeated smoke runs
+          // don't accumulate 100k-vector parquet trees under /tmp
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(dir))
+        }
       })
 
     val js = results.map { case (n, sec, out) =>

@@ -600,6 +600,15 @@ object SparkEntry {
     // approximate by construction -> rows-only check, no oracle
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.annTopKIvf(Tables.table(s, dir, "embeddings"), 8, 5)),
+    // the STORED-index probe path: the cell-partitioned layout is built
+    // once per corpus (fixture-style, like the bucketed tables) and
+    // every probe reads only the probed cells' directories — rows-only
+    // (approximate by construction); probe-all ≡ brute-force is the
+    // spec-level equivalence (BucketingSpec), pruning pinned by the
+    // scan's numFiles metric
+    "ann_topk_ivf_layout" -> ((s, dir) =>
+      Similarity.annTopKFromLayout(s, Similarity.cellLayoutFor(s, dir),
+        8, 5, nprobe = 6)),
     // SemDeDup: k-means cells, intra-cell cosine prune, keep lowest id
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.table(s, dir, "embeddings"), 0.3)),

@@ -485,10 +485,32 @@ object Similarity {
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     // the codebook rides along under an underscore dir (invisible to
     // parquet discovery of the layout itself) — probes read it instead
-    // of re-deriving centroids from a full corpus scan
+    // of re-deriving centroids from a full corpus scan. It is written
+    // LAST, so a crash between the two writes leaves a layout without
+    // its codebook — an invalid state that annTopKFromLayout rejects
+    // with an explicit invariant error rather than a path-not-found.
     centroidVectors(embeddings)
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
+
+  /** Build-once/probe-many fixture: the [[writeCellPartitioned]] layout
+    * for a corpus directory, built on FIRST use per JVM at a
+    * deterministic warehouse path (repeat runs overwrite, never
+    * accumulate) and memoized so every subsequent probe in the session
+    * hits the stored index — the lifecycle a real 100 TB deployment
+    * runs: one index build amortized over many queries.
+    */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def cellLayoutFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    layoutCache.computeIfAbsent(dir, d => {
+      val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = new java.io.File(
+        "spark-warehouse", s"ivf_layout_$safe").getAbsolutePath
+      writeCellPartitioned(graft.Tables.table(spark, d, "embeddings"), path)
+      path
+    })
 
   /** Probe-side ANN over a [[writeCellPartitioned]] layout: rank the
     * stored centroids per query (decimal-exact, tiny — |queries|·nlist
@@ -507,6 +529,12 @@ object Similarity {
       path: String, nQueries: Int = 8, k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     GraftFunctions.register(spark)
+    val centPath = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    require(centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(centPath),
+      s"IVF layout at $path has no _centroids codebook — " +
+        "writeCellPartitioned did not complete; rebuild the layout " +
+        "before probing")
     val layout = spark.read.parquet(path)
     val cents = spark.read.parquet(s"$path/_centroids")
     val queries = layout.filter(col("vec_id") < nQueries)

@@ -228,4 +228,51 @@ class BucketingSpec extends SparkSpec {
     assert(probe2.nonEmpty && probe2.map(_._1) == exact.map(_._1),
       "a 2-cell probe still answers every query")
   }
+
+  test("ann_topk_ivf_layout (declared query) probes the stored index: " +
+    "build-once fixture, probe-all ≡ brute force, pruned scan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    // the declared entry answers every query from the stored layout
+    val declared = SparkEntry.queries("ann_topk_ivf_layout")(spark, sfDir)
+      .collect()
+    assert(declared.nonEmpty &&
+      declared.map(_.getLong(0)).distinct.length == 8,
+      "every query id must be answered from the layout")
+    // the fixture is memoized — a second request returns the SAME stored
+    // index, no rebuild
+    val p1 = graft.operators.Similarity.cellLayoutFor(spark, sfDir)
+    assert(p1 == graft.operators.Similarity.cellLayoutFor(spark, sfDir))
+    // probing every cell of the stored index reproduces brute force
+    // bit-for-bit — the approximation lives only in cell choice
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val layout = spark.read.parquet(p1)
+    val nCells = layout.select(col("cell")).distinct().count().toInt
+    assert(rows(graft.operators.Similarity.annTopKFromLayout(
+      spark, p1, 8, 5, nprobe = nCells)) ==
+      rows(graft.operators.Similarity.annTopK(emb, 8, 5)),
+      "probe-all over the DECLARED fixture must equal brute force")
+    // cell probes prune at directory level on the stored index
+    val cells = layout.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).sorted.take(2)
+    val q = layout.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the probed plan"))
+    assert(scan.metrics("numFiles").value < layout.inputFiles.length,
+      "the stored index must serve cell probes from the probed " +
+        "directories only")
+    // a layout missing its codebook is invalid and must fail fast with
+    // the invariant message, not a confusing path error
+    val bad = java.nio.file.Files.createTempDirectory("ivf_bad").toString
+    emb.limit(10).withColumn("cell", lit(0))
+      .write.partitionBy("cell").mode("overwrite").parquet(bad)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.annTopKFromLayout(spark, bad, 2, 2, 1)
+    }
+    assert(e.getMessage.contains("_centroids"))
+  }
 }
