@@ -838,7 +838,8 @@ object OracleSql {
        |cv AS (SELECT e.vec_id, asg.cell, e.v FROM e JOIN asg USING (vec_id)),
        |dropped AS (SELECT DISTINCT b.vec_id
        |  FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE round(${cosine("a.v", "b.v")}, 6) >= $minSim)
+       |  WHERE ${normSq("a.v")} > 0 AND ${normSq("b.v")} > 0
+       |    AND round(${cosine("a.v", "b.v")}, 6) >= $minSim)
        |SELECT cv.vec_id, cv.cell,
        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM cv LEFT JOIN dropped d ON cv.vec_id = d.vec_id""".stripMargin

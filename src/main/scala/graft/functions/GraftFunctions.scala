@@ -8,6 +8,19 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * Idempotent — safe to call per query construction: already-registered
   * sessions are skipped, so repeated calls emit no "replaced a previously
   * registered function" warnings.
+  *
+  * SIDE EFFECT, session-wide: beyond the function registry, `register`
+  * appends [[graft.plans.BandedLevenshteinRule]] to
+  * `spark.experimental.extraOptimizations` (the in-process counterpart
+  * of the [[GraftExtensions]] config route). Any session an operator has
+  * touched therefore optimizes `levenshtein(a,b) <= k` predicates to the
+  * banded form — including in un-related queries run later on that
+  * session. The rewrite is semantics-preserving (ExtensionsSpec parity
+  * tests), but plan SHAPES change; plan-pinning tests should register
+  * first so they pin the production plan. The whole method synchronizes
+  * on this object, making the read-modify-write of
+  * `extraOptimizations` atomic across threads (no double-append on
+  * concurrent first calls).
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = synchronized {

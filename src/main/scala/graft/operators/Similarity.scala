@@ -280,9 +280,15 @@ object Similarity {
       .crossJoin(broadcast(codebook))
       .select(col("vec_id"), vec(col("embedding")).as("v"),
         sqrt(normSqDecimal(col("embedding"))).as("nrm"), col("cells"))
+      // zero-norm convention: a degenerate all-zero vector (or cell) has
+      // no direction, so its cosine is DEFINED as 0 to every centroid —
+      // ANSI division would otherwise throw DIVIDE_BY_ZERO, and the
+      // 0-everywhere tie deterministically assigns such vectors to the
+      // smallest label via the existing (sim, smaller-label) argmax
       .withColumn("simds", transform(col("cells"), c =>
-        call_function("double_dot", col("v"), c.getField("cvec")) /
-          (col("nrm") * c.getField("c_norm"))))
+        when(col("nrm") * c.getField("c_norm") > 0,
+          call_function("double_dot", col("v"), c.getField("cvec")) /
+            (col("nrm") * c.getField("c_norm"))).otherwise(lit(0.0))))
       .withColumn("mx", array_max(col("simds")))
       .withColumn("surv", filter(
         zip_with(col("cells"), col("simds"), (c, s) => struct(
@@ -292,8 +298,10 @@ object Similarity {
           s.as("simd"))),
         x => x.getField("simd") >= col("mx") - lit(1e-6)))
       .withColumn("best", array_max(transform(col("surv"), x => struct(
-        (call_function("decimal_dot", col("v"), x.getField("cvec")) /
-          (col("nrm") * x.getField("c_norm"))).as("sim"),
+        when(col("nrm") * x.getField("c_norm") > 0,
+          call_function("decimal_dot", col("v"), x.getField("cvec")) /
+            (col("nrm") * x.getField("c_norm"))).otherwise(lit(0.0))
+          .as("sim"),
         (-x.getField("c_label")).as("neg_label")))))
       .select(col("vec_id"),
         (-col("best.neg_label")).as("assigned_label"),
@@ -455,6 +463,13 @@ object Similarity {
       col("emb").as("emb_b"), col("nrm").as("norm_b"))
     val dropped = a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
+      // zero-norm guard: cosine is 0/0 = NaN for a degenerate all-zero
+      // vector, and Spark orders NaN greater than every double (so
+      // NaN >= minSim is TRUE) while DuckDB's 0/0 yields NULL (filter
+      // drops it) — without this guard the two engines diverge on
+      // degenerate input. A zero vector has no direction: it is never
+      // a duplicate of anything, on either side.
+      .filter(col("norm_a") > 0 && col("norm_b") > 0)
       .filter(dotDouble(col("emb_a"), col("emb_b")) /
         (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
       .filter(round(dotDecimal(col("emb_a"), col("emb_b")) /

@@ -616,6 +616,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L) == ((0, 0L)) && got(3L) == ((1, 0L)), "near-dups dropped")
   }
 
+  test("semanticDedup keeps degenerate zero-norm vectors (cosine NaN " +
+    "must not satisfy the threshold)") {
+    // two all-zero vectors land in the same cell and their cosine is
+    // 0/0 = NaN; Spark orders NaN above every double, so an unguarded
+    // `sim >= minSim` silently drops one while DuckDB's NULL does not —
+    // the guard must keep BOTH (a zero vector has no direction, it is
+    // a duplicate of nothing)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(e, 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept == Map(0L -> 1L, 1L -> 1L, 2L -> 1L),
+      s"zero-norm vectors must all be kept, got $kept")
+  }
+
   test("dedupKeepBest keeps the highest-quality cluster member, not the " +
     "lowest id; singletons always kept") {
     // docs 1 and 2 share 5 of 7 3-shingles (J ≈ 0.71 ≥ 0.5) — one
