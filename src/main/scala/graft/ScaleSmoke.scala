@@ -199,6 +199,21 @@ object ScaleSmoke {
           chainEdges.select(col("u").as("src"), col("v").as("dst")).union(
             chainEdges.select(col("v").as("src"), col("u").as("dst"))),
           iters = 3).count()),
+      // adversarial skew: a single hub adjacent to EVERY other node
+      // (degree ~1e6). The old window degree attach gathered the hub's
+      // entire adjacency into one task (stage straggler); the
+      // partial-agg + AQE-skew-split join path spreads it. Rank count
+      // must be exactly the node count (hub + spokes)
+      stage("pagerank_celebrity") {
+        val hub = spark.range(1, nChainNodes)
+          .select(lit(0L).as("src"), col("id").as("dst"))
+        val got = graft.operators.GraphOps.pageRankEdges(
+          hub.union(hub.select(col("dst").as("src"), col("src").as("dst"))),
+          iters = 3).count()
+        require(got == nChainNodes,
+          s"celebrity graph must rank every node: got $got of $nChainNodes")
+        got
+      },
       // events family at scale: user-keyed sessionization over the full
       // row count (gaps-and-islands windows, one user exchange). The
       // distinct count forces the session_id window to execute — a bare

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -62,17 +61,24 @@ object GraphOps {
     */
   def pageRankEdges(edgeList: DataFrame, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    // degree attaches in ONE window pass and the (src, dst, deg) list is
-    // MATERIALIZED — the unrolled iteration lineage re-scans it instead
-    // of re-aggregating degrees inside every level (the naive
-    // edges⋈groupBy form re-planned the degree exchange per iteration).
-    // Skew ceiling: the degree window gathers one node's edges into one
-    // task; for celebrity nodes (degree in the millions) swap to
-    // partial-agg degrees + an AQE-skew-split join against this same
-    // checkpointed list — the window form wins everywhere else.
-    val withDeg = edgeList.withColumn("deg",
-      count(lit(1)).over(Window.partitionBy(col("src"))))
-      .localCheckpoint()
+    // Degrees via PARTIAL AGGREGATION + join, not a window. The groupBy
+    // map-side-combines a node's count inside each input partition (the
+    // exchange carries one row per partition per node, not the raw
+    // edges), and the degree-attach join is a shuffled join AQE can
+    // SKEW-SPLIT (adaptive skewJoin divides an oversized edge partition
+    // across tasks and replicates the matching one-row degree side), so
+    // no single task ever gathers a celebrity node's full adjacency.
+    // The previous window form (count over partitionBy(src)) necessarily
+    // did exactly that — one task buffers the hub's entire edge set —
+    // which made a degree-10^6 hub the stage straggler while every
+    // other task finished instantly (ScaleSmoke pagerank_celebrity).
+    // The edge list is materialized first so the degree aggregate and
+    // the attach join both read the stored partitions instead of
+    // replaying the upstream build; the attached list is materialized
+    // because every unrolled iteration re-reads it.
+    val edges = edgeList.localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
     val nodes = withDeg.select(col("src")).distinct()
     val n = nodes.count() // driver-coordinated like the Lloyd/cluster loops
     val init = scale / n
