@@ -111,6 +111,55 @@ object OracleSql {
        |  JOIN arr b ON b.doc_id = c.doc_b)
        |WHERE jaccard >= $minJ""".stripMargin
 
+  /** Incremental corpus merge (mirrors Dedup.mergeCorpusDay over the
+    * doc_id % `mod` split: remainder 0 = the new day's delta, everything
+    * else = the existing corpus). Per-doc state (fingerprint, minhash
+    * band buckets, hashed shingle list) is independent of other docs, so
+    * the oracle computes it over ALL documents with the shared builders
+    * and applies the split at probe time — identical to the Spark side's
+    * two-table form. Status priority exact > near, match = smallest
+    * qualifying existing doc, 'new' rows carry NULL match_id.
+    */
+  def mergeCorpusDay(mod: Int, k: Int, rowsPerBand: Int,
+      minJ: Double): String =
+    s"""WITH sigs AS (${minhashSignatures(k)}),
+       |buckets AS (
+       |  SELECT doc_id, seed // $rowsPerBand AS band,
+       |    md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
+       |  FROM sigs GROUP BY doc_id, seed // $rowsPerBand),
+       |arr AS ($shingleArrays),
+       |fp AS (SELECT doc_id, md5($norm) AS fingerprint FROM documents),
+       |exact AS (
+       |  SELECT d.doc_id AS d_id, min(e.doc_id) AS exact_match
+       |  FROM fp d JOIN fp e ON d.fingerprint = e.fingerprint
+       |  WHERE d.doc_id % $mod = 0 AND e.doc_id % $mod <> 0
+       |  GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS d_id, e.doc_id AS ex_id
+       |  FROM buckets d JOIN buckets e
+       |    ON d.band = e.band AND d.bucket = e.bucket
+       |  WHERE d.doc_id % $mod = 0 AND e.doc_id % $mod <> 0),
+       |near AS (
+       |  SELECT d_id, min(ex_id) AS near_match FROM (
+       |    SELECT c.d_id, c.ex_id,
+       |      round(CAST(len(list_intersect(a.sha, b.sha)) AS DOUBLE) /
+       |            CAST(len(a.sha) + len(b.sha)
+       |                 - len(list_intersect(a.sha, b.sha)) AS DOUBLE), 6)
+       |        AS j
+       |    FROM cand c
+       |    JOIN arr a ON a.doc_id = c.ex_id
+       |    JOIN arr b ON b.doc_id = c.d_id)
+       |  WHERE j >= $minJ GROUP BY 1)
+       |SELECT f.doc_id,
+       |  CASE WHEN x.exact_match IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_match IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status,
+       |  coalesce(x.exact_match, n.near_match) AS match_id
+       |FROM fp f
+       |LEFT JOIN exact x ON f.doc_id = x.d_id
+       |LEFT JOIN near n ON f.doc_id = n.d_id
+       |WHERE f.doc_id % $mod = 0""".stripMargin
+
   /** Relational recomputation of the SimHash64 Catalyst expression:
     * per-token md5-60-bit hash, ±1 votes per bit, bit set iff votes > 0.
     */

@@ -111,6 +111,8 @@ object ScaleSmoke {
       else if (name.endsWith("_vecs")) nVecs
       else rows
 
+    var mergeState: org.apache.spark.sql.DataFrame = null
+
     val results = Seq(
       stage("ma_crossover")(
         TradingOps.crossoverSignals(TradingOps.movingAverages(candles))
@@ -136,6 +138,45 @@ object ScaleSmoke {
         Dedup.nearDupClusters(docs, 3, 0.5, maxDf = 50).count()),
       stage("dedup_exact_docs")(
         Dedup.exactDuplicates(docs).count()),
+      // persisted dedup state: ONE exchange-free projection pass over
+      // the corpus (fingerprint + sha + wide band keys per doc)
+      stage("dedup_state_docs") {
+        mergeState = Dedup.corpusDedupState(docs).localCheckpoint()
+        mergeState.count()
+      },
+      // incremental daily merge: a delta 100× smaller than the corpus
+      // probes the stored state — planted thirds of exact copies,
+      // near-dups (24 of 25 tokens shared), and novel docs must come
+      // back with EXACTLY those statuses; the stage's wall-clock vs
+      // dedup_state_docs is the scales-with-delta-not-corpus evidence
+      stage("merge_day_docs") {
+        val nDelta = math.max(1000L, nDocs / 100L)
+        val delta = spark.range(nDelta)
+          .select((col("id") + nDocs).as("doc_id"), col("id").as("e"))
+          .withColumn("pid",
+            when(col("e") % 50L === 1L, col("e") - 1L).otherwise(col("e")))
+          .select(col("doc_id"),
+            when(col("e") % 3L === 0L, concat_ws(" ",
+              (0 until 24).map(j => concat(lit(s"t${j}x"), col("pid"))) :+
+                concat(lit("u"), col("e")): _*))
+              .when(col("e") % 3L === 1L, concat_ws(" ",
+                (0 until 24).map(j => concat(lit(s"t${j}x"), col("pid"))) :+
+                  concat(lit("unew"), col("doc_id")): _*))
+              .otherwise(concat_ws(" ",
+                (0 until 25).map(j =>
+                  concat(lit(s"n${j}x"), col("doc_id"))): _*))
+              .as("text"))
+        val byStatus = Dedup.mergeCorpusDay(mergeState, delta)
+          .groupBy(col("status")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val expected = Map(
+          "exact_dup" -> (nDelta + 2) / 3,
+          "near_dup" -> (nDelta + 1) / 3,
+          "new" -> nDelta / 3)
+        require(byStatus == expected,
+          s"merge statuses $byStatus must equal planted $expected")
+        nDelta
+      },
       // line-level dedup: every doc carries the same header/footer
       // boilerplate around its unique body — dedupLines(maxDf=2) must
       // strip exactly 2 lines per doc at any corpus width

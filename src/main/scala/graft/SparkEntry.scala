@@ -436,6 +436,16 @@ object SparkEntry {
     "dedup_clusters_lss" -> ((s, dir) =>
       Dedup.nearDupClustersLSS(Tables.table(s, dir, "documents"), 3, 0.5,
         maxDf = 50)),
+    // incremental daily merge: docs with doc_id % 5 == 0 play the new
+    // day's delta, the rest the existing corpus whose stored dedup state
+    // the delta probes — exact fingerprint + LSH band match + Jaccard
+    // verify, corpus scanned once and never shuffled
+    "merge_corpus_day" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      Dedup.mergeCorpusDay(
+        Dedup.corpusDedupState(docs.filter(col("doc_id") % 5 =!= 0)),
+        docs.filter(col("doc_id") % 5 === 0), minJaccard = 0.5)
+    }),
 
     // Fixed-point integer PageRank over the customer↔supplier trade
     // graph — iterative-rank workload with a bit-exact unrolled oracle
@@ -1206,6 +1216,7 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> OracleSql.jaccardPairs(0.5, 50),
     "minhash_signatures" -> OracleSql.minhashSignatures(16),
     "dedup_minhash_lsh" -> OracleSql.minhashLshPairs(16, 4, 0.5),
+    "merge_corpus_day" -> OracleSql.mergeCorpusDay(5, 16, 4, 0.5),
     "dedup_clusters" ->
       s"""WITH RECURSIVE
          |jac AS (${OracleSql.jaccardPairs(0.5, 50)}),

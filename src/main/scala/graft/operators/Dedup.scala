@@ -641,4 +641,119 @@ object Dedup {
       .select(col("doc_id"), col("cluster_rep"), col("quality"),
         when(col("rn") === 1, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
+
+  /** Per-doc DEDUP STATE — the table a daily ingestion pipeline PERSISTS
+    * once per corpus so every day's merge probes stored rows instead of
+    * recomputing the corpus (see [[mergeCorpusDay]]). One row per doc:
+    *
+    *   (doc_id, fingerprint, sha, b0..b{k/rowsPerBand − 1})
+    *
+    * fingerprint = the exact-dedup md5; sha = the hashed shingle set
+    * (candidate verification); b_i = the LSH band bucket keys as COLUMNS
+    * (the wide form — banding is a projection, and a stored state keyed
+    * wide lets a deployment bucket/partition by any single band).
+    *
+    * The whole build is ONE exchange-free projection over the corpus
+    * scan: the wide minhash values come from `array_min` over the
+    * already-materialized sha array — the same (a_i·h32+b_i) mod P
+    * family as [[minhashWide]] evaluated per element, min over the
+    * identical distinct-shingle set, so state built here is
+    * bit-compatible with every other minhash consumer. No groupBy, no
+    * join: at 100 TB the state build is a single map-side pass.
+    */
+  def corpusDedupState(docs: DataFrame, n: Int = 3, k: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val nBands = k / rowsPerBand
+    val withSha = docs
+      .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"),
+        tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("fingerprint"),
+        shinglesFromTokens(col("t"), n).as("sh"))
+      .select(col("doc_id"), col("fingerprint"),
+        transform(col("sh"), s => md5Base60(s)).as("sha"))
+    val mins = minhashSeeds(k).map { case (i, a, b) =>
+      array_min(transform(col("sha"),
+        h => (lit(a) * (h % lit(MersennePrime)) + lit(b))
+          % lit(MersennePrime))).as(s"m$i")
+    }
+    val bandCols = (0 until nBands).map { bnd =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(j =>
+        col(s"m${bnd * rowsPerBand + j}").cast("string")): _*)).as(s"b$bnd")
+    }
+    withSha
+      .select(col("doc_id") +: col("fingerprint") +: col("sha") +: mins: _*)
+      .select(Seq(col("doc_id"), col("fingerprint"), col("sha"))
+        ++ bandCols: _*)
+  }
+
+  /** Incremental corpus merge — the operation a daily 100 TB pipeline
+    * runs most often: classify each NEW-day document against the
+    * EXISTING corpus's stored dedup state without recomputing the
+    * corpus. Per delta doc, one output row:
+    *
+    *   (doc_id, status, match_id)
+    *
+    * status = 'exact_dup'  (fingerprint already in the corpus;
+    *                        match_id = the smallest matching doc)
+    *        | 'near_dup'   (shares an LSH band bucket with an existing
+    *                        doc AND true Jaccard ≥ minJaccard;
+    *                        match_id = the smallest verified match)
+    *        | 'new'        (match_id = NULL — the doc enters the corpus;
+    *                        its state row appends to the stored state)
+    *
+    * Scale: the existing corpus is SCANNED once and NEVER SHUFFLED —
+    * both probes broadcast the delta side (a day's delta in key form is
+    * orders of magnitude smaller than the corpus; for a delta too big to
+    * broadcast, drop the hint and the same plan becomes a shuffled join
+    * on bucket keys, or bucket the stored state by band key and shuffle
+    * only the delta). Band collisions fan out at most ×bands per pair
+    * and collapse in a delta-keyed aggregate, so everything after the
+    * corpus scan is delta-sized. Exact-vs-near priority: an identical
+    * doc also collides in every band, so exact wins the status column.
+    * Matching is vs the EXISTING corpus only — dedup WITHIN the delta
+    * composes from the ordinary operators ([[exactDuplicates]],
+    * [[minhashLshPairs]]) before or after the merge.
+    */
+  def mergeCorpusDay(existingState: DataFrame, delta: DataFrame,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val nBands = k / rowsPerBand
+    val stackArgs = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
+    // delta state is consumed three times (exact probe, band probe,
+    // final attach) — materialize the day's rows once
+    val deltaState = corpusDedupState(delta, n, k, rowsPerBand)
+      .localCheckpoint()
+    val exact = existingState
+      .select(col("doc_id").as("ex_id"), col("fingerprint"))
+      .join(broadcast(deltaState
+        .select(col("doc_id").as("d_id"), col("fingerprint"))),
+        Seq("fingerprint"))
+      .groupBy(col("d_id")).agg(min(col("ex_id")).as("exact_match"))
+    // band rows are a generator PROJECTION over each side's state —
+    // existing sha rides along so verification needs no second join
+    // against the corpus; per-collision array_intersect beats a
+    // distinct-first shape because collision multiplicity is ≤ bands
+    // while distinct would shuffle the sha arrays
+    val exBands = existingState.selectExpr("doc_id AS ex_id", "sha AS ex_sha",
+      s"stack($nBands, $stackArgs) AS (band, bucket)")
+    val dBands = deltaState.selectExpr("doc_id AS d_id", "sha AS d_sha",
+      s"stack($nBands, $stackArgs) AS (band, bucket)")
+    val near = exBands.join(broadcast(dBands), Seq("band", "bucket"))
+      .select(col("d_id"), col("ex_id"),
+        size(array_intersect(col("ex_sha"), col("d_sha"))).as("n_common"),
+        size(col("ex_sha")).as("n_a"), size(col("d_sha")).as("n_b"))
+      .filter(round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+        >= minJaccard)
+      .groupBy(col("d_id")).agg(min(col("ex_id")).as("near_match"))
+    deltaState.select(col("doc_id"))
+      .join(exact.withColumnRenamed("d_id", "doc_id"), Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("d_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .when(col("near_match").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
 }

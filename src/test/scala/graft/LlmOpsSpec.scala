@@ -634,6 +634,44 @@ class LlmOpsSpec extends SparkSpec {
       s"zero-norm vectors must all be kept, got $kept")
   }
 
+  test("mergeCorpusDay classifies a day's delta against stored state and " +
+    "agrees with the full recompute") {
+    // 20-token base text; the near-dup swaps only the last token
+    // (3-shingle Jaccard = 17/19 ≈ 0.89, comfortably above 0.5 and
+    // band-colliding under the 16/4 family on these deterministic
+    // hashes), the exact dup is byte-identical after normalization
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra"
+    val existing = docs(
+      0L -> (base + " tango"),
+      2L -> "completely different text about spark engines and scale out",
+      4L -> "a third unrelated document mentioning nothing shared at all")
+    val delta = docs(
+      10L -> ("  " + base + " TANGO "), // exact after normText
+      15L -> (base + " zulu"),          // near-dup of doc 0
+      20L -> "entirely novel content appearing for the very first time")
+    val state = Dedup.corpusDedupState(existing)
+    val got = Dedup.mergeCorpusDay(state, delta, minJaccard = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(got(10L) == (("exact_dup", 0L)), s"got $got")
+    assert(got(15L) == (("near_dup", 0L)), s"got $got")
+    assert(got(20L) == (("new", -1L)), s"got $got")
+    // incremental ≡ full recompute: the union-wide LSH pass restricted
+    // to cross-side pairs finds exactly the delta docs the merge matched
+    val fullCross = Dedup
+      .minhashLshPairs(existing.union(delta), 3, 16, 4, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 10) != (b < 10) }
+      .map { case (a, b) => math.max(a, b) }.toSet
+    val matched = got.filter(_._2._1 != "new").keySet
+    assert(fullCross == matched,
+      s"full recompute cross-side matches $fullCross must equal " +
+        s"incremental matches $matched")
+  }
+
   test("dedupKeepBest keeps the highest-quality cluster member, not the " +
     "lowest id; singletons always kept") {
     // docs 1 and 2 share 5 of 7 3-shingles (J ≈ 0.71 ≥ 0.5) — one

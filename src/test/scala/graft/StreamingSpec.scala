@@ -208,6 +208,55 @@ class StreamingSpec extends SparkSpec {
     assert(matched.count() == n2, "emitted candle diverges from batch")
   }
 
+  test("streaming dedup survives kill-and-resume: duplicates straddling " +
+    "the restart are dropped by the recovered state") {
+    // The exactly-once claim that matters for the dedup family: ids seen
+    // BEFORE the kill must still be in dropDuplicatesWithinWatermark's
+    // state after the resume, so a duplicate arriving in the second run
+    // — inside the lateness horizon — is dropped, not re-emitted. Run 1
+    // sees the older half of events and terminates; run 2 receives
+    // verbatim copies of the horizon-straddling run-1 events plus the
+    // newer half.
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedup-recovery").toString
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val mid = raw.selectExpr("percentile_approx(ts, 0.5)").head.getLong(0)
+    val phase1 = raw.filter(col("ts") < mid)
+    phase1.coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val q = EventStreams.dedupStream(EventStreams.eventsStream(spark, in))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run() // phase 1: older half only, then the "kill"
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0, "phase 1 emitted nothing")
+    // duplicates INSIDE the recovered horizon: phase-1 events whose ts
+    // lies within the 2h lateness of the phase-1 maximum — their ids
+    // must still be in the state the resumed query recovers (anything
+    // older is legitimately evicted, so only these can test recovery)
+    val maxTs1 = phase1.agg(max(col("ts"))).head.getLong(0)
+    val straddle = phase1
+      .filter(col("ts") >= maxTs1 - 7200L * 1000000000L)
+    assert(straddle.count() > 0, "no events in the straddle horizon")
+    straddle.union(raw.filter(col("ts") >= mid))
+      .coalesce(1).write.mode("append").parquet(in)
+    run() // phase 2: resume from the checkpoint
+    val emitted = spark.read.parquet(out)
+    assert(emitted.count() > n1, "resume made no progress")
+    assert(emitted.groupBy("event_id").count()
+      .filter(col("count") > 1).isEmpty,
+      "a straddling duplicate was re-emitted after the resume")
+    assert(emitted.select("event_id").distinct().count() ==
+      raw.select("event_id").distinct().count(),
+      "stream dedup must equal the batch distinct-id derivation")
+  }
+
   test("streaming EMA carries the recursion across micro-batches (stream ≡ batch)") {
     val closes = Seq(10.0, 12.0, 9.0, 15.0, 11.0, 14.0, 8.0)
     val base = 1704067200000L
