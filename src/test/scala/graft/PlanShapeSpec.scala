@@ -214,4 +214,16 @@ class PlanShapeSpec extends SparkSpec {
           s"key (cell / brand):\n$plan")
     }
   }
+
+  test("merge_corpus_day probes broadcast the delta: the corpus is " +
+    "scanned but never shuffle-joined") {
+    val plan = finalPlan(SparkEntry.queries("merge_corpus_day")(spark, dir))
+    // both probes (exact fingerprint, LSH band) must be broadcast joins
+    // with the day's delta on the build side — a SortMergeJoin here
+    // would shuffle the 100 TB corpus per daily merge
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"the corpus-side probes must not shuffle the existing state:\n$plan")
+    assert(count(plan, "BroadcastExchange") >= 2,
+      s"exact and band probes must both broadcast the delta side:\n$plan")
+  }
 }
