@@ -10,6 +10,122 @@ import graft.operators.{Dedup, TradingOps}
   * guess. Not part of the driver contract.
   */
 object PerfProbe {
+  /** Per-stage breakdown behind `GraphOps.triangleCount`'s round-8
+    * rewrite — times each checkpoint boundary alone, and preserves the
+    * RETIRED round-7 forms (distinct+self-join edge build; wedge
+    * self-join + closing semi, shuffled and broadcast) head-to-head
+    * against the shipped ones (grouped pair-expansion build;
+    * compact-forward intersection core) so SCALE.md's cost table stays
+    * reproducible evidence, not a claim.
+    */
+  def triangleStages(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String): Unit = {
+    val pp = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges0 = pp.as("a").join(pp.as("b"), Seq("ok"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val edges = time("edge build + checkpoint") { edges0.localCheckpoint() }
+    // alternative build: one groupBy + per-order pair expansion instead
+    // of distinct + self-join + distinct
+    val edgesV2 = Tables.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("u"), y.as("v")))))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+    time("edge build v2 + checkpoint") { edgesV2.localCheckpoint() }
+    time("edge build v2 #2") { edgesV2.localCheckpoint() }
+    println(s"[probe] n_edges = ${edges.count()}")
+    val deg = time("degree agg + checkpoint") {
+      edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+    }
+    println(s"[probe] n_nodes = ${deg.count()}")
+    val oriented = time("orient (2 attach joins) + ckpt") {
+      val withDeg = edges
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      withDeg.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            col("dv").as("ddst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+            col("du").as("ddst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.ddst").as("ddst"))
+        .localCheckpoint()
+    }
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") &&
+            col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("w_src"), col("e2.dst").as("w_dst"))
+    val nW = time("wedge join count") { wedges.count() }
+    println(s"[probe] n_wedges = $nW")
+    time("wedge join + semi + final agg") {
+      wedges.join(oriented,
+        col("w_src") === col("src") && col("w_dst") === col("dst"),
+        "left_semi")
+        .agg(count(lit(1)).as("n_triangles")).collect()
+    }
+    time("wedge+semi SHUFFLED #2") {
+      wedges.join(oriented,
+        col("w_src") === col("src") && col("w_dst") === col("dst"),
+        "left_semi")
+        .agg(count(lit(1)).as("n_triangles")).collect()
+    }
+    val bright = broadcast(oriented)
+    val bwedges = oriented.as("e1").join(bright.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") &&
+            col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("w_src"), col("e2.dst").as("w_dst"))
+    time("wedge+semi BROADCAST") {
+      bwedges.join(bright,
+        col("w_src") === col("src") && col("w_dst") === col("dst"),
+        "left_semi")
+        .agg(count(lit(1)).as("n_triangles")).collect()
+    }
+    time("wedge+semi BROADCAST #2") {
+      bwedges.join(bright,
+        col("w_src") === col("src") && col("w_dst") === col("dst"),
+        "left_semi")
+        .agg(count(lit(1)).as("n_triangles")).collect()
+    }
+    // compact-forward intersection: count each triangle at its lowest-
+    // rank edge as |N+(u) ∩ N+(v)| — no wedge materialization at all
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs")).localCheckpoint()
+    time("intersection core") {
+      oriented.join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
+        .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), Seq("dst"))
+        .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
+        .agg(sum(col("c"))).collect()
+    }
+    time("intersection core #2") {
+      oriented.join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), Seq("src"))
+        .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))), Seq("dst"))
+        .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
+        .agg(sum(col("c"))).collect()
+    }
+    time("full triangleCount (operator)") {
+      operators.GraphOps.triangleCount(spark, sfDir).collect()
+    }
+    time("full triangleCount #2") {
+      operators.GraphOps.triangleCount(spark, sfDir).collect()
+    }
+  }
+
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
     val r = f
@@ -23,6 +139,7 @@ object PerfProbe {
     // warmup
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    if (args.contains("triangle")) { triangleStages(spark, sfDir); spark.stop(); return }
     val docs = Tables.table(spark, sfDir, "documents")
     docs.count()
 

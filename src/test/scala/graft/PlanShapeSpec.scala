@@ -153,20 +153,26 @@ class PlanShapeSpec extends SparkSpec {
       s"query-term list, df, and corpus stats must all broadcast:\n$plan")
   }
 
-  test("triangle_count orients once: wedge joins read the checkpointed list") {
+  test("triangle_count orients once: the intersection core reads only " +
+    "checkpointed lists and never materializes wedges") {
     val plan = finalPlan(SparkEntry.queries("triangle_count")(spark, dir))
-    // edges, deg, and oriented are all localCheckpoint'ed before the
-    // final query; the wedge join, closing semi-join, and summary
-    // aggregate must all root at materialized lists — the plan may not
-    // re-derive the lineitem→pairs→degrees subtree for ANY consumer
+    // edges, oriented, and the adjacency arrays are localCheckpoint'ed
+    // before the final query; the intersection core must root entirely
+    // at materialized lists — a parquet scan means a consumer replayed
+    // the lineitem→pairs edge build
     assert(count(plan, "Scan ExistingRDD|LocalTableScan") >= 2 ||
       count(plan, "TableCacheQueryStage|InMemoryTableScan") >= 2,
-      s"wedge + closing joins must reuse the materialized oriented " +
+      s"the adjacency attaches must reuse the materialized oriented " +
         s"list:\n$plan")
     assert(count(plan, "Scan parquet") == 0,
       s"the final count plan must root entirely at the checkpointed " +
         s"edge/degree lists — a parquet scan means a consumer replayed " +
         s"the edge build:\n$plan")
+    // the O(m^1.5) wedge set must never exist as join output: the only
+    // joins are the two node-keyed adjacency attaches (broadcast at
+    // this scale), not an edge×edge self-join + closing semi
+    assert(count(plan, "SortMergeJoin") == 0,
+      s"adjacency attaches should broadcast at test scale:\n$plan")
   }
 
   test("chunk_documents is shuffle-free: one Generate, zero Exchanges") {
