@@ -362,6 +362,22 @@ object SparkEntry {
     // shards, ordering only within (epoch, shard) — never corpus-wide
     "epoch_shuffle" -> ((s, dir) =>
       TextAnalysis.epochShuffle(Tables.table(s, dir, "documents"), 2, 8)),
+    // exact per-stratum quota sampling in deterministic hash order —
+    // WindowGroupLimit pushdown pre-prunes inside each input partition,
+    // so no task gathers a stratum; quota complement of stratified_sample
+    "quota_sample" -> ((s, dir) =>
+      TextAnalysis.quotaSample(Tables.table(s, dir, "documents"), 15)),
+    // snapshot diff between two corpus versions: added / removed /
+    // changed by content fingerprint, key-sized join, churn-sized output
+    "corpus_diff" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      Dedup.corpusDiff(
+        docs.filter(col("doc_id") % 11 =!= 7),
+        docs.filter(col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 5, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text")))
+    }),
     // concat-and-chunk sequence packing into 512-token training
     // sequences over 4 hash shards per language
     "pack_sequences" -> ((s, dir) =>
@@ -1162,6 +1178,30 @@ object SparkEntry {
     "text_repetition" -> OracleSql.repetitionStats,
     "bigram_lift" -> OracleSql.bigramCollocations(3, 20),
     "lm_coverage" -> OracleSql.lmCoverage(3),
+    "quota_sample" ->
+      """SELECT source, pos, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |  FROM documents) t
+        |WHERE pos <= 15""".stripMargin,
+    "corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS fp_old FROM documents
+        |  WHERE doc_id % 11 <> 7),
+        |new AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 5 THEN text || ' v2'
+        |             ELSE text END) AS fp_new
+        |  FROM documents WHERE doc_id % 17 <> 3)
+        |SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+        |  CASE WHEN old.doc_id IS NULL THEN 'added'
+        |       WHEN new.doc_id IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed' END AS change
+        |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        |WHERE CASE WHEN old.doc_id IS NULL THEN 'added'
+        |           WHEN new.doc_id IS NULL THEN 'removed'
+        |           WHEN fp_old <> fp_new THEN 'changed' END IS NOT NULL""".stripMargin,
     "vocab_encode" -> OracleSql.vocabEncode(3),
     "chunk_documents" -> OracleSql.chunkDocuments(64, 16),
     "dsir_weights" -> OracleSql.dsirWeights("en", 256),

@@ -531,6 +531,41 @@ object TextAnalysis {
       col("doc_id"))
   }
 
+  /** Exact-quota stratified sample — `cap` documents per stratum
+    * (`source`), selected deterministically by hash order. The QUOTA
+    * complement of the rate-based [[stratifiedSample]]: Bernoulli rates
+    * only hit a target in expectation, but a training mixture spec
+    * ("exactly 100k docs of source X per epoch") needs the exact
+    * count, reproducibly.
+    * Selection key is md5 of the doc id — a fixed pseudo-random but
+    * engine-independent order, so the same corpus always yields the
+    * same sample (and the DuckDB oracle the same rows). Emits
+    * (source, pos, doc_id), pos = 1..cap within the stratum.
+    *
+    * Scale: a per-stratum `row_number` LOOKS like the celebrity-degree
+    * problem (one task gathers a whole stratum), but the declared form
+    * is exactly what Catalyst's rank-limit pushdown (WindowGroupLimit,
+    * SPARK-37099) optimizes: a PARTIAL top-`cap`-per-stratum filter
+    * runs inside every input partition BEFORE the exchange, so the
+    * stratum-keyed shuffle carries ≤ cap·P rows per stratum, never the
+    * stratum. Hand-building the same two-phase shape with a
+    * `spark_partition_id` pre-window was measured to only ADD an
+    * exchange — the optimizer's version needs one. PlanShapeSpec pins
+    * the Partial WindowGroupLimit so a regression fails tests.
+    */
+  def quotaSample(docs: DataFrame, cap: Int = 400): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= cap)
+      .select(col("source"), col("pos").cast("long").as("pos"),
+        col("doc_id"))
+  }
+
   /** Tokenizer-vocabulary build + id encoding — the step between curation
     * and training: rank corpus tokens with count ≥ `minCount` by
     * (count DESC, token) into dense ids (deterministic — no hash

@@ -756,4 +756,34 @@ object Dedup {
           .otherwise(lit("new")).as("status"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
   }
+
+  /** Snapshot diff between two corpus versions — the audit primitive
+    * behind every incremental pipeline ([[mergeCorpusDay]] tells you
+    * what the merge DID; this tells you what CHANGED between two
+    * published snapshots). Per differing doc one row:
+    *
+    *   (doc_id, change)   change = 'added' | 'removed' | 'changed'
+    *
+    * 'changed' compares md5 content fingerprints, so a rewritten doc
+    * that kept its id is distinguished from add/remove churn.
+    * Unchanged docs emit nothing — at 100 TB the output is churn-sized,
+    * not corpus-sized.
+    *
+    * Scale: each side collapses to (doc_id, fingerprint) — 24 B/row —
+    * BEFORE the full-outer join, so document text never crosses an
+    * exchange; the join is one doc_id-keyed shuffle of key-sized rows,
+    * and zero shuffles when both snapshots are published bucketed by
+    * doc_id (the layout [[graft.Tables]] bucketing already provides).
+    */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val a = oldCorpus.select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val b = newCorpus.select(col("doc_id"), md5(col("text")).as("fp_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .as("change"))
+      .filter(col("change").isNotNull)
+  }
 }

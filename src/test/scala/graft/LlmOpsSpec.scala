@@ -413,6 +413,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("quotaSample: exact quota per stratum in md5 order, invariant " +
+    "to partitioning") {
+    val d = (0L until 300L).map(i =>
+      (i, s"text $i", "en",
+        // skewed strata: one stratum holds 80% of the corpus
+        if (i < 240) "big" else s"s${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.quotaSample(d, 10).collect()
+    // exact quota: min(|stratum|, cap) rows per stratum, pos = 1..quota
+    val byStratum = out.groupBy(_.getString(0))
+    assert(byStratum("big").length == 10)
+    for ((_, rows) <- byStratum) {
+      assert(rows.map(_.getLong(1)).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // selection follows md5 order: the kept set is the cap-smallest
+    // hashes per stratum, computed independently on the driver
+    val expectBig = (0L until 240L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .take(10).toSet
+    assert(byStratum("big").map(_.getLong(2)).toSet == expectBig)
+    // deterministic under any physical partitioning
+    val again = TextAnalysis.quotaSample(d.repartition(7), 10).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("corpusDiff classifies added, removed, changed; unchanged emit " +
+    "nothing") {
+    val oldC = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    val newC = docs(2L -> "beta", 3L -> "gamma EDITED", 4L -> "delta")
+    val diff = Dedup.corpusDiff(oldC, newC).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+    // identical snapshots → empty diff (churn-sized output)
+    assert(Dedup.corpusDiff(oldC, oldC).isEmpty)
+  }
+
   test("SimHash64.compute matches an independent md5 reference") {
     def refHash(tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")

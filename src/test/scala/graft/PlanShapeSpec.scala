@@ -221,6 +221,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("quota_sample: rank-limit pushdown prunes per input partition " +
+    "before the one stratum exchange") {
+    val plan = finalPlan(SparkEntry.queries("quota_sample")(spark, dir))
+    // Catalyst's WindowGroupLimit must split the per-stratum row_number
+    // into Partial (inside each input partition, BEFORE the exchange)
+    // + Final — that partial prune is what keeps a celebrity stratum
+    // from gathering into one task. One exchange, no joins.
+    assert(plan.contains("row_number(), 15, Partial"),
+      s"expected a Partial WindowGroupLimit before the shuffle:\n$plan")
+    assert(count(plan, "Exchange ") == 1,
+      s"quota selection is one stratum-keyed exchange:\n$plan")
+    assert(count(plan, "Join") == 0,
+      s"quota selection is windows over one scan, no joins:\n$plan")
+  }
+
+  test("corpus_diff joins key-sized fingerprints, never document text") {
+    val plan = finalPlan(SparkEntry.queries("corpus_diff")(spark, dir))
+    // each side collapses to (doc_id, md5) before the full-outer join,
+    // so the exchanges carry 24 B rows — text appears only under the
+    // scans, never in a shuffle
+    assert(count(plan, "SortMergeJoin FullOuter|SortMergeJoin.*FullOuter") == 1
+      || count(plan, "FullOuter") >= 1,
+      s"expected one full-outer join on doc_id:\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(l => !l.contains("text#")),
+      s"document text must be fingerprinted before any exchange:\n$plan")
+  }
+
   test("merge_corpus_day probes broadcast the delta: the corpus is " +
     "scanned but never shuffle-joined") {
     val plan = finalPlan(SparkEntry.queries("merge_corpus_day")(spark, dir))
