@@ -301,6 +301,38 @@ object ScaleSmoke {
       stage("keep_best_docs")(
         Dedup.dedupKeepBest(docs, 3, 0.5, maxDf = 50)
           .filter(col("kept") === 1L).count()),
+      // exact-quota sampling under stratum skew: 80% of the corpus in
+      // ONE stratum ("big"), the rest split over s0/s1 — every stratum
+      // exceeds the cap, so the output must be EXACTLY 3 × cap rows
+      // (the WindowGroupLimit partial prune is what keeps the big
+      // stratum from gathering into a single task)
+      stage("quota_sample_docs") {
+        val cap = 1000
+        val strat = docs.withColumn("source",
+          when(col("doc_id") % 10 < 8, lit("big"))
+            .otherwise(concat(lit("s"), col("doc_id") % 2)))
+        val got = graft.functions.TextAnalysis.quotaSample(strat, cap)
+          .count()
+        require(got == 3L * cap, s"quota_sample expected ${3 * cap}, got $got")
+        got
+      },
+      // snapshot diff with planted churn: per 100 docs, one removed
+      // (id%100==1 absent from new), one changed (id%100==2 rewritten),
+      // one added (fresh ids ≥ nDocs) — diff must be EXACTLY 3·nDocs/100
+      // rows, and text never shuffles (fingerprint-collapsed join)
+      stage("corpus_diff_docs") {
+        val churn = nDocs / 100L
+        val newC = docs.filter(col("doc_id") % 100L =!= 1L)
+          .select(col("doc_id"),
+            when(col("doc_id") % 100L === 2L, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .union(spark.range(nDocs, nDocs + churn)
+            .select(col("id").as("doc_id"),
+              concat(lit("fresh "), col("id")).as("text")))
+        val got = Dedup.corpusDiff(docs, newC).count()
+        require(got == 3L * churn, s"corpus_diff expected ${3 * churn}, got $got")
+        got
+      },
       // DSIR weights: 30% of docs tagged en (the target slice); bucket
       // stats broadcast, one doc-keyed agg — output = nDocs rows
       stage("dsir_docs")(
