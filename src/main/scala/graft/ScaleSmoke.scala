@@ -169,12 +169,23 @@ object ScaleSmoke {
         val byStatus = Dedup.mergeCorpusDay(mergeState, delta)
           .groupBy(col("status")).agg(count(lit(1)).as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val expected = Map(
-          "exact_dup" -> (nDelta + 2) / 3,
-          "near_dup" -> (nDelta + 1) / 3,
-          "new" -> nDelta / 3)
-        require(byStatus == expected,
-          s"merge statuses $byStatus must equal planted $expected")
+        // exactness where the mechanism is deterministic, recall where
+        // it is not: fingerprint probes are exact (every planted exact
+        // dup MUST classify exact_dup), but the near-dup path goes
+        // through the 4-band MinHash probe — a planted one-shingle-off
+        // pair collides in ≥1 band with p ≈ 0.993, so at 1M docs a ~1%
+        // miss rate is the CORRECT behavior of banded LSH, not a bug
+        // (observed 3299/3333 = 0.990 at nDocs=1M). Totals conserve.
+        val plantedExact = (nDelta + 2) / 3
+        val plantedNear = (nDelta + 1) / 3
+        require(byStatus.getOrElse("exact_dup", 0L) == plantedExact,
+          s"exact-dup probe is deterministic: $byStatus vs $plantedExact")
+        val near = byStatus.getOrElse("near_dup", 0L)
+        require(near + byStatus.getOrElse("new", 0L) ==
+          nDelta - plantedExact,
+          s"merge must classify every delta doc exactly once: $byStatus")
+        require(near >= (plantedNear * 98L) / 100L,
+          s"near-dup band recall too low: $near / $plantedNear")
         nDelta
       },
       // line-level dedup: every doc carries the same header/footer
@@ -314,6 +325,21 @@ object ScaleSmoke {
         val got = graft.functions.TextAnalysis.quotaSample(strat, cap)
           .count()
         require(got == 3L * cap, s"quota_sample expected ${3 * cap}, got $got")
+        got
+      },
+      // token-budget prefix selection under the same stratum skew:
+      // every smoke doc is exactly 25 tokens, so a 25·K budget keeps
+      // EXACTLY K docs per stratum — closed-form planted answer even
+      // though the hash order itself is opaque
+      stage("token_budget_docs") {
+        val keepPerStratum = 2000L
+        val strat = docs.withColumn("source",
+          when(col("doc_id") % 10 < 8, lit("big"))
+            .otherwise(concat(lit("s"), col("doc_id") % 2)))
+        val got = graft.functions.TextAnalysis
+          .tokenBudgetSample(strat, 25L * keepPerStratum).count()
+        require(got == 3L * keepPerStratum,
+          s"token_budget expected ${3 * keepPerStratum}, got $got")
         got
       },
       // snapshot diff with planted churn: per 100 docs, one removed

@@ -367,6 +367,12 @@ object SparkEntry {
     // so no task gathers a stratum; quota complement of stratified_sample
     "quota_sample" -> ((s, dir) =>
       TextAnalysis.quotaSample(Tables.table(s, dir, "documents"), 15)),
+    // token-budget prefix sample per source — two-level prefix sum
+    // (bucket subtotals + within-bucket running sum), no stratum-wide
+    // window; completes the mixing family (rate / quota / budget)
+    "token_budget_sample" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSample(Tables.table(s, dir, "documents"),
+        800L)),
     // snapshot diff between two corpus versions: added / removed /
     // changed by content fingerprint, key-sized join, churn-sized output
     "corpus_diff" -> ((s, dir) => {
@@ -1178,6 +1184,18 @@ object SparkEntry {
     "text_repetition" -> OracleSql.repetitionStats,
     "bigram_lift" -> OracleSql.bigramCollocations(3, 20),
     "lm_coverage" -> OracleSql.lmCoverage(3),
+    "token_budget_sample" ->
+      s"""WITH base AS (
+        |  SELECT source, doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(len(${OracleSql.toks}) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, doc_id, n_tok, cum_tok FROM (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM base) t
+        |WHERE cum_tok <= 800""".stripMargin,
     "quota_sample" ->
       """SELECT source, pos, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

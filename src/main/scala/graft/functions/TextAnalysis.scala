@@ -566,6 +566,54 @@ object TextAnalysis {
         col("doc_id"))
   }
 
+  /** Token-BUDGET prefix sample — the third member of the mixing family
+    * (rate: [[stratifiedSample]], doc quota: [[quotaSample]], token
+    * budget: this): per stratum (`source`), walk documents in
+    * deterministic md5 order and keep each doc whose running token
+    * total stays within `budgetTokens` — "give me exactly the first
+    * N-tokens' worth of source X", the unit mixture specs are actually
+    * written in. Emits (source, doc_id, n_tok, cum_tok); the running
+    * totals are monotone, so the kept set is a true prefix.
+    *
+    * Scale: a naive per-stratum running-sum window gathers each
+    * stratum into one task (and unlike `row_number`, rank-limit
+    * pushdown cannot pre-prune a SUM). Instead a two-level prefix sum:
+    * bucket docs by the first hash byte (256 buckets, order-preserving
+    * since the bucket is a prefix of the sort key), aggregate per-
+    * bucket token subtotals (corpus-sized map-side combine → a
+    * 256-rows-per-stratum table), window THAT metadata table for each
+    * bucket's prior-buckets total, then join it back and run the
+    * per-doc running sum per (stratum, bucket) — 256-way spread, so no
+    * task ever holds a stratum. prior + within-bucket running sum IS
+    * the global prefix sum, exactly (BIGINT adds); the DuckDB oracle
+    * computes the naive single-window form and must match row-for-row.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val base = docs.select(
+      col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val bucketTot = base.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tok")).as("btok"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val priors = bucketTot.withColumn("prior",
+      coalesce(sum(col("btok")).over(wb), lit(0L)))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base.join(priors.select(col("source"), col("bucket"), col("prior")),
+        Seq("source", "bucket"))
+      .withColumn("cum_tok", col("prior") + sum(col("n_tok")).over(wc))
+      .filter(col("cum_tok") <= budgetTokens)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+  }
+
   /** Tokenizer-vocabulary build + id encoding — the step between curation
     * and training: rank corpus tokens with count ≥ `minCount` by
     * (count DESC, token) into dense ids (deterministic — no hash

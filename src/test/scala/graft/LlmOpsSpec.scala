@@ -442,6 +442,40 @@ class LlmOpsSpec extends SparkSpec {
       == out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("tokenBudgetSample: two-level prefix sum equals the naive " +
+    "per-stratum cumsum, true prefix, invariant to partitioning") {
+    val d = (0L until 100L).map(i =>
+      (i, ("w " * (i % 7 + 1).toInt).trim, "en",
+        if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val budget = 50L
+    val out = TextAnalysis.tokenBudgetSample(d, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side reference: naive global cumsum in (md5, id) order
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (0L until 100L).groupBy(i => if (i % 2 == 0) "a" else "b")
+      .flatMap { case (src, ids) =>
+        var cum = 0L
+        ids.sortBy(i => (h(i), i)).flatMap { i =>
+          cum += i % 7 + 1
+          if (cum <= budget) Some((src, i, i % 7 + 1, cum)) else None
+        }
+      }.toSet
+    assert(out.toSet == expect)
+    // a true prefix: within each stratum cum_tok is strictly the
+    // running total of the kept docs in hash order
+    for ((_, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(r => (h(r._2), r._2))
+      assert(sorted.map(_._3).scanLeft(0L)(_ + _).tail.toSeq ==
+        sorted.map(_._4).toSeq)
+    }
+    val again = TextAnalysis.tokenBudgetSample(d.repartition(7), budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == expect)
+  }
+
   test("corpusDiff classifies added, removed, changed; unchanged emit " +
     "nothing") {
     val oldC = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")

@@ -236,6 +236,21 @@ class PlanShapeSpec extends SparkSpec {
       s"quota selection is windows over one scan, no joins:\n$plan")
   }
 
+  test("token_budget_sample: the per-doc running sum is bucket-spread, " +
+    "and text never crosses an exchange") {
+    val plan = finalPlan(SparkEntry.queries("token_budget_sample")(spark, dir))
+    // the corpus-sized running-sum window must be keyed (source, bucket)
+    // — a window keyed source alone would gather each stratum into one
+    // task; the only source-keyed window may run on the 256-rows-per-
+    // stratum bucket-subtotal table
+    assert(count(plan, "Window \\[[^\\n]*\\], \\[source#\\d+, bucket#\\d+\\]") == 1,
+      s"expected the per-doc cumsum window keyed (source, bucket):\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(l => !l.contains("text#")),
+      s"token counts must be computed before any exchange:\n$plan")
+  }
+
   test("corpus_diff joins key-sized fingerprints, never document text") {
     val plan = finalPlan(SparkEntry.queries("corpus_diff")(spark, dir))
     // each side collapses to (doc_id, md5) before the full-outer join,
