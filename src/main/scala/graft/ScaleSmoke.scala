@@ -342,6 +342,19 @@ object ScaleSmoke {
           s"token_budget expected ${3 * keepPerStratum}, got $got")
         got
       },
+      // systematic πps thinning on the same skewed corpus: 25-token
+      // docs with step 2500 picks exactly one doc per 100 in cum-token
+      // space → nDocs/100 rows total, closed-form under any hash order
+      stage("pps_sample_docs") {
+        val strat = docs.withColumn("source",
+          when(col("doc_id") % 10 < 8, lit("big"))
+            .otherwise(concat(lit("s"), col("doc_id") % 2)))
+        val got = graft.functions.TextAnalysis
+          .ppsSampleSystematic(strat, 2500L).count()
+        require(got == nDocs / 100L,
+          s"pps_sample expected ${nDocs / 100L}, got $got")
+        got
+      },
       // snapshot diff with planted churn: per 100 docs, one removed
       // (id%100==1 absent from new), one changed (id%100==2 rewritten),
       // one added (fresh ids ≥ nDocs) — diff must be EXACTLY 3·nDocs/100

@@ -373,6 +373,12 @@ object SparkEntry {
     "token_budget_sample" -> ((s, dir) =>
       TextAnalysis.tokenBudgetSample(Tables.table(s, dir, "documents"),
         800L)),
+    // systematic token-proportional (πps) thinning: one doc per 100
+    // tokens of cumulative mass per source, RNG-free (md5 walk +
+    // BIGINT floor division), same two-level prefix-sum core
+    "pps_sample" -> ((s, dir) =>
+      TextAnalysis.ppsSampleSystematic(Tables.table(s, dir, "documents"),
+        100L)),
     // snapshot diff between two corpus versions: added / removed /
     // changed by content fingerprint, key-sized join, churn-sized output
     "corpus_diff" -> ((s, dir) => {
@@ -1196,6 +1202,18 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
         |  FROM base) t
         |WHERE cum_tok <= 800""".stripMargin,
+    "pps_sample" ->
+      s"""WITH base AS (
+        |  SELECT source, doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(len(${OracleSql.toks}) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, doc_id, n_tok, cum_tok FROM (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM base) t
+        |WHERE cum_tok // 100 > (cum_tok - n_tok) // 100""".stripMargin,
     "quota_sample" ->
       """SELECT source, pos, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

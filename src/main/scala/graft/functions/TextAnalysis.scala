@@ -573,22 +573,49 @@ object TextAnalysis {
     * total stays within `budgetTokens` — "give me exactly the first
     * N-tokens' worth of source X", the unit mixture specs are actually
     * written in. Emits (source, doc_id, n_tok, cum_tok); the running
-    * totals are monotone, so the kept set is a true prefix.
-    *
-    * Scale: a naive per-stratum running-sum window gathers each
-    * stratum into one task (and unlike `row_number`, rank-limit
-    * pushdown cannot pre-prune a SUM). Instead a two-level prefix sum:
-    * bucket docs by the first hash byte (256 buckets, order-preserving
-    * since the bucket is a prefix of the sort key), aggregate per-
-    * bucket token subtotals (corpus-sized map-side combine → a
-    * 256-rows-per-stratum table), window THAT metadata table for each
-    * bucket's prior-buckets total, then join it back and run the
-    * per-doc running sum per (stratum, bucket) — 256-way spread, so no
-    * task ever holds a stratum. prior + within-bucket running sum IS
-    * the global prefix sum, exactly (BIGINT adds); the DuckDB oracle
-    * computes the naive single-window form and must match row-for-row.
+    * totals are monotone, so the kept set is a true prefix. Scale
+    * shape: the shared [[runningTokenTotals]] two-level prefix sum —
+    * no stratum-wide window.
     */
-  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long): DataFrame = {
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long): DataFrame =
+    runningTokenTotals(docs)
+      .filter(col("cum_tok") <= budgetTokens)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+
+  /** Systematic probability-proportional-to-size sample — one document
+    * per `stepTokens` of cumulative token mass, per stratum: doc i is
+    * selected iff its token span [cum−n_tok, cum) crosses a multiple of
+    * the step, so P(selected) ∝ n_tok exactly (classic πps/systematic
+    * sampling with the deterministic md5 walk as the random order, and
+    * BIGINT floor division — `div` ≡ DuckDB `//` — instead of an RNG).
+    * Where [[tokenBudgetSample]] truncates a prefix, this thins the
+    * WHOLE stratum token-proportionally: the survey op behind "estimate
+    * corpus statistics from 1/K of the tokens, weight-free".
+    * Zero-token docs span nothing and are never selected. Emits
+    * (source, doc_id, n_tok, cum_tok); scale shape identical to the
+    * budget sampler (shared [[runningTokenTotals]] core).
+    */
+  def ppsSampleSystematic(docs: DataFrame, stepTokens: Long): DataFrame =
+    runningTokenTotals(docs)
+      .filter(expr(s"cum_tok div $stepTokens") >
+        expr(s"(cum_tok - n_tok) div $stepTokens"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+
+  /** The two-level prefix-sum core shared by the token-mass samplers:
+    * per-stratum running token totals in deterministic md5 order,
+    * WITHOUT a stratum-wide window. Bucket docs by the first hash byte
+    * (256 buckets — order-preserving, the bucket is a prefix of the
+    * sort key), aggregate per-bucket subtotals (corpus-sized map-side
+    * combine → a 256-rows-per-stratum table), window THAT metadata
+    * table for each bucket's prior-buckets total, join it back, and
+    * run the per-doc running sum per (stratum, bucket) — 256-way
+    * spread, so no task ever holds a stratum; SUM windows get no
+    * rank-limit pushdown, so unlike [[quotaSample]] the decomposition
+    * must be built by hand. prior + within-bucket running sum IS the
+    * global prefix sum, exactly (BIGINT adds); the DuckDB oracles
+    * compute the naive single-window form and must match row-for-row.
+    */
+  private def runningTokenTotals(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("source"), col("doc_id"),
       md5(col("doc_id").cast("string")).as("h"),
@@ -610,8 +637,6 @@ object TextAnalysis {
     base.join(priors.select(col("source"), col("bucket"), col("prior")),
         Seq("source", "bucket"))
       .withColumn("cum_tok", col("prior") + sum(col("n_tok")).over(wc))
-      .filter(col("cum_tok") <= budgetTokens)
-      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
   }
 
   /** Tokenizer-vocabulary build + id encoding — the step between curation

@@ -476,6 +476,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(again.toSet == expect)
   }
 
+  test("ppsSampleSystematic: one pick per step of token mass, " +
+    "P(select) proportional to size, zero-token docs never picked") {
+    val d = (0L until 120L).map(i =>
+      (i, if (i % 11 == 0) "" else ("w " * (i % 7 + 1).toInt).trim,
+        "en", "a")).toDF("doc_id", "text", "lang", "source")
+    val step = 9L
+    val out = TextAnalysis.ppsSampleSystematic(d, step).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver reference over the same md5 walk
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cum = 0L
+    val expect = (0L until 120L).sortBy(i => (h(i), i)).flatMap { i =>
+      val nt = if (i % 11 == 0) 0L else i % 7 + 1
+      val before = cum; cum += nt
+      if (cum / step > before / step) Some((i, nt, cum)) else None
+    }
+    assert(out.toSet == expect.toSet)
+    // systematic invariant: exactly floor(total/step) picks, none of
+    // them zero-token
+    assert(out.length == (cum / step).toInt)
+    assert(out.forall(_._2 > 0))
+    val again = TextAnalysis.ppsSampleSystematic(d.repartition(5), step)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("corpusDiff classifies added, removed, changed; unchanged emit " +
     "nothing") {
     val oldC = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")

@@ -251,6 +251,16 @@ class PlanShapeSpec extends SparkSpec {
       s"token counts must be computed before any exchange:\n$plan")
   }
 
+  test("pps_sample shares the bucket-spread cumsum shape") {
+    val plan = finalPlan(SparkEntry.queries("pps_sample")(spark, dir))
+    assert(count(plan, "Window \\[[^\\n]*\\], \\[source#\\d+, bucket#\\d+\\]") == 1,
+      s"expected the per-doc cumsum window keyed (source, bucket):\n$plan")
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty && exchangeLines.forall(l => !l.contains("text#")),
+      s"token counts must be computed before any exchange:\n$plan")
+  }
+
   test("corpus_diff joins key-sized fingerprints, never document text") {
     val plan = finalPlan(SparkEntry.queries("corpus_diff")(spark, dir))
     // each side collapses to (doc_id, md5) before the full-outer join,
