@@ -206,6 +206,15 @@ object OracleSql {
   private def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${normSq(a)}) * sqrt(${normSq(b)}))"
 
+  /** [[cosine]] under the engine-wide zero-norm convention (a degenerate
+    * all-zero vector has no direction, so its cosine is DEFINED as 0 —
+    * mirrors Similarity.assignTo's guard; without it DuckDB's 0/0 takes
+    * a different path than Spark's guarded branch on degenerate input).
+    */
+  private def cosineOrZero(a: String, b: String): String =
+    s"""CASE WHEN ${normSq(a)} > 0 AND ${normSq(b)} > 0
+       |  THEN ${cosine(a, b)} ELSE 0.0 END""".stripMargin
+
   /** SRP-LSH near-dup pairs (mirrors Similarity.srpLshNearDupPairs):
     * identical md5-parity ±1 hyperplanes, DECIMAL(19,18) projection sums,
     * band-signature equi-join, exact-decimal cosine verification — the
@@ -266,7 +275,7 @@ object OracleSql {
        |  FROM x GROUP BY 1, 2),
        |cvecs AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
        |          FROM cent GROUP BY 1),
-       |scored AS (SELECT vec_id, c_label, ${cosine("v", "cvec")} AS sim
+       |scored AS (SELECT vec_id, c_label, ${cosineOrZero("v", "cvec")} AS sim
        |           FROM e CROSS JOIN cvecs)
        |SELECT vec_id, assigned_label, round(sim, 6) AS sim FROM (
        |  SELECT vec_id, c_label AS assigned_label, sim,
@@ -291,7 +300,7 @@ object OracleSql {
        |  FROM x0 GROUP BY 1, 2),
        |cvec0 AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
        |          FROM cent0 GROUP BY 1),
-       |s0 AS (SELECT vec_id, c_label, ${cosine("v", "cvec")} AS sim
+       |s0 AS (SELECT vec_id, c_label, ${cosineOrZero("v", "cvec")} AS sim
        |       FROM e CROSS JOIN cvec0),
        |a1 AS (SELECT vec_id, c_label AS label FROM (
        |    SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id
@@ -306,7 +315,7 @@ object OracleSql {
        |  FROM x1 GROUP BY 1, 2),
        |cvec1 AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
        |          FROM cent1 GROUP BY 1),
-       |s1 AS (SELECT vec_id, c_label, ${cosine("v", "cvec")} AS sim
+       |s1 AS (SELECT vec_id, c_label, ${cosineOrZero("v", "cvec")} AS sim
        |       FROM e1 CROSS JOIN cvec1)
        |SELECT vec_id, cluster, round(sim, 6) AS sim FROM (
        |  SELECT vec_id, c_label AS cluster, sim,
@@ -876,7 +885,7 @@ object OracleSql {
        |  FROM x GROUP BY 1, 2),
        |cvecs AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
        |          FROM cent GROUP BY 1),
-       |scored AS (SELECT vec_id, c_label, ${cosine("v", "cvec")} AS sim
+       |scored AS (SELECT vec_id, c_label, ${cosineOrZero("v", "cvec")} AS sim
        |           FROM e CROSS JOIN cvecs),
        |asg AS (SELECT vec_id, cell FROM (
        |    SELECT vec_id, c_label AS cell,

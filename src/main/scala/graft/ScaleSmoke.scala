@@ -56,6 +56,18 @@ object ScaleSmoke {
             concat(lit(s"t${j}x"), col("pair_id"))) :+
             concat(lit("u"), col("doc_id")): _*).as("text"))
 
+    // Shared stratified view of the doc corpus for the sampling
+    // stages: 80% of docs in ONE stratum ("big"), the rest split over
+    // s0/s1 — the adversarial skew for stratum-keyed windows. Exact
+    // per-stratum sizes computed from the residue classes (any nDocs).
+    val stratDocs = docs.withColumn("source",
+      when(col("doc_id") % 10 < 8, lit("big"))
+        .otherwise(concat(lit("s"), col("doc_id") % 2)))
+    def residue10(rs: Range): Long =
+      rs.map(r => nDocs / 10L + (if (nDocs % 10L > r) 1L else 0L)).sum
+    val strataCounts = Seq(residue10(0 until 8), residue10(8 to 8),
+      residue10(9 to 9))
+
     // Deep-graph CC fixture: `nChains` disjoint chains of `chainLen`
     // consecutive ids — diameter = chainLen, the adversarial case for
     // min-label propagation (needs diameter/2 materialization rounds)
@@ -316,60 +328,58 @@ object ScaleSmoke {
       // ONE stratum ("big"), the rest split over s0/s1 — every stratum
       // exceeds the cap, so the output must be EXACTLY 3 × cap rows
       // (the WindowGroupLimit partial prune is what keeps the big
-      // stratum from gathering into a single task)
+      // stratum from gathering into a single task). All planted
+      // expectations derive from exact per-stratum doc counts, so any
+      // nDocs works — no round-number assumptions.
       stage("quota_sample_docs") {
-        val cap = 1000
-        val strat = docs.withColumn("source",
-          when(col("doc_id") % 10 < 8, lit("big"))
-            .otherwise(concat(lit("s"), col("doc_id") % 2)))
-        val got = graft.functions.TextAnalysis.quotaSample(strat, cap)
-          .count()
+        val cap = math.min(1000L, strataCounts.min)
+        val got = graft.functions.TextAnalysis
+          .quotaSample(stratDocs, cap.toInt).count()
         require(got == 3L * cap, s"quota_sample expected ${3 * cap}, got $got")
         got
       },
       // token-budget prefix selection under the same stratum skew:
       // every smoke doc is exactly 25 tokens, so a 25·K budget keeps
-      // EXACTLY K docs per stratum — closed-form planted answer even
-      // though the hash order itself is opaque
+      // EXACTLY min(K, |stratum|) docs per stratum — closed-form
+      // planted answer even though the hash order itself is opaque
       stage("token_budget_docs") {
-        val keepPerStratum = 2000L
-        val strat = docs.withColumn("source",
-          when(col("doc_id") % 10 < 8, lit("big"))
-            .otherwise(concat(lit("s"), col("doc_id") % 2)))
+        val keepPerStratum = math.max(1L, nDocs / 20L)
+        val expect = strataCounts.map(n => math.min(n, keepPerStratum)).sum
         val got = graft.functions.TextAnalysis
-          .tokenBudgetSample(strat, 25L * keepPerStratum).count()
-        require(got == 3L * keepPerStratum,
-          s"token_budget expected ${3 * keepPerStratum}, got $got")
+          .tokenBudgetSample(stratDocs, 25L * keepPerStratum).count()
+        require(got == expect,
+          s"token_budget expected $expect, got $got")
         got
       },
       // systematic πps thinning on the same skewed corpus: 25-token
-      // docs with step 2500 picks exactly one doc per 100 in cum-token
-      // space → nDocs/100 rows total, closed-form under any hash order
+      // docs with step 2500 picks one doc per 100 in each stratum's
+      // cum-token space → Σ floor(|stratum|/100), closed-form under
+      // any hash order
       stage("pps_sample_docs") {
-        val strat = docs.withColumn("source",
-          when(col("doc_id") % 10 < 8, lit("big"))
-            .otherwise(concat(lit("s"), col("doc_id") % 2)))
+        val expect = strataCounts.map(_ / 100L).sum
         val got = graft.functions.TextAnalysis
-          .ppsSampleSystematic(strat, 2500L).count()
-        require(got == nDocs / 100L,
-          s"pps_sample expected ${nDocs / 100L}, got $got")
+          .ppsSampleSystematic(stratDocs, 2500L).count()
+        require(got == expect,
+          s"pps_sample expected $expect, got $got")
         got
       },
-      // snapshot diff with planted churn: per 100 docs, one removed
-      // (id%100==1 absent from new), one changed (id%100==2 rewritten),
-      // one added (fresh ids ≥ nDocs) — diff must be EXACTLY 3·nDocs/100
-      // rows, and text never shuffles (fingerprint-collapsed join)
+      // snapshot diff with planted churn: removed (id%100==1 absent
+      // from new), changed (id%100==2 rewritten), added (fresh ids ≥
+      // nDocs) — expected count derives from the exact residue-class
+      // sizes, and text never shuffles (fingerprint-collapsed join)
       stage("corpus_diff_docs") {
-        val churn = nDocs / 100L
+        def residues(r: Long) = nDocs / 100L + (if (nDocs % 100L > r) 1L else 0L)
+        val added = nDocs / 100L
         val newC = docs.filter(col("doc_id") % 100L =!= 1L)
           .select(col("doc_id"),
             when(col("doc_id") % 100L === 2L, concat(col("text"), lit(" v2")))
               .otherwise(col("text")).as("text"))
-          .union(spark.range(nDocs, nDocs + churn)
+          .union(spark.range(nDocs, nDocs + added)
             .select(col("id").as("doc_id"),
               concat(lit("fresh "), col("id")).as("text")))
+        val expect = residues(1) + residues(2) + added
         val got = Dedup.corpusDiff(docs, newC).count()
-        require(got == 3L * churn, s"corpus_diff expected ${3 * churn}, got $got")
+        require(got == expect, s"corpus_diff expected $expect, got $got")
         got
       },
       // DSIR weights: 30% of docs tagged en (the target slice); bucket

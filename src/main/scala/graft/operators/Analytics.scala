@@ -714,12 +714,18 @@ object Analytics {
     * `bands` whitespace tokens of the name — banded exactly like the
     * MinHash LSH keys in Dedup: each record emits `bands` keys, candidates
     * are pairs agreeing on ANY band, deduplicated before the distance DP
-    * runs once per pair. Why this is recall-safe for the edit predicate:
-    * `maxDist` character edits touch at most `maxDist` tokens (TPC-H
-    * names are fixed five-word strings — no edits can merge or split
-    * tokens without exceeding the budget elsewhere), so with
-    * `bands > maxDist` leading tokens at least one must match
-    * positionally — the same pigeonhole that sizes LSH bands.
+    * runs once per pair. Why this is recall-safe for the edit predicate
+    * ON THIS DOMAIN: `maxDist` character edits touch at most `maxDist`
+    * tokens, so with `bands > maxDist` leading tokens at least one must
+    * match positionally — the same pigeonhole that sizes LSH bands.
+    * CAVEAT for reuse on arbitrary frames: the pigeonhole assumes edits
+    * stay WITHIN tokens. An edit budget spent on whitespace can merge
+    * one leading token and split another ("ab cd ef…" vs "abcd e f…"
+    * are 2 edits apart yet disagree on every banded position), and such
+    * pairs are not candidates. TPC-H names are fixed five-word strings
+    * over a closed word vocabulary — merged words are out-of-vocabulary
+    * — so the guarantee is exact here; for free-text linkage use a
+    * position-free block (char n-gram bands, Dedup-style) instead.
     * LlmOpsSpec proves recall 1.0 against the brand-only brute force on
     * real data AND on planted adversarial pairs. Cost: blocks shrink
     * from `n/|brands|` to `n/(|brands|·|token vocab|)`, so pair count

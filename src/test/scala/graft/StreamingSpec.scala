@@ -18,7 +18,9 @@ class StreamingSpec extends SparkSpec {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    val drained = q.awaitTermination(120000)
+    if (!drained) q.stop()
+    assert(drained, "AvailableNow drain did not finish within 120 s")
   }
 
   test("streaming candles match the batch candle derivation") {
@@ -185,7 +187,9 @@ class StreamingSpec extends SparkSpec {
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      val drained = q.awaitTermination(120000)
+      if (!drained) q.stop()
+      assert(drained, "AvailableNow drain did not finish within 120 s")
     }
     run() // phase 1: older half only, then terminate
     val n1 = spark.read.parquet(out).count()
@@ -231,7 +235,12 @@ class StreamingSpec extends SparkSpec {
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      // a false return means the drain is still running: counting the
+      // sink now (or starting phase 2 on the same checkpoint) would
+      // turn a slow run into a bogus state-recovery failure
+      val drained = q.awaitTermination(120000)
+      if (!drained) q.stop()
+      assert(drained, "AvailableNow drain did not finish within 120 s")
     }
     run() // phase 1: older half only, then the "kill"
     val n1 = spark.read.parquet(out).count()
