@@ -306,4 +306,57 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** Streaming daily-ingest classification — the production shape of
+    * [[graft.operators.Dedup.mergeCorpusDay]]: the day's documents
+    * arrive as a STREAM and are classified against the persisted
+    * corpus dedup state (STATIC — loaded once per query) with the
+    * identical contract: one row per delta doc,
+    * `(doc_id, status ∈ exact_dup|near_dup|new, match_id)`,
+    * exact-over-near priority, `match_id` = smallest matching corpus
+    * doc. StreamingSpec proves stream ≡ batch row-for-row on the same
+    * delta.
+    *
+    * Plan shape: the delta-side state ([[graft.operators.Dedup
+    * .corpusDedupState]]) is a pure projection, so it streams; both
+    * probes are stream-static LEFT joins (exact on fingerprint against
+    * the pre-aggregated static fingerprint→min-doc table, near on the
+    * exploded band keys with per-collision sha verification); ONE
+    * stream aggregation per doc_id collapses band fan-out and applies
+    * the min-match rule. The aggregate runs without a watermark in
+    * UPDATE mode — a daily delta is bounded, and a real sink upserts on
+    * doc_id via foreachBatch (re-emissions refine, never contradict:
+    * min-aggregates only tighten as bands arrive).
+    */
+  def mergeStream(delta: DataFrame, existingState: DataFrame,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val nBands = k / rowsPerBand
+    val stackArgs = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
+    val exact = existingState.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("ex_exact"))
+    val exBands = existingState.selectExpr("doc_id AS ex_id",
+      "sha AS ex_sha", s"stack($nBands, $stackArgs) AS (band, bucket)")
+    val banded = graft.operators.Dedup
+      .corpusDedupState(delta, n, k, rowsPerBand)
+      .selectExpr("doc_id", "fingerprint", "sha",
+        s"stack($nBands, $stackArgs) AS (band, bucket)")
+    banded
+      .join(exact, Seq("fingerprint"), "left")
+      .join(exBands, Seq("band", "bucket"), "left")
+      .withColumn("n_common",
+        size(array_intersect(col("ex_sha"), col("sha"))))
+      .withColumn("ver", when(col("ex_id").isNotNull &&
+        round(col("n_common").cast("double") /
+          (size(col("ex_sha")) + size(col("sha")) - col("n_common"))
+            .cast("double"), 6) >= minJaccard, col("ex_id")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("ex_exact")).as("exact_match"),
+        min(col("ver")).as("near_match"))
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact_dup"))
+          .when(col("near_match").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
 }

@@ -23,6 +23,35 @@ class StreamingSpec extends SparkSpec {
     assert(drained, "AvailableNow drain did not finish within 120 s")
   }
 
+  test("streaming daily merge classifies a delta identically to the " +
+    "batch merge") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.table(spark, dir, "documents")
+    val state = graft.operators.Dedup
+      .corpusDedupState(docs.filter(col("doc_id") % 5 =!= 0))
+      .localCheckpoint()
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-merge-stream").toString
+    // one file → one micro-batch → each doc's aggregate emits exactly
+    // once (production sinks upsert on doc_id via foreachBatch instead)
+    delta.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(delta.schema).parquet(tmp)
+    runToMemory(EventStreams.mergeStream(stream, state),
+      "merge_stream_out", "update")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    val got = spark.table("merge_stream_out").collect().map(key).toSet
+    val want = graft.operators.Dedup.mergeCorpusDay(state, delta)
+      .collect().map(key).toSet
+    assert(got == want,
+      s"stream and batch merge disagree: stream-only=${got -- want}, " +
+        s"batch-only=${want -- got}")
+    assert(want.nonEmpty && want.exists(_._2 != "new"),
+      "fixture must exercise dup classification, not just 'new'")
+  }
+
   test("streaming candles match the batch candle derivation") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventStreams.candleStream(
