@@ -1208,12 +1208,13 @@ object SparkEntry {
         |    md5(CAST(doc_id AS VARCHAR)) AS h,
         |    CAST(len(${OracleSql.toks}) AS BIGINT) AS n_tok
         |  FROM documents)
-        |SELECT source, doc_id, n_tok, cum_tok FROM (
+        |SELECT source, doc_id, n_tok, cum_tok,
+        |  cum_tok // 100 - (cum_tok - n_tok) // 100 AS n_picks FROM (
         |  SELECT source, doc_id, n_tok,
         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
         |  FROM base) t
-        |WHERE cum_tok // 100 > (cum_tok - n_tok) // 100""".stripMargin,
+        |WHERE cum_tok // 100 - (cum_tok - n_tok) // 100 > 0""".stripMargin,
     "quota_sample" ->
       """SELECT source, pos, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

@@ -591,15 +591,24 @@ object TextAnalysis {
     * Where [[tokenBudgetSample]] truncates a prefix, this thins the
     * WHOLE stratum token-proportionally: the survey op behind "estimate
     * corpus statistics from 1/K of the tokens, weight-free".
-    * Zero-token docs span nothing and are never selected. Emits
-    * (source, doc_id, n_tok, cum_tok); scale shape identical to the
-    * budget sampler (shared [[runningTokenTotals]] core).
+    * Zero-token docs span nothing and are never selected; a doc LARGER
+    * than the step spans several pick points and carries them as
+    * `n_picks` multiplicity (true with-replacement πps — dropping the
+    * multiplicity would under-weight exactly the biggest docs), so
+    * Σ n_picks per stratum = ⌊stratum tokens / step⌋ EXACTLY, the
+    * closed-form invariant PropertiesSpec checks on generated corpora.
+    * Emits (source, doc_id, n_tok, cum_tok, n_picks); scale shape
+    * identical to the budget sampler (shared [[runningTokenTotals]]
+    * core).
     */
   def ppsSampleSystematic(docs: DataFrame, stepTokens: Long): DataFrame =
     runningTokenTotals(docs)
-      .filter(expr(s"cum_tok div $stepTokens") >
-        expr(s"(cum_tok - n_tok) div $stepTokens"))
-      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+      .withColumn("n_picks",
+        expr(s"cum_tok div $stepTokens") -
+          expr(s"(cum_tok - n_tok) div $stepTokens"))
+      .filter(col("n_picks") > 0)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"),
+        col("n_picks"))
 
   /** The two-level prefix-sum core shared by the token-mass samplers:
     * per-stratum running token totals in deterministic md5 order,

@@ -483,7 +483,7 @@ class LlmOpsSpec extends SparkSpec {
         "en", "a")).toDF("doc_id", "text", "lang", "source")
     val step = 9L
     val out = TextAnalysis.ppsSampleSystematic(d, step).collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     // driver reference over the same md5 walk
     def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -491,15 +491,17 @@ class LlmOpsSpec extends SparkSpec {
     val expect = (0L until 120L).sortBy(i => (h(i), i)).flatMap { i =>
       val nt = if (i % 11 == 0) 0L else i % 7 + 1
       val before = cum; cum += nt
-      if (cum / step > before / step) Some((i, nt, cum)) else None
+      val picks = cum / step - before / step
+      if (picks > 0) Some((i, nt, cum, picks)) else None
     }
     assert(out.toSet == expect.toSet)
-    // systematic invariant: exactly floor(total/step) picks, none of
-    // them zero-token
-    assert(out.length == (cum / step).toInt)
+    // systematic invariant: pick MASS is exactly floor(total/step)
+    // (docs wider than the step carry multiplicity), zero-token docs
+    // never picked
+    assert(out.map(_._4).sum == cum / step)
     assert(out.forall(_._2 > 0))
     val again = TextAnalysis.ppsSampleSystematic(d.repartition(5), step)
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.toSet == out.toSet)
   }
 

@@ -141,6 +141,63 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sampling family invariants hold on generated skewed corpora") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // corpora with random sizes, random token counts (incl. empty
+    // docs), and a random number of strata with skewed membership
+    val corpusGen = for {
+      n <- Gen.chooseNum(30, 150)
+      nStrata <- Gen.chooseNum(1, 5)
+      toks <- Gen.listOfN(n, Gen.chooseNum(0, 12))
+      strat <- Gen.listOfN(n, Gen.chooseNum(0, 9))
+    } yield (0 until n).map { i =>
+      (i.toLong, ("w " * toks(i)).trim, "en",
+        // skew: residues ≥ nStrata all fold into stratum 0
+        s"s${if (strat(i) < nStrata) strat(i) else 0}")
+    }
+    samples(corpusGen, 6).foreach { rows =>
+      val d = rows.toDF("doc_id", "text", "lang", "source")
+      val bySource = rows.groupBy(_._4)
+      // quota: per stratum exactly min(cap, |stratum|) rows, pos dense
+      val cap = 7
+      val quota = TextAnalysis.quotaSample(d, cap).collect()
+        .groupBy(_.getString(0))
+      for ((src, members) <- bySource)
+        assert(quota.getOrElse(src, Array.empty).length ==
+          math.min(cap, members.size), s"quota in $src")
+      // budget: kept set is the maximal prefix whose cum stays within
+      // budget; equivalently every kept cum ≤ budget and the count per
+      // stratum equals the driver-computed prefix length
+      val budget = 20L
+      def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val kept = TextAnalysis.tokenBudgetSample(d, budget).collect()
+        .groupBy(_.getString(0))
+      for ((src, members) <- bySource) {
+        var cum = 0L
+        val expectN = members.sortBy(m => (h(m._1), m._1)).count { m =>
+          cum += m._2.split(" ").count(_.nonEmpty); cum <= budget
+        }
+        val got = kept.getOrElse(src, Array.empty)
+        assert(got.length == expectN, s"budget prefix in $src")
+        assert(got.forall(_.getLong(3) <= budget))
+      }
+      // pps: per stratum the pick MASS (Σ n_picks) is exactly
+      // floor(total/step) — multiplicity covers docs wider than the
+      // step — and a zero-token doc is never picked
+      val step = 5L
+      val pps = TextAnalysis.ppsSampleSystematic(d, step).collect()
+        .groupBy(_.getString(0))
+      for ((src, members) <- bySource) {
+        val total = members.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+        assert(pps.getOrElse(src, Array.empty).map(_.getLong(4)).sum ==
+          total / step, s"pps pick mass in $src")
+      }
+      assert(pps.values.flatten.forall(_.getLong(2) > 0))
+    }
+  }
+
   test("exact dedup representative is always the minimum doc_id of its group") {
     import spark.implicits._
     samples(Gen.listOfN(20,
