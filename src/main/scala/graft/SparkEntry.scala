@@ -77,6 +77,18 @@ object SparkEntry {
     // blocked fuzzy entity matching: (brand × positional-token)-banded
     // Levenshtein ≤ 2 pairs — pigeonhole-complete for 3 bands > 2 edits
     "fuzzy_join_parts" -> ((s, dir) => Analytics.fuzzyJoinParts(s, dir, 2)),
+    // position-free q-gram prefix-filter variant: exact recall on free
+    // text (edits may move whitespace), rarity-ordered prefix blocks.
+    // Scoped to ONE brand's catalog — on TPC-H's ~90-word closed name
+    // vocabulary the whole-catalog prefix filter degenerates (the
+    // measured trade documented on fuzzyMatchPairsQgram); the banded
+    // fuzzy_join_parts IS the whole-catalog form for such data
+    "fuzzy_join_parts_qgram" -> ((s, dir) =>
+      Analytics.fuzzyMatchPairsQgram(
+        Tables.table(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey").as("id"), col("p_name").as("name")),
+        2, 3)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
     "q9_nation_profit" -> ((s, dir) => Analytics.nationProfitByYear(s, dir)),
@@ -897,6 +909,34 @@ object SparkEntry {
         |    ON a.p_brand = b.p_brand AND a.band = b.band
         |      AND a.tok = b.tok AND a.p_partkey < b.p_partkey)
         |SELECT p_brand, part_a, part_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
+
+    "fuzzy_join_parts_qgram" ->
+      """WITH r AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    '##' || p_name || '##' AS p FROM part
+        |  WHERE p_brand = 'Brand#13'),
+        |g AS (
+        |  SELECT DISTINCT id, name, t.gram FROM r,
+        |    unnest(list_transform(range(1, CAST(len(p) AS BIGINT) - 1),
+        |      i -> substr(p, CAST(i AS BIGINT), 3))) AS t(gram)),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+        |pfx AS (
+        |  SELECT gram, id, name FROM (
+        |    SELECT g.gram, g.id, g.name,
+        |      row_number() OVER (PARTITION BY g.id
+        |        ORDER BY df.df, g.gram) AS rn
+        |    FROM g JOIN df USING (gram))
+        |  WHERE rn <= 7),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS part_a, b.id AS part_b,
+        |    a.name AS name_a, b.name AS name_b
+        |  FROM pfx a JOIN pfx b
+        |    ON a.gram = b.gram AND a.id < b.id
+        |      AND abs(len(a.name) - len(b.name)) <= 2)
+        |SELECT part_a, part_b,
         |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM cand
         |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SimHash64, TextAnalysis}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Analytics, Dedup, Similarity}
 
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -503,6 +503,33 @@ class LlmOpsSpec extends SparkSpec {
     val again = TextAnalysis.ppsSampleSystematic(d.repartition(5), step)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.toSet == out.toSet)
+  }
+
+  test("fuzzyMatchPairsQgram equals the all-pairs brute force at " +
+    "sf0.001 and catches space-moving edits the banded block cannot") {
+    // exact recall vs the unblocked ground truth on real data
+    val parts = Tables.table(spark, "/root/testdata/sf0.001", "part")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val got = Analytics.fuzzyMatchPairsQgram(parts, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = parts.toDF("id_a", "name_a")
+      .crossJoin(parts.toDF("id_b", "name_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b"), 2).cast("long").as("d"))
+      .filter(col("d") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"qgram-only=${got -- brute}, brute-only=${brute -- got}")
+    // the documented failure mode of the positional token block: two
+    // space edits merge one token and split another — every banded
+    // token position disagrees, but the q-gram prefixes still collide
+    val adv = Seq((1L, "ab cd ef gh ij"), (2L, "abcd ef g h ij"),
+      (3L, "zz yy xx ww vv")).toDF("id", "name")
+    val advPairs = Analytics.fuzzyMatchPairsQgram(adv, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(advPairs == Set((1L, 2L)),
+      s"space-shift pair must survive the position-free block: $advPairs")
   }
 
   test("corpusDiff classifies added, removed, changed; unchanged emit " +

@@ -261,6 +261,21 @@ class PlanShapeSpec extends SparkSpec {
       s"token counts must be computed before any exchange:\n$plan")
   }
 
+  test("fuzzy_join_parts_qgram: rarity-prefix equi-join, never a " +
+    "nested loop") {
+    val plan = finalPlan(SparkEntry.queries("fuzzy_join_parts_qgram")(spark, dir))
+    // candidate generation must be the gram-keyed equi-join over the
+    // rarity prefixes — a nested-loop/cartesian anywhere means the
+    // prefix filter degenerated to all-pairs
+    assert(count(plan, "BroadcastNestedLoopJoin|CartesianProduct") == 0,
+      s"prefix-filter join must stay an equi-join:\n$plan")
+    // one Generate per side of the candidate self-join (the df-agg
+    // branch reuses a shuffle); a third+ would mean the gram pipeline
+    // re-derived per additional consumer
+    assert(count(plan, "Generate ") == 2,
+      s"grams generate once per self-join side:\n$plan")
+  }
+
   test("corpus_diff joins key-sized fingerprints, never document text") {
     val plan = finalPlan(SparkEntry.queries("corpus_diff")(spark, dir))
     // each side collapses to (doc_id, md5) before the full-outer join,
