@@ -930,12 +930,21 @@ object SparkEntry {
         |        ORDER BY df.df, g.gram) AS rn
         |    FROM g JOIN df USING (gram))
         |  WHERE rn <= 7),
+        |lows AS (
+        |  SELECT id, name FROM g GROUP BY id, name
+        |  HAVING count(*) <= 6),
         |cand AS (
         |  SELECT DISTINCT a.id AS part_a, b.id AS part_b,
         |    a.name AS name_a, b.name AS name_b
         |  FROM pfx a JOIN pfx b
         |    ON a.gram = b.gram AND a.id < b.id
-        |      AND abs(len(a.name) - len(b.name)) <= 2)
+        |      AND abs(len(a.name) - len(b.name)) <= 2
+        |  UNION
+        |  SELECT DISTINCT least(l.id, r.id), greatest(l.id, r.id),
+        |    CASE WHEN l.id < r.id THEN l.name ELSE r.name END,
+        |    CASE WHEN l.id < r.id THEN r.name ELSE l.name END
+        |  FROM lows l JOIN r
+        |    ON l.id <> r.id AND abs(len(l.name) - len(r.name)) <= 2)
         |SELECT part_a, part_b,
         |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM cand

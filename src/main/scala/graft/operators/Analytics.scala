@@ -798,7 +798,12 @@ object Analytics {
     * collide within their `k·q + 1` first grams. Candidates are
     * therefore pairs whose rarity-prefixes share a gram; the banded
     * Levenshtein then decides exactly. Padding with q−1 sentinel chars
-    * keeps the bound valid at string boundaries and for short names.
+    * keeps the bound valid at string boundaries. (2) is vacuous for a
+    * record with ≤ k·q distinct grams (short or degenerate-repetitive
+    * names — every gram can be rewritten within budget), so those
+    * records fall back to an explicit length-banded pairing against
+    * all length-compatible records, keeping recall exact for EVERY
+    * input.
     *
     * Scale: gram extraction is a map-side generate; the df attach is a
     * vocabulary-sized join (AQE-broadcast); the per-id rarity window
@@ -830,17 +835,47 @@ object Analytics {
     val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("gram"))
-    val prefix = grams.join(df, Seq("gram"))
+    // the ranked prefix is consumed by BOTH sides of the candidate
+    // self-join — materialize the gram explode + df join + window once
+    val ranked = grams.join(df, Seq("gram"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= prefixLen)
+      .localCheckpoint()
+    val prefix = ranked.filter(col("rn") <= prefixLen)
       .select(col("gram"), col("id"), col("name"),
         length(col("name")).as("len"))
     val a = prefix.toDF("gram", "part_a", "name_a", "len_a")
     val b = prefix.toDF("gram", "part_b", "name_b", "len_b")
-    a.join(b, a("gram") === b("gram") &&
+    val prefixCands = a.join(b, a("gram") === b("gram") &&
         col("part_a") < col("part_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
       .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"))
+    // LOW-GRAM FALLBACK — the prefix-filter theorem is vacuous for a
+    // record with ≤ maxDist·q distinct grams (every gram can be
+    // rewritten within budget: e.g. 'ab' vs 'cd' at q=3, k=2 share no
+    // gram at all), so such records pair against EVERY length-
+    // compatible record via an explicit length-key equi-join (each
+    // partner emits its 2·maxDist+1 length keys — no nested loop).
+    // Cost is |lowGram| · |records per length window|: zero rows when
+    // every name is long enough, and low-gram records are short or
+    // degenerate-repetitive by construction.
+    val nGrams = ranked.groupBy(col("id"), col("name"))
+      .agg(max(col("rn")).as("ng"))
+    val lows = nGrams.filter(col("ng") <= maxDist * q)
+      .select(col("id").as("low_id"), col("name").as("low_name"),
+        length(col("name")).as("lk"))
+    val allByLen = recs.select(col("id").as("all_id"),
+        col("name").as("all_name"),
+        explode(sequence(length(col("name")) - maxDist,
+          length(col("name")) + maxDist)).as("lk"))
+    val lowCands = lows.join(allByLen, Seq("lk"))
+      .filter(col("low_id") =!= col("all_id"))
+      .select(least(col("low_id"), col("all_id")).as("part_a"),
+        greatest(col("low_id"), col("all_id")).as("part_b"),
+        when(col("low_id") < col("all_id"), col("low_name"))
+          .otherwise(col("all_name")).as("name_a"),
+        when(col("low_id") < col("all_id"), col("all_name"))
+          .otherwise(col("low_name")).as("name_b"))
+    prefixCands.unionByName(lowCands)
       .distinct()
       .select(col("part_a"), col("part_b"),
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")

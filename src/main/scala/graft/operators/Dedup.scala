@@ -715,11 +715,49 @@ object Dedup {
     * composes from the ordinary operators ([[exactDuplicates]],
     * [[minhashLshPairs]]) before or after the merge.
     */
+  /** Band-key generator projection over a [[corpusDedupState]] frame:
+    * one row per (doc, band) under the given alias names, with the sha
+    * array riding along so verification needs no second join against
+    * the corpus. Shared by the batch and streaming merges so the
+    * stream ≡ batch contract cannot drift. Note `sha` is never empty
+    * ([[shinglesFromTokens]] gives short/empty docs their whole text
+    * as the single shingle), so whitespace-variant docs band-collide
+    * BY DESIGN — they are genuine duplicates (jaccard 1), and the
+    * exact-fingerprint probe wins the status for the identical ones.
+    * A mega dup-class therefore fans out like any LSH mega-bucket; at
+    * corpus scale cap it upstream the way [[minhashLshPairs]]'
+    * maxBucketSize does.
+    */
+  private[graft] def bandRows(state: DataFrame, nBands: Int,
+      idAlias: String, shaAlias: String): DataFrame = {
+    val stackArgs = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
+    state.selectExpr(s"doc_id AS $idAlias", s"sha AS $shaAlias",
+      s"stack($nBands, $stackArgs) AS (band, bucket)")
+  }
+
+  /** The exact per-collision verification predicate (true n-gram
+    * Jaccard over the carried sha arrays, rounded like every oracle) —
+    * shared by the batch and streaming merges.
+    */
+  private[graft] def shaJaccardAtLeast(shaA: Column, shaB: Column,
+      minJaccard: Double): Column = {
+    val common = size(array_intersect(shaA, shaB))
+    round(common.cast("double") /
+      (size(shaA) + size(shaB) - common).cast("double"), 6) >= minJaccard
+  }
+
+  /** The exact-over-near status/match_id contract both merges emit. */
+  private[graft] def mergeStatus(exactMatch: Column,
+      nearMatch: Column): Seq[Column] = Seq(
+    when(exactMatch.isNotNull, lit("exact_dup"))
+      .when(nearMatch.isNotNull, lit("near_dup"))
+      .otherwise(lit("new")).as("status"),
+    coalesce(exactMatch, nearMatch).as("match_id"))
+
   def mergeCorpusDay(existingState: DataFrame, delta: DataFrame,
       n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val nBands = k / rowsPerBand
-    val stackArgs = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
     // delta state is consumed three times (exact probe, band probe,
     // final attach) — materialize the day's rows once
     val deltaState = corpusDedupState(delta, n, k, rowsPerBand)
@@ -730,31 +768,19 @@ object Dedup {
         .select(col("doc_id").as("d_id"), col("fingerprint"))),
         Seq("fingerprint"))
       .groupBy(col("d_id")).agg(min(col("ex_id")).as("exact_match"))
-    // band rows are a generator PROJECTION over each side's state —
-    // existing sha rides along so verification needs no second join
-    // against the corpus; per-collision array_intersect beats a
-    // distinct-first shape because collision multiplicity is ≤ bands
-    // while distinct would shuffle the sha arrays
-    val exBands = existingState.selectExpr("doc_id AS ex_id", "sha AS ex_sha",
-      s"stack($nBands, $stackArgs) AS (band, bucket)")
-    val dBands = deltaState.selectExpr("doc_id AS d_id", "sha AS d_sha",
-      s"stack($nBands, $stackArgs) AS (band, bucket)")
-    val near = exBands.join(broadcast(dBands), Seq("band", "bucket"))
-      .select(col("d_id"), col("ex_id"),
-        size(array_intersect(col("ex_sha"), col("d_sha"))).as("n_common"),
-        size(col("ex_sha")).as("n_a"), size(col("d_sha")).as("n_b"))
-      .filter(round(col("n_common").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
-        >= minJaccard)
+    // per-collision array_intersect beats a distinct-first shape
+    // because collision multiplicity is ≤ bands while distinct would
+    // shuffle the sha arrays
+    val near = bandRows(existingState, nBands, "ex_id", "ex_sha")
+      .join(broadcast(bandRows(deltaState, nBands, "d_id", "d_sha")),
+        Seq("band", "bucket"))
+      .filter(shaJaccardAtLeast(col("ex_sha"), col("d_sha"), minJaccard))
       .groupBy(col("d_id")).agg(min(col("ex_id")).as("near_match"))
     deltaState.select(col("doc_id"))
       .join(exact.withColumnRenamed("d_id", "doc_id"), Seq("doc_id"), "left")
       .join(near.withColumnRenamed("d_id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("exact_match").isNotNull, lit("exact_dup"))
-          .when(col("near_match").isNotNull, lit("near_dup"))
-          .otherwise(lit("new")).as("status"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .select(col("doc_id") +:
+        mergeStatus(col("exact_match"), col("near_match")): _*)
   }
 
   /** Snapshot diff between two corpus versions — the audit primitive

@@ -331,32 +331,25 @@ object EventStreams {
   def mergeStream(delta: DataFrame, existingState: DataFrame,
       n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
     val nBands = k / rowsPerBand
-    val stackArgs = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
     val exact = existingState.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("ex_exact"))
-    val exBands = existingState.selectExpr("doc_id AS ex_id",
-      "sha AS ex_sha", s"stack($nBands, $stackArgs) AS (band, bucket)")
-    val banded = graft.operators.Dedup
-      .corpusDedupState(delta, n, k, rowsPerBand)
+    val exBands = Dedup.bandRows(existingState, nBands, "ex_id", "ex_sha")
+    val stackArgs = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
+    val banded = Dedup.corpusDedupState(delta, n, k, rowsPerBand)
       .selectExpr("doc_id", "fingerprint", "sha",
         s"stack($nBands, $stackArgs) AS (band, bucket)")
     banded
       .join(exact, Seq("fingerprint"), "left")
       .join(exBands, Seq("band", "bucket"), "left")
-      .withColumn("n_common",
-        size(array_intersect(col("ex_sha"), col("sha"))))
       .withColumn("ver", when(col("ex_id").isNotNull &&
-        round(col("n_common").cast("double") /
-          (size(col("ex_sha")) + size(col("sha")) - col("n_common"))
-            .cast("double"), 6) >= minJaccard, col("ex_id")))
+        Dedup.shaJaccardAtLeast(col("ex_sha"), col("sha"), minJaccard),
+        col("ex_id")))
       .groupBy(col("doc_id"))
       .agg(min(col("ex_exact")).as("exact_match"),
         min(col("ver")).as("near_match"))
-      .select(col("doc_id"),
-        when(col("exact_match").isNotNull, lit("exact_dup"))
-          .when(col("near_match").isNotNull, lit("near_dup"))
-          .otherwise(lit("new")).as("status"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .select(col("doc_id") +:
+        Dedup.mergeStatus(col("exact_match"), col("near_match")): _*)
   }
 }

@@ -530,6 +530,15 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(advPairs == Set((1L, 2L)),
       s"space-shift pair must survive the position-free block: $advPairs")
+    // short names have <= maxDist*q distinct grams, so the prefix
+    // theorem is vacuous ('ab' vs 'cd' share NO padded 3-gram at
+    // distance 2) — the length-banded low-gram fallback must pair them
+    val short = Seq((1L, "ab"), (2L, "cd"), (3L, "abcdefghijklmnop"))
+      .toDF("id", "name")
+    val shortPairs = Analytics.fuzzyMatchPairsQgram(short, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shortPairs == Set((1L, 2L)),
+      s"low-gram fallback must recover the short pair: $shortPairs")
   }
 
   test("corpusDiff classifies added, removed, changed; unchanged emit " +

@@ -269,11 +269,14 @@ class PlanShapeSpec extends SparkSpec {
     // prefix filter degenerated to all-pairs
     assert(count(plan, "BroadcastNestedLoopJoin|CartesianProduct") == 0,
       s"prefix-filter join must stay an equi-join:\n$plan")
-    // one Generate per side of the candidate self-join (the df-agg
-    // branch reuses a shuffle); a third+ would mean the gram pipeline
-    // re-derived per additional consumer
-    assert(count(plan, "Generate ") == 2,
-      s"grams generate once per self-join side:\n$plan")
+    // the ranked-prefix table is localCheckpoint'ed, so the gram
+    // explode + df join + rarity window run ONCE and both self-join
+    // sides read the materialized list; the only Generate left in the
+    // final plan is the low-gram fallback's length-key explode
+    assert(count(plan, "Scan ExistingRDD") >= 2,
+      s"both candidate sides must reuse the materialized prefix:\n$plan")
+    assert(count(plan, "Generate ") == 1,
+      s"gram pipeline must not re-derive per consumer:\n$plan")
   }
 
   test("corpus_diff joins key-sized fingerprints, never document text") {
