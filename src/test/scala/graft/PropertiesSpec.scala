@@ -198,6 +198,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyMatchPairsQgram equals brute force on generated corpora " +
+    "of short low-diversity strings") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // 1-8 char strings over {a,b,c,space}: maximal stress on the
+    // low-gram fallback (most records sit below the k*q gram threshold)
+    // and on gram sharing via the tiny alphabet
+    val nameGen = for {
+      len <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', ' '))
+    } yield cs.mkString.trim match { case "" => "a"; case t => t }
+    val corpusGen = Gen.chooseNum(8, 25)
+      .flatMap(n => Gen.listOfN(n, nameGen))
+    samples(corpusGen, 8).foreach { names =>
+      val recs = names.zipWithIndex
+        .map { case (nm, i) => (i.toLong, nm) }.toDF("id", "name")
+      for (maxDist <- Seq(1, 2)) {
+        val got = Analytics.fuzzyMatchPairsQgram(recs, maxDist, 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val brute = recs.toDF("id_a", "name_a")
+          .crossJoin(recs.toDF("id_b", "name_b"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("name_a"), col("name_b"), maxDist)
+              .cast("long").as("d"))
+          .filter(col("d") >= 0).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == brute, s"maxDist=$maxDist names=$names " +
+          s"qgram-only=${got -- brute} brute-only=${brute -- got}")
+      }
+    }
+  }
+
   test("exact dedup representative is always the minimum doc_id of its group") {
     import spark.implicits._
     samples(Gen.listOfN(20,
