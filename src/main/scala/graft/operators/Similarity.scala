@@ -508,6 +508,36 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** Incremental index ingest — the vector-side analog of the daily
+    * corpus merge: assign a day's NEW vectors against the EXISTING
+    * stored codebook (broadcast, exchange-free [[assignTo]]) and
+    * append them into the cell directories. The codebook does NOT
+    * move — the standard IVF ingest contract: centroids drift only at
+    * an explicit rebuild ([[writeCellPartitioned]]), because moving
+    * them would silently re-home every previously stored vector.
+    * Probes are unchanged and immediately see the new vectors;
+    * correctness is assignment-independent — probe-all over a layout
+    * built on a subset then appended equals brute force over the full
+    * corpus bit-for-bit (BucketingSpec) — only RECALL at partial
+    * nprobe depends on assignment quality, which is what scheduled
+    * rebuilds maintain. Cost scales with the delta: one broadcast
+    * assign + one partitioned append, the corpus is never read.
+    */
+  def appendToCellLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame): Unit = {
+    val centPath = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    require(centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(centPath),
+      s"IVF layout at $path has no _centroids codebook — " +
+        "build it with writeCellPartitioned before appending")
+    val cents = spark.read.parquet(s"$path/_centroids")
+    newVecs
+      .join(assignTo(newVecs, cents)
+        .select(col("vec_id"), col("assigned_label").as("cell")),
+        Seq("vec_id"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
   /** Build-once/probe-many fixture: the [[writeCellPartitioned]] layout
     * for a corpus directory, built on FIRST use per JVM at a
     * deterministic warehouse path (repeat runs overwrite, never

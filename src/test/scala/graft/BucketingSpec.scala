@@ -275,4 +275,42 @@ class BucketingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("_centroids"))
   }
+
+  test("incremental IVF append: day's vectors ingest against the stored " +
+    "codebook; probe-all over the grown index equals brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    // build on two-thirds of the corpus, append the remaining third —
+    // appended vectors are assigned by the STORED codebook (built
+    // without them), so their cells differ from a full rebuild's; the
+    // exactness contract is assignment-INDEPENDENT: probing every cell
+    // of the grown index reproduces brute force over the full corpus
+    // bit-for-bit
+    graft.operators.Similarity.writeCellPartitioned(
+      emb.filter(col("vec_id") % 3 =!= 0), dir)
+    graft.operators.Similarity.appendToCellLayout(spark, dir,
+      emb.filter(col("vec_id") % 3 === 0))
+    val layout = spark.read.parquet(dir)
+    assert(layout.count() == emb.count(),
+      "append must grow the stored index to the full corpus")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val nCells = layout.select(col("cell")).distinct().count().toInt
+    assert(rows(graft.operators.Similarity.annTopKFromLayout(
+      spark, dir, 8, 5, nprobe = nCells)) ==
+      rows(graft.operators.Similarity.annTopK(emb, 8, 5)),
+      "probe-all over the appended index must equal full-corpus brute " +
+        "force")
+    // appending to a dir that was never built must fail fast
+    val unbuilt = java.nio.file.Files.createTempDirectory("ivf_nb").toString
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.appendToCellLayout(spark, unbuilt,
+        emb.limit(5))
+    }
+    assert(e2.getMessage.contains("_centroids"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(unbuilt))
+  }
 }
