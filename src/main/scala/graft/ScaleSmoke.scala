@@ -428,7 +428,20 @@ object ScaleSmoke {
         val dir = java.nio.file.Files
           .createTempDirectory("ivf_smoke").toString
         try {
-          graft.operators.Similarity.writeCellPartitioned(vecsIvf, dir)
+          // build on 99% of the corpus, then ingest the remaining 1%
+          // as a day's delta against the STORED codebook — the append
+          // must cost delta-scale, not index-scale (compare this
+          // stage's build portion vs the timed append inside it), and
+          // the grown index must hold every vector
+          graft.operators.Similarity.writeCellPartitioned(
+            vecsIvf.filter(col("vec_id") % 100L =!= 0L), dir)
+          val t0 = System.nanoTime()
+          graft.operators.Similarity.appendToCellLayout(spark, dir,
+            vecsIvf.filter(col("vec_id") % 100L === 0L))
+          println(f"[ivf_append_1pct] ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          val stored = spark.read.parquet(dir).count()
+          require(stored == nVecs,
+            s"grown index must hold all $nVecs vectors, got $stored")
           graft.operators.Similarity.annTopKFromLayout(spark, dir, 8, 5, 2)
             .count()
         } finally {
