@@ -330,7 +330,7 @@ object OracleSql {
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQ),
        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $nQ),
        |scored AS (
-       |  SELECT q_id, vec_id, ${cosine("qv", "v")} AS sim
+       |  SELECT q_id, vec_id, ${cosineOrZero("qv", "v")} AS sim
        |  FROM c CROSS JOIN q)
        |SELECT q_id, vec_id, rank, round(sim, 6) AS sim FROM (
        |  SELECT q_id, vec_id, sim,

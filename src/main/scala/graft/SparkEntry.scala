@@ -902,12 +902,25 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT p_brand, p_partkey, p_name, 3,
         |    string_split(p_name, ' ')[3] FROM part),
+        |lows AS (
+        |  SELECT p_brand, p_partkey, p_name FROM part
+        |  WHERE len(string_split(p_name, ' ')) <= 2),
         |cand AS (
         |  SELECT DISTINCT a.p_brand, a.p_partkey AS part_a,
         |    b.p_partkey AS part_b, a.p_name AS name_a, b.p_name AS name_b
         |  FROM toks a JOIN toks b
         |    ON a.p_brand = b.p_brand AND a.band = b.band
-        |      AND a.tok = b.tok AND a.p_partkey < b.p_partkey)
+        |      AND a.tok = b.tok AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT DISTINCT l.p_brand, least(l.p_partkey, r.p_partkey),
+        |    greatest(l.p_partkey, r.p_partkey),
+        |    CASE WHEN l.p_partkey < r.p_partkey THEN l.p_name
+        |         ELSE r.p_name END,
+        |    CASE WHEN l.p_partkey < r.p_partkey THEN r.p_name
+        |         ELSE l.p_name END
+        |  FROM lows l JOIN part r
+        |    ON l.p_brand = r.p_brand AND l.p_partkey <> r.p_partkey
+        |      AND abs(len(l.p_name) - len(r.p_name)) <= 2)
         |SELECT p_brand, part_a, part_b,
         |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM cand

@@ -718,6 +718,10 @@ object Analytics {
     * ON THIS DOMAIN: `maxDist` character edits touch at most `maxDist`
     * tokens, so with `bands > maxDist` leading tokens at least one must
     * match positionally — the same pigeonhole that sizes LSH bands.
+    * Names with ≤ `maxDist` tokens have no clean band guaranteed (one
+    * token can absorb the whole budget) and take an explicit length-
+    * banded same-brand fallback instead — empty on TPC-H, where every
+    * name has five tokens.
     * CAVEAT for reuse on arbitrary frames: the pigeonhole assumes edits
     * stay WITHIN tokens. An edit budget spent on whitespace can merge
     * one leading token and split another ("ab cd ef…" vs "abcd e f…"
@@ -769,13 +773,38 @@ object Analytics {
       col("p_partkey").as("part_a"), col("p_name").as("name_a"))
     val b = banded.select(col("p_brand"), col("band"), col("tok"),
       col("p_partkey").as("part_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand", "band", "tok"))
+    val bandCands = a.join(b, Seq("p_brand", "band", "tok"))
       .filter(col("part_a") < col("part_b"))
       // a pair agreeing on several bands is one candidate: dedupe BEFORE
       // the DP so the edit distance runs once per pair (names are
       // functionally dependent on the keys, so carrying them is free)
       .select(col("p_brand"), col("part_a"), col("part_b"),
         col("name_a"), col("name_b"))
+    // LOW-TOKEN FALLBACK — the pigeonhole needs MORE token bands than
+    // the edit budget, so a name with ≤ maxDist tokens (its single
+    // token can absorb every edit: 'abc' vs 'abd') has no clean band
+    // guaranteed; such records pair against every same-brand record in
+    // the exact |len(a)−len(b)| ≤ maxDist window via a length-key
+    // equi-join. Zero rows when every name has > maxDist tokens (all
+    // of TPC-H); mirrors the q-gram matcher's low-gram fallback.
+    val lows = parts
+      .filter(size(split(col("p_name"), " ")) <= maxDist)
+      .select(col("p_brand"), col("p_partkey").as("low_id"),
+        col("p_name").as("low_name"), length(col("p_name")).as("lk"))
+    val allByLen = parts.select(col("p_brand"),
+        col("p_partkey").as("all_id"), col("p_name").as("all_name"),
+        explode(sequence(length(col("p_name")) - maxDist,
+          length(col("p_name")) + maxDist)).as("lk"))
+    val lowCands = lows.join(allByLen, Seq("p_brand", "lk"))
+      .filter(col("low_id") =!= col("all_id"))
+      .select(col("p_brand"),
+        least(col("low_id"), col("all_id")).as("part_a"),
+        greatest(col("low_id"), col("all_id")).as("part_b"),
+        when(col("low_id") < col("all_id"), col("low_name"))
+          .otherwise(col("all_name")).as("name_a"),
+        when(col("low_id") < col("all_id"), col("all_name"))
+          .otherwise(col("low_name")).as("name_b"))
+    bandCands.unionByName(lowCands)
       .distinct()
       .select(col("p_brand"), col("part_a"), col("part_b"),
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")

@@ -85,11 +85,23 @@ object Dedup {
     * (candidate verification) rather than equi-joining on single shingles.
     * ~1-2 KB per doc; shuffles as one row per doc.
     */
-  private def shingleArrays(docs: DataFrame, n: Int): DataFrame = {
+  private def shingleArrays(docs: DataFrame, n: Int,
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), s => md5Base60(s)).as("sha"))
+    // `extra` (name → text-derived expression, e.g. the content
+    // fingerprint) is computed in the FIRST projection alongside
+    // tokenization and carried through — corpusDedupState builds on
+    // this same staging, so the persisted dedup state stays
+    // bit-compatible with every other sha consumer (jaccard
+    // verification, LSH) by construction, not by parallel copy
+    val carried = extra.map { case (nm, _) => col(nm) }
+    docs.select(col("doc_id") +:
+        extra.map { case (nm, e) => e.as(nm) } :+
+        tokens(col("text")).as("t"): _*)
+      .select(col("doc_id") +: carried :+
+        shinglesFromTokens(col("t"), n).as("sh"): _*)
+      .select(col("doc_id") +: carried :+
+        transform(col("sh"), s => md5Base60(s)).as("sha"): _*)
   }
 
   /** N-gram Jaccard near-duplicate pairs:
@@ -665,13 +677,8 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val nBands = k / rowsPerBand
-    val withSha = docs
-      .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"),
-        tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("fingerprint"),
-        shinglesFromTokens(col("t"), n).as("sh"))
-      .select(col("doc_id"), col("fingerprint"),
-        transform(col("sh"), s => md5Base60(s)).as("sha"))
+    val withSha = shingleArrays(docs, n,
+      extra = Seq("fingerprint" -> md5(normText(col("text")))))
     val mins = minhashSeeds(k).map { case (i, a, b) =>
       array_min(transform(col("sha"),
         h => (lit(a) * (h % lit(MersennePrime)) + lit(b))
@@ -729,10 +736,11 @@ object Dedup {
     * maxBucketSize does.
     */
   private[graft] def bandRows(state: DataFrame, nBands: Int,
-      idAlias: String, shaAlias: String): DataFrame = {
+      idAlias: String, shaAlias: String,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val stackArgs = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
-    state.selectExpr(s"doc_id AS $idAlias", s"sha AS $shaAlias",
-      s"stack($nBands, $stackArgs) AS (band, bucket)")
+    state.selectExpr(Seq(s"doc_id AS $idAlias", s"sha AS $shaAlias") ++
+      passthrough :+ s"stack($nBands, $stackArgs) AS (band, bucket)": _*)
   }
 
   /** The exact per-collision verification predicate (true n-gram

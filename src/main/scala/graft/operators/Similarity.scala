@@ -50,6 +50,16 @@ object Similarity {
   private def dotDouble(a: Column, b: Column): Column =
     call_function("double_dot", vec(a), vec(b))
 
+  /** Cosine under the engine-wide zero-norm convention (see assignTo):
+    * a degenerate all-zero vector has no direction, so its cosine is
+    * DEFINED as 0 to everything. Without the guard the probe paths
+    * compute 0/0 = NaN, and Spark orders NaN ABOVE every double — a
+    * zero vector (ingestable via appendToCellLayout) would displace a
+    * true neighbor at rank 1 of every query.
+    */
+  private def simOrZero(dot: Column, normProd: Column): Column =
+    when(normProd > 0, dot / normProd).otherwise(lit(0.0))
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors (vec_id ≥ nQueries).
     *
@@ -80,8 +90,8 @@ object Similarity {
     val scored = corpus.crossJoin(queries)
       .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"),
         col("q_norm"), col("c_norm"),
-        (dotDouble(col("q_vec"), col("embedding")) /
-          (col("q_norm") * col("c_norm"))).as("simd"))
+        simOrZero(dotDouble(col("q_vec"), col("embedding")),
+          col("q_norm") * col("c_norm")).as("simd"))
       .withColumn("pid", spark_partition_id())
       .withColumn("prn", row_number().over(w))
       .withColumn("kth", nth_value(col("simd"), k).over(
@@ -93,8 +103,8 @@ object Similarity {
     // survivor set; emitted sims are always the decimal-exact values.
     scored
       .select(col("q_id"), col("vec_id"),
-        (dotDecimal(col("q_vec"), col("embedding")) /
-          (col("q_norm") * col("c_norm"))).as("sim"))
+        simOrZero(dotDecimal(col("q_vec"), col("embedding")),
+          col("q_norm") * col("c_norm")).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("vec_id"))))
@@ -380,8 +390,8 @@ object Similarity {
     // deterministic map-side argmax, no join, no shuffle
     def cellSims(v: Column, nrm: Column): Column =
       transform(col("cells"), c => struct(
-        (call_function("double_dot", v, c.getField("cvec")) /
-          (nrm * c.getField("c_norm"))).as("csim"),
+        simOrZero(call_function("double_dot", v, c.getField("cvec")),
+          nrm * c.getField("c_norm")).as("csim"),
         (-c.getField("cell")).as("neg_cell")))
     val withNorm = embeddings.select(col("vec_id"),
       vec(col("embedding")).as("embedding"),
@@ -407,8 +417,8 @@ object Similarity {
     corpus.join(broadcast(probes), Seq("cell"))
       .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"),
         col("q_norm"), col("nrm"),
-        (dotDouble(col("q_vec"), col("embedding")) /
-          (col("q_norm") * col("nrm"))).as("simd"))
+        simOrZero(dotDouble(col("q_vec"), col("embedding")),
+          col("q_norm") * col("nrm")).as("simd"))
       .withColumn("pid", spark_partition_id())
       .withColumn("prn", row_number().over(w))
       .withColumn("kth", nth_value(col("simd"), k).over(
@@ -417,8 +427,8 @@ object Similarity {
         col("simd") >= coalesce(col("kth") - lit(1e-6),
           lit(Double.NegativeInfinity)))
       .select(col("q_id"), col("vec_id"),
-        (dotDecimal(col("q_vec"), col("embedding")) /
-          (col("q_norm") * col("nrm"))).as("sim"))
+        simOrZero(dotDecimal(col("q_vec"), col("embedding")),
+          col("q_norm") * col("nrm")).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("vec_id"))))
@@ -593,8 +603,8 @@ object Similarity {
         sqrt(normSqDecimal(col("embedding"))).as("q_norm"))
     val probed = queries.crossJoin(broadcast(cents))
       .select(col("q_id"), col("q"), col("q_norm"), col("c_label"),
-        (dotDecimal(col("q"), col("cvec")) /
-          (col("q_norm") * sqrt(normSqDecimal(col("cvec"))))).as("csim"))
+        simOrZero(dotDecimal(col("q"), col("cvec")),
+          col("q_norm") * sqrt(normSqDecimal(col("cvec")))).as("csim"))
       .withColumn("crank", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("csim").desc, col("c_label"))))
       .filter(col("crank") <= nprobe)
@@ -605,8 +615,8 @@ object Similarity {
         sqrt(normSqDecimal(col("embedding"))).as("v_norm"))
       .join(broadcast(probed), Seq("cell"))
       .select(col("q_id"), col("vec_id"),
-        (dotDecimal(col("q"), col("v")) / (col("q_norm") * col("v_norm")))
-          .as("sim"))
+        simOrZero(dotDecimal(col("q"), col("v")),
+          col("q_norm") * col("v_norm")).as("sim"))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id"))))

@@ -323,9 +323,14 @@ object EventStreams {
     * the pre-aggregated static fingerprint→min-doc table, near on the
     * exploded band keys with per-collision sha verification); ONE
     * stream aggregation per doc_id collapses band fan-out and applies
-    * the min-match rule. The aggregate runs without a watermark in
-    * UPDATE mode — a daily delta is bounded, and a real sink upserts on
-    * doc_id via foreachBatch (re-emissions refine, never contradict:
+    * the min-match rule. Static-side cost honesty: stream-static joins
+    * RE-EXECUTE the static plan per micro-batch, so the fingerprint
+    * aggregate is materialized once (`localCheckpoint`) and the band
+    * explode stays a generator over the caller's state — pass a
+    * CHECKPOINTED state frame, or each batch replays its derivation.
+    * The aggregate runs without a watermark in UPDATE mode — a daily
+    * delta is bounded, and a real sink upserts on doc_id via
+    * foreachBatch (re-emissions refine, never contradict:
     * min-aggregates only tighten as bands arrive).
     */
   def mergeStream(delta: DataFrame, existingState: DataFrame,
@@ -333,13 +338,18 @@ object EventStreams {
       minJaccard: Double = 0.5): DataFrame = {
     import graft.operators.Dedup
     val nBands = k / rowsPerBand
+    // the static sides RE-EXECUTE every micro-batch (stream-static join
+    // semantics) — materialize the corpus-wide fingerprint aggregate
+    // once so each batch reads its stored partitions, and keep the band
+    // explode a cheap generator over the caller's state (pass a
+    // checkpointed state frame, as corpusDedupState consumers do)
     val exact = existingState.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("ex_exact"))
+      .localCheckpoint()
     val exBands = Dedup.bandRows(existingState, nBands, "ex_id", "ex_sha")
-    val stackArgs = (0 until nBands).map(b => s"$b, b$b").mkString(", ")
-    val banded = Dedup.corpusDedupState(delta, n, k, rowsPerBand)
-      .selectExpr("doc_id", "fingerprint", "sha",
-        s"stack($nBands, $stackArgs) AS (band, bucket)")
+    val banded = Dedup.bandRows(
+      Dedup.corpusDedupState(delta, n, k, rowsPerBand),
+      nBands, "doc_id", "sha", passthrough = Seq("fingerprint"))
     banded
       .join(exact, Seq("fingerprint"), "left")
       .join(exBands, Seq("band", "bucket"), "left")

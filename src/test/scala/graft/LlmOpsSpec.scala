@@ -773,6 +773,41 @@ class LlmOpsSpec extends SparkSpec {
       s"zero-norm vectors must all be kept, got $kept")
   }
 
+  test("zero-norm corpus vectors rank LAST in every ANN probe path, " +
+    "never first via NaN ordering") {
+    // vec 3 is all-zero: unguarded 0/0 = NaN sorts above every double
+    // in Spark, which would put the degenerate vector at rank 1 of
+    // every query; the convention defines its sim as 0, so with
+    // positive-sim true neighbors present it must rank below them
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val brute = Similarity.annTopK(e, 1, 3).collect()
+      .sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getDouble(3)))
+    assert(brute.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      s"zero vector must rank last by sim 0, got ${brute.toSeq}")
+    assert(brute.last._2 == 0.0, "defined-as-zero sim must be emitted")
+    // same convention through the stored-layout probe (the path the
+    // incremental append makes reachable for degenerate input)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_zn").toString
+    try {
+      Similarity.writeCellPartitioned(e.filter(col("vec_id") < 3), dir)
+      Similarity.appendToCellLayout(spark, dir,
+        e.filter(col("vec_id") === 3))
+      val layout = Similarity.annTopKFromLayout(spark, dir, 1, 3,
+        nprobe = 2).collect()
+        .sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+      assert(layout == Seq(1L, 2L, 3L),
+        s"layout probe must apply the zero-norm convention, got $layout")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("mergeCorpusDay classifies a day's delta against stored state and " +
     "agrees with the full recompute") {
     // 20-token base text; the near-dup swaps only the last token
@@ -897,5 +932,20 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 2L), (1L, 3L, 2L)),
       s"banded block must keep exactly the two planted ≤2-edit pairs: $got")
+    // names with <= maxDist tokens have no clean band guaranteed (the
+    // single token absorbs the whole edit budget: 'abc' vs 'abd') —
+    // the low-token length-banded fallback must recover them
+    val short = Seq(
+      (1L, "B1", "abc"),
+      (2L, "B1", "abd"),
+      (3L, "B1", "totally different words here"),
+      (4L, "B2", "abc"))
+      .toDF("p_partkey", "p_brand", "p_name")
+      .select(col("p_brand"), col("p_partkey"), col("p_name"))
+    val shortGot = graft.operators.Analytics.fuzzyMatchPairs(short, 2, 3)
+      .select(col("part_a"), col("part_b"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(shortGot == Set((1L, 2L, 1L)),
+      s"low-token fallback must pair same-brand short names: $shortGot")
   }
 }
