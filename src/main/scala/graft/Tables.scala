@@ -45,17 +45,26 @@ object Tables {
     * Parquet scan ⇒ Catalyst column pruning + predicate pushdown for free —
     * the reference needed manual `usecols` (main.py:307) for the same effect.
     *
-    * `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark only
-    * reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * [[graft.Sessions]]); the long is normalized back to a microsecond
-    * timestamp here with integral division (`div`, not `/` — double division
-    * loses precision above 2^53). All ns values in the testdata are
-    * µs-aligned, so the truncation is lossless and matches DuckDB's read.
+    * `events.ts` normalization — the driver's parquet has shipped two
+    * physical forms across testdata generations, both normalized here to a
+    * session-TZ `TIMESTAMP` so every downstream operator sees ONE type:
+    *  - TIMESTAMP(NANOS): readable only via
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    [[graft.Sessions]]); the long is divided back to µs with `div`
+    *    (not `/` — double division loses precision above 2^53). All ns
+    *    values were µs-aligned, so truncation is lossless.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current): Spark reads it
+    *    as TIMESTAMP_NTZ; the cast to TIMESTAMP reinterprets the same
+    *    micros in the session time zone — the session is pinned to UTC
+    *    ([[graft.Sessions]]), so the cast is value-identity and matches
+    *    DuckDB's naive read of the same file.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

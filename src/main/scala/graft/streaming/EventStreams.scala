@@ -18,12 +18,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   */
 object EventStreams {
 
-  /** Schema of the driver's `events` parquet (ts normalized from the
-    * TIMESTAMP(NANOS) physical type by the nanosAsLong session conf).
+  /** Schema of the driver's `events` parquet. `ts` is declared as a plain
+    * session-TZ `TIMESTAMP`: the driver's current files carry
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) and Spark's parquet reader
+    * serves those micros through an LTZ-declared column unchanged — under
+    * the UTC session ([[graft.Sessions]]) that read is value-identical to
+    * [[graft.Tables.table]]'s normalized batch form, so files written back
+    * from the batch table stream with the same schema too.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long, normalized below
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -38,7 +43,6 @@ object EventStreams {
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Streaming candle construction — the event-time mirror of
     * [[graft.Tables.candles]]: tumbling 1-hour windows per symbol with a

@@ -204,11 +204,15 @@ class StreamingSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft-recovery").toString
     val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
-    // raw read (ts stays a nanos long — eventsStream normalizes) split at
-    // the median event into time-ordered halves, ONE file per phase (multiple unordered files within a phase would drop each other's events as late once the first file advances the watermark — batch parity needs intra-phase time order)
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val mid = raw.selectExpr("percentile_approx(ts, 0.5)").head.getLong(0)
-    raw.filter(col("ts") < mid).coalesce(1).write.mode("append").parquet(in)
+    // normalized read split at the median event into time-ordered halves,
+    // ONE file per phase (multiple unordered files within a phase would
+    // drop each other's events as late once the first file advances the
+    // watermark — batch parity needs intra-phase time order)
+    val raw = Tables.table(spark, dir, "events")
+    val mid = raw.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .head.getLong(0)
+    raw.filter(unix_micros(col("ts")) < mid)
+      .coalesce(1).write.mode("append").parquet(in)
     def run(): Unit = {
       val q = EventStreams.candleStream(
         EventStreams.eventsStream(spark, in))
@@ -222,7 +226,8 @@ class StreamingSpec extends SparkSpec {
     }
     run() // phase 1: older half only, then terminate
     val n1 = spark.read.parquet(out).count()
-    raw.filter(col("ts") >= mid).coalesce(1).write.mode("append").parquet(in)
+    raw.filter(unix_micros(col("ts")) >= mid)
+      .coalesce(1).write.mode("append").parquet(in)
     run() // phase 2: resume from checkpoint, newer half arrives
     val emitted = spark.read.parquet(out)
     val n2 = emitted.count()
@@ -254,9 +259,10 @@ class StreamingSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft-dedup-recovery").toString
     val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val mid = raw.selectExpr("percentile_approx(ts, 0.5)").head.getLong(0)
-    val phase1 = raw.filter(col("ts") < mid)
+    val raw = Tables.table(spark, dir, "events")
+    val mid = raw.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .head.getLong(0)
+    val phase1 = raw.filter(unix_micros(col("ts")) < mid)
     phase1.coalesce(1).write.mode("append").parquet(in)
     def run(): Unit = {
       val q = EventStreams.dedupStream(EventStreams.eventsStream(spark, in))
@@ -278,11 +284,11 @@ class StreamingSpec extends SparkSpec {
     // lies within the 2h lateness of the phase-1 maximum — their ids
     // must still be in the state the resumed query recovers (anything
     // older is legitimately evicted, so only these can test recovery)
-    val maxTs1 = phase1.agg(max(col("ts"))).head.getLong(0)
+    val maxTs1 = phase1.agg(max(unix_micros(col("ts")))).head.getLong(0)
     val straddle = phase1
-      .filter(col("ts") >= maxTs1 - 7200L * 1000000000L)
+      .filter(unix_micros(col("ts")) >= maxTs1 - 7200L * 1000000L)
     assert(straddle.count() > 0, "no events in the straddle horizon")
-    straddle.union(raw.filter(col("ts") >= mid))
+    straddle.union(raw.filter(unix_micros(col("ts")) >= mid))
       .coalesce(1).write.mode("append").parquet(in)
     run() // phase 2: resume from the checkpoint
     val emitted = spark.read.parquet(out)
