@@ -17,6 +17,9 @@ object Bench {
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
         SparkEntry.queries.foreach { case (_, fn) =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          // free each warmup query's localCheckpoint blocks immediately —
+          // see Sessions.releaseCaches
+          Sessions.releaseCaches(spark)
         }
     } catch { case _: Throwable => () }
     // Per-query time = MIN of `runs` measured executions (declared in the
@@ -37,18 +40,31 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      // GC breather so one query's garbage doesn't bill the next one's
+    // Order-sensitivity probe (SPARK_GRAFT_BENCH_REVERSE=1): run the
+    // surface back-to-front. If late-order queries inflate in BOTH
+    // directions, state accumulates with bench position, not query
+    // identity — the diagnostic for block-manager pressure (SCALE.md).
+    val ordered = if (sys.env.get("SPARK_GRAFT_BENCH_REVERSE").contains("1"))
+      selected.toSeq.reverse else selected.toSeq
+    val results = ordered.map { case (name, fn) =>
+      // Free the previous query's localCheckpoint blocks, then a GC
+      // breather so one query's garbage doesn't bill the next one's
       // timed region (8g heap; round-2 driver run showed a 10× outlier on
-      // a query that is ~1 s in isolation).
+      // a query that is ~1 s in isolation; round-8 showed every
+      // checkpoint-using query 1.2–3.1× slower from block accumulation).
+      Sessions.releaseCaches(spark)
       System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // each run rebuilds the plan and re-checkpoints — drop this run's
+        // blocks before the next one (async, outside the timed region)
+        Sessions.releaseCaches(spark)
+        dt
       }
       name -> times.min
-    }
+    }.toMap
     // The driver records only the LAST 2000 chars of stdout and json-parses
     // the final line (BENCH_r01/r02: "parsed": null when the line overflowed
     // that window). Keep the line compact: 10 ms per-query precision, and a

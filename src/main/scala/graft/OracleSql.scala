@@ -324,6 +324,55 @@ object OracleSql {
        |  FROM s1)
        |WHERE rn = 1""".stripMargin
 
+  /** IVF ANN top-k (mirrors Similarity.annTopKIvf AND annTopKFromLayout
+    * — the two declared queries share this oracle): label-centroid
+    * codebook, decimal-argmax cell assignment (the exact kmeansAssign
+    * rule), per-query decimal top-`nprobe` cell ranking (ties to the
+    * smaller cell), exact-decimal top-k over the probed cells' vectors.
+    * IVF's approximation is WHICH cells are probed — a deterministic
+    * function of the data — so the oracle replays the entire pipeline
+    * bit-exactly; nothing here is a tolerance check.
+    */
+  def annTopKIvf(nQ: Int, k: Int, nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |x AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS val
+       |      FROM e),
+       |cent AS (SELECT label AS c_label, pos,
+       |    round(CAST(sum(CAST(val AS DECIMAL(28,18))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS centroid
+       |  FROM x GROUP BY 1, 2),
+       |cvecs AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
+       |          FROM cent GROUP BY 1),
+       |corp AS (SELECT vec_id, v FROM e WHERE vec_id >= $nQ),
+       |assigned AS (SELECT vec_id, cell FROM (
+       |    SELECT c.vec_id, cv.c_label AS cell,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cosineOrZero("c.v", "cv.cvec")} DESC,
+       |          cv.c_label) AS rn
+       |    FROM corp c CROSS JOIN cvecs cv)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQ),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT q.q_id, cv.c_label AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosineOrZero("q.qv", "cv.cvec")} DESC,
+       |          cv.c_label) AS crn
+       |    FROM q CROSS JOIN cvecs cv)
+       |  WHERE crn <= $nprobe),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id, ${cosineOrZero("q.qv", "c.v")} AS sim
+       |  FROM corp c
+       |  JOIN assigned a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN q ON q.q_id = p.q_id)
+       |SELECT q_id, vec_id, rank, round(sim, 6) AS sim FROM (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** Brute-force cosine top-k: queries vec_id < nQ vs the rest. */
   def annTopK(nQ: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

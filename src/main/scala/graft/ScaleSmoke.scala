@@ -125,6 +125,43 @@ object ScaleSmoke {
 
     var mergeState: org.apache.spark.sql.DataFrame = null
 
+    // Daily-merge delta (shared by the batch and streaming merge
+    // stages): 100× smaller than the corpus, planted thirds of exact
+    // copies, near-dups (24 of 25 tokens shared), and novel docs.
+    val nMergeDelta = math.max(1000L, nDocs / 100L)
+    val mergeDelta = spark.range(nMergeDelta)
+      .select((col("id") + nDocs).as("doc_id"), col("id").as("e"))
+      .withColumn("pid",
+        when(col("e") % 50L === 1L, col("e") - 1L).otherwise(col("e")))
+      .select(col("doc_id"),
+        when(col("e") % 3L === 0L, concat_ws(" ",
+          (0 until 24).map(j => concat(lit(s"t${j}x"), col("pid"))) :+
+            concat(lit("u"), col("e")): _*))
+          .when(col("e") % 3L === 1L, concat_ws(" ",
+            (0 until 24).map(j => concat(lit(s"t${j}x"), col("pid"))) :+
+              concat(lit("unew"), col("doc_id")): _*))
+          .otherwise(concat_ws(" ",
+            (0 until 25).map(j =>
+              concat(lit(s"n${j}x"), col("doc_id"))): _*))
+          .as("text"))
+
+    // shared planted-answer checks for both merge stages: exact-dup
+    // probes are deterministic (every planted exact copy MUST classify
+    // exact_dup); the near path goes through 4-band MinHash, so ≥98%
+    // recall is the correct banded-LSH expectation; totals conserve.
+    def checkMergeStatuses(byStatus: Map[String, Long]): Unit = {
+      val plantedExact = (nMergeDelta + 2) / 3
+      val plantedNear = (nMergeDelta + 1) / 3
+      require(byStatus.getOrElse("exact_dup", 0L) == plantedExact,
+        s"exact-dup probe is deterministic: $byStatus vs $plantedExact")
+      val near = byStatus.getOrElse("near_dup", 0L)
+      require(near + byStatus.getOrElse("new", 0L) ==
+        nMergeDelta - plantedExact,
+        s"merge must classify every delta doc exactly once: $byStatus")
+      require(near >= (plantedNear * 98L) / 100L,
+        s"near-dup band recall too low: $near / $plantedNear")
+    }
+
     val results = Seq(
       stage("ma_crossover")(
         TradingOps.crossoverSignals(TradingOps.movingAverages(candles))
@@ -162,43 +199,44 @@ object ScaleSmoke {
       // back with EXACTLY those statuses; the stage's wall-clock vs
       // dedup_state_docs is the scales-with-delta-not-corpus evidence
       stage("merge_day_docs") {
-        val nDelta = math.max(1000L, nDocs / 100L)
-        val delta = spark.range(nDelta)
-          .select((col("id") + nDocs).as("doc_id"), col("id").as("e"))
-          .withColumn("pid",
-            when(col("e") % 50L === 1L, col("e") - 1L).otherwise(col("e")))
-          .select(col("doc_id"),
-            when(col("e") % 3L === 0L, concat_ws(" ",
-              (0 until 24).map(j => concat(lit(s"t${j}x"), col("pid"))) :+
-                concat(lit("u"), col("e")): _*))
-              .when(col("e") % 3L === 1L, concat_ws(" ",
-                (0 until 24).map(j => concat(lit(s"t${j}x"), col("pid"))) :+
-                  concat(lit("unew"), col("doc_id")): _*))
-              .otherwise(concat_ws(" ",
-                (0 until 25).map(j =>
-                  concat(lit(s"n${j}x"), col("doc_id"))): _*))
-              .as("text"))
-        val byStatus = Dedup.mergeCorpusDay(mergeState, delta)
-          .groupBy(col("status")).agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         // exactness where the mechanism is deterministic, recall where
-        // it is not: fingerprint probes are exact (every planted exact
-        // dup MUST classify exact_dup), but the near-dup path goes
-        // through the 4-band MinHash probe — a planted one-shingle-off
+        // it is not — see checkMergeStatuses: a planted one-shingle-off
         // pair collides in ≥1 band with p ≈ 0.993, so at 1M docs a ~1%
         // miss rate is the CORRECT behavior of banded LSH, not a bug
-        // (observed 3299/3333 = 0.990 at nDocs=1M). Totals conserve.
-        val plantedExact = (nDelta + 2) / 3
-        val plantedNear = (nDelta + 1) / 3
-        require(byStatus.getOrElse("exact_dup", 0L) == plantedExact,
-          s"exact-dup probe is deterministic: $byStatus vs $plantedExact")
-        val near = byStatus.getOrElse("near_dup", 0L)
-        require(near + byStatus.getOrElse("new", 0L) ==
-          nDelta - plantedExact,
-          s"merge must classify every delta doc exactly once: $byStatus")
-        require(near >= (plantedNear * 98L) / 100L,
-          s"near-dup band recall too low: $near / $plantedNear")
-        nDelta
+        // (observed 3299/3333 = 0.990 at nDocs=1M).
+        val byStatus = Dedup.mergeCorpusDay(mergeState, mergeDelta)
+          .groupBy(col("status")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        checkMergeStatuses(byStatus)
+        nMergeDelta
+      },
+      // the STREAMING form of the same daily merge (EventStreams
+      // .mergeStream) against the identical corpus state and delta: the
+      // delta arrives as a file-source micro-batch, both probes are
+      // stream-static joins against the checkpointed state, and the
+      // planted statuses must come back exactly like the batch stage —
+      // its wall-clock vs dedup_state_docs is the streaming
+      // delta-sized-cost evidence at corpus scale (stream ≡ batch
+      // row-for-row is StreamingSpec's assertion; this pins the COST
+      // shape where the corpus is 100× the delta)
+      stage("merge_stream_docs") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-scale-merge-stream").toString
+        mergeDelta.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val q = graft.streaming.EventStreams.mergeStream(
+          spark.readStream.schema(mergeDelta.schema).parquet(tmp),
+          mergeState)
+          .writeStream.outputMode("update").format("memory")
+          .queryName("scale_merge_stream")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(600000),
+          "streaming merge did not drain within 600 s")
+        val byStatus = spark.table("scale_merge_stream")
+          .groupBy(col("status")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        checkMergeStatuses(byStatus)
+        nMergeDelta
       },
       // line-level dedup: every doc carries the same header/footer
       // boilerplate around its unique body — dedupLines(maxDf=2) must

@@ -25,14 +25,40 @@ object Sessions {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is TIMESTAMP(NANOS) parquet — see Tables.table.
+      // Kept ONLY for old-generation testdata where events.ts was written
+      // as TIMESTAMP(NANOS); current generation writes TIMESTAMP(MICROS),
+      // which this flag does not affect. Tables.table documents both forms
+      // and probes the file schema to serve either.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String): SparkSession = {
     val spark = builder().appName(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // releaseCaches unpersists locally-checkpointed RDDs of FINISHED
+    // queries; each unpersist logs a WARN ("lineage has been truncated
+    // and cannot be recomputed") that is expected and harmless here —
+    // and ~500 of them would crowd the 2000-char stdout tail the bench
+    // driver parses. Raise just the rdd package loggers to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     graft.functions.GraftFunctions.register(spark)
     spark
   }
+
+  /** Drop every persisted block owned by the context. `localCheckpoint()`
+    * registers its materialized blocks as persisted RDDs, and the
+    * ContextCleaner frees them only after the RDD is GC'd AND its async
+    * reference queue drains — across a 138-query bench (each query built
+    * 4× : warmup + 3 timed runs) the checkpoint blocks of finished
+    * queries otherwise pile up in the 8g driver's unified pool, pushing
+    * LATER checkpoint-heavy queries' blocks to disk. That pressure is
+    * exactly the r8→r7 bench signature: median per-query ratio 1.05 but
+    * every localCheckpoint-using query 1.2–3.1× slower. Calling this
+    * between queries is safe because a finished query's DataFrames are
+    * never re-executed (each bench run rebuilds the plan from scratch).
+    */
+  def releaseCaches(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
 }

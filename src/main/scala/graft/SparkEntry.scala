@@ -271,16 +271,33 @@ object SparkEntry {
           .as("median_price"),
           count(lit(1)).as("n"))),
 
-    // sketches: approximate distinct + quantiles (rows-only check — HLL /
-    // KLL sketch outputs are engine-specific by construction; the unit
-    // test bounds them against exact values instead)
+    // sketches: approximate distinct + quantiles. Raw HLL/KLL estimates
+    // are engine-specific, so the DECLARED output carries the exact
+    // values plus the sketches' ACCURACY CONTRACTS as 0/1 flags — both
+    // deterministic (a sketch is a pure function of the data; its error
+    // on a fixed dataset is fixed). hll_ok: the rsd=0.02 HLL estimate is
+    // within 3σ (6%) of the exact distinct count. median_ok: the
+    // accuracy=1000 KLL median (rank error ≤ n/1000) lies between the
+    // exact 0.49 and 0.51 percentiles (margin 10× the guarantee). The
+    // oracle computes the exact columns and asserts the flags are 1, so
+    // a sketch drifting out of contract flips the hash — a real
+    // driver-side check where r8 had `no_oracle`.
     "approx_sketches" -> ((s, dir) =>
       Tables.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median"))),
+            .as("amed"),
+          expr("percentile(l_extendedprice, 0.49)").as("lo"),
+          expr("percentile(l_extendedprice, 0.51)").as("hi"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("hll") - col("exact_parts")) <=
+            col("exact_parts").cast("double") * 0.06, lit(1L))
+            .otherwise(lit(0L)).as("hll_ok"),
+          when(col("amed").between(col("lo"), col("hi")), lit(1L))
+            .otherwise(lit(0L)).as("median_ok"))),
 
     // GROUPING SETS through the SQL surface (status totals + priority
     // totals in one pass)
@@ -647,15 +664,19 @@ object SparkEntry {
     // unrolls the identical two rounds in SQL)
     "kmeans_clusters" -> ((s, dir) =>
       Similarity.kmeansLloyd(Tables.table(s, dir, "embeddings"), 2)),
-    // approximate by construction -> rows-only check, no oracle
+    // IVF ANN: approximate (probes nprobe=6 of the cells) but fully
+    // DETERMINISTIC — cell assignment and probe ranking are decimal-
+    // exact, so the oracle replays the whole pipeline bit-for-bit
+    // (OracleSql.annTopKIvf); approximate ≠ nondeterministic
     "ann_topk_ivf" -> ((s, dir) =>
       Similarity.annTopKIvf(Tables.table(s, dir, "embeddings"), 8, 5)),
     // the STORED-index probe path: the cell-partitioned layout is built
     // once per corpus (fixture-style, like the bucketed tables) and
-    // every probe reads only the probed cells' directories — rows-only
-    // (approximate by construction); probe-all ≡ brute-force is the
-    // spec-level equivalence (BucketingSpec), pruning pinned by the
-    // scan's numFiles metric
+    // every probe reads only the probed cells' directories (pruning
+    // pinned by the scan's numFiles metric in BucketingSpec). Same
+    // deterministic IVF semantics as ann_topk_ivf — the two queries
+    // share the oracle, exercising the in-memory and stored-layout
+    // execution paths against one answer
     "ann_topk_ivf_layout" -> ((s, dir) =>
       Similarity.annTopKFromLayout(s, Similarity.cellLayoutFor(s, dir),
         8, 5, nprobe = 6)),
@@ -1215,6 +1236,17 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // the sketch estimates themselves are engine-specific; the oracle
+    // checks the exact columns and asserts the accuracy-contract flags
+    // (see the query's comment) — a Spark sketch out of contract flips
+    // its flag to 0 and the hash mismatches
+    "approx_sketches" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(1 AS BIGINT) AS hll_ok,
+        |  CAST(1 AS BIGINT) AS median_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "grouping_sets_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
@@ -1606,6 +1638,8 @@ object SparkEntry {
         |FROM lagged GROUP BY media_id""".stripMargin,
 
     "ann_topk" -> OracleSql.annTopK(8, 5),
+    "ann_topk_ivf" -> OracleSql.annTopKIvf(8, 5, 6),
+    "ann_topk_ivf_layout" -> OracleSql.annTopKIvf(8, 5, 6),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
     "embedding_lsh_neardup" -> OracleSql.srpLshNearDupPairs(32, 8, 0.3),
     "embedding_centroids" -> OracleSql.labelCentroids,

@@ -776,10 +776,12 @@ object Analytics {
     val bandCands = a.join(b, Seq("p_brand", "band", "tok"))
       .filter(col("part_a") < col("part_b"))
       // a pair agreeing on several bands is one candidate: dedupe BEFORE
-      // the DP so the edit distance runs once per pair (names are
-      // functionally dependent on the keys, so carrying them is free)
-      .select(col("p_brand"), col("part_a"), col("part_b"),
-        col("name_a"), col("name_b"))
+      // the DP so the edit distance runs once per pair. The dedupe
+      // exchange carries KEYS ONLY — names re-attach after the distinct
+      // (two linear id-keyed joins), so the wide strings never ride the
+      // candidate shuffle (the r8 wide distinct carried both names
+      // through the biggest exchange in the query)
+      .select(col("p_brand"), col("part_a"), col("part_b"))
     // LOW-TOKEN FALLBACK — the pigeonhole needs MORE token bands than
     // the edit budget, so a name with ≤ maxDist tokens (its single
     // token can absorb every edit: 'abc' vs 'abd') has no clean band
@@ -799,13 +801,18 @@ object Analytics {
       .filter(col("low_id") =!= col("all_id"))
       .select(col("p_brand"),
         least(col("low_id"), col("all_id")).as("part_a"),
-        greatest(col("low_id"), col("all_id")).as("part_b"),
-        when(col("low_id") < col("all_id"), col("low_name"))
-          .otherwise(col("all_name")).as("name_a"),
-        when(col("low_id") < col("all_id"), col("all_name"))
-          .otherwise(col("low_name")).as("name_b"))
+        greatest(col("low_id"), col("all_id")).as("part_b"))
+    // names attach AFTER the narrow distinct: two id-keyed joins sized by
+    // the deduped pair set (AQE broadcasts the record side when it fits;
+    // at 100 TB both are plain linear shuffled joins — still cheaper than
+    // shipping every candidate's two name strings through the dedupe)
+    val nameOf = parts.select(col("p_partkey"), col("p_name"))
     bandCands.unionByName(lowCands)
       .distinct()
+      .join(nameOf.select(col("p_partkey").as("part_a"),
+        col("p_name").as("name_a")), Seq("part_a"))
+      .join(nameOf.select(col("p_partkey").as("part_b"),
+        col("p_name").as("name_b")), Seq("part_b"))
       .select(col("p_brand"), col("part_a"), col("part_b"),
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")
           .as("dist"))
@@ -877,7 +884,9 @@ object Analytics {
     val prefixCands = a.join(b, a("gram") === b("gram") &&
         col("part_a") < col("part_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
-      .select(col("part_a"), col("part_b"), col("name_a"), col("name_b"))
+      // keys only through the pair dedupe — names re-attach after (same
+      // narrow-distinct diet as fuzzyMatchPairs)
+      .select(col("part_a"), col("part_b"))
     // LOW-GRAM FALLBACK — the prefix-filter theorem is vacuous for a
     // record with ≤ maxDist·q distinct grams (every gram can be
     // rewritten within budget: e.g. 'ab' vs 'cd' at q=3, k=2 share no
@@ -899,13 +908,14 @@ object Analytics {
     val lowCands = lows.join(allByLen, Seq("lk"))
       .filter(col("low_id") =!= col("all_id"))
       .select(least(col("low_id"), col("all_id")).as("part_a"),
-        greatest(col("low_id"), col("all_id")).as("part_b"),
-        when(col("low_id") < col("all_id"), col("low_name"))
-          .otherwise(col("all_name")).as("name_a"),
-        when(col("low_id") < col("all_id"), col("all_name"))
-          .otherwise(col("low_name")).as("name_b"))
+        greatest(col("low_id"), col("all_id")).as("part_b"))
+    val nameOf = recs.select(col("id"), col("name"))
     prefixCands.unionByName(lowCands)
       .distinct()
+      .join(nameOf.select(col("id").as("part_a"),
+        col("name").as("name_a")), Seq("part_a"))
+      .join(nameOf.select(col("id").as("part_b"),
+        col("name").as("name_b")), Seq("part_b"))
       .select(col("part_a"), col("part_b"),
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long")
           .as("dist"))

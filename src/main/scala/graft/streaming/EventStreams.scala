@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming surface (SURVEY.md §2.8 — additive: the reference
   * is batch-only over historical CSVs; these are the event-time streaming
@@ -37,12 +37,38 @@ object EventStreams {
   /** File-stream source over an events directory (one-file-per-batch keeps
     * tests deterministic; in production this is the drop-folder / table
     * ingestion pattern).
+    *
+    * Like [[graft.Tables.table]], this serves BOTH testdata generations:
+    * a streaming source needs its schema fixed up-front, so the parquet
+    * footer is probed once (metadata-only, batch reader) and the `ts`
+    * physical form — TIMESTAMP(NANOS) read as long under `nanosAsLong`,
+    * or the current TIMESTAMP(MICROS, naive) read as NTZ — is normalized
+    * to the same session-TZ TIMESTAMP the batch table exposes. Before
+    * this probe the stream schema assumed MICROS and an old-generation
+    * directory failed at scan while the batch reader served it fine
+    * (the r8 ADVICE asymmetry).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // `dir` is either a full SF directory (probe the events table file —
+    // probing the whole dir would merge non-event table footers that
+    // carry no `ts`) or a drop-folder of bare event files (probe it
+    // directly)
+    val eventsFile = new java.io.File(dir, "events.parquet")
+    val probePath = if (eventsFile.exists) eventsFile.getPath else dir
+    val physicalTs = spark.read.parquet(probePath).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(StructType(eventsRawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = physicalTs) else f)))
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+    physicalTs match {
+      case LongType => // ns-as-long generation: µs-aligned, div is lossless
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // naive micros: UTC session ⇒ value-identity
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Streaming candle construction — the event-time mirror of
     * [[graft.Tables.candles]]: tumbling 1-hour windows per symbol with a

@@ -27,6 +27,26 @@ class PlanShapeSpec extends SparkSpec {
   private def count(plan: String, pattern: String): Int =
     pattern.r.findAllIn(plan).size
 
+  test("candle-family windows always partition by symbol — the " +
+    "single-partition global-orderBy form must not spread") {
+    // A Window with an EMPTY partition spec funnels the whole input
+    // through one task — tolerable on a single-symbol fixture, fatal at
+    // 100 TB. Every declared multi-symbol candle/market query must use
+    // the per-symbol window (TradingOps.bySymbolTs); this pin fails the
+    // suite if the global form ever reappears. Physical form of an
+    // unpartitioned window: "Window [exprs], [], [order]" — note the
+    // empty middle list.
+    val names = Seq("ma_crossover", "ema_close", "macd", "rsi14",
+      "bollinger_bands", "w5_stride_signals", "w6_head_k", "window_leads",
+      "max_drawdown", "vwap_twap_daily", "export_signals", "sharpe_ratio",
+      "candles_gapfill", "a3_last_close", "pair_correlation")
+    names.foreach { n =>
+      val plan = finalPlan(SparkEntry.queries(n)(spark, dir))
+      assert(count(plan, "Window \\[[^\\]]*\\], \\[\\], \\[") == 0,
+        s"$n contains an UNPARTITIONED window:\n$plan")
+    }
+  }
+
   test("curation_pipeline generates the shingle stream exactly once") {
     val plan = finalPlan(SparkEntry.queries("curation_pipeline")(spark, dir))
     // two generates are intrinsic (shingle explode + ordered pair-combo
@@ -271,11 +291,14 @@ class PlanShapeSpec extends SparkSpec {
       s"prefix-filter join must stay an equi-join:\n$plan")
     // the ranked-prefix table is localCheckpoint'ed, so the gram
     // explode + df join + rarity window run ONCE and both self-join
-    // sides read the materialized list; the only Generate left in the
-    // final plan is the low-gram fallback's length-key explode
+    // sides read the materialized list; the only Generate that can
+    // remain in the final plan is the low-gram fallback's length-key
+    // explode — and AQE's empty-relation propagation prunes even that
+    // branch at runtime when no record is low-gram (all of TPC-H), so
+    // 0 or 1 are both correct shapes
     assert(count(plan, "Scan ExistingRDD") >= 2,
       s"both candidate sides must reuse the materialized prefix:\n$plan")
-    assert(count(plan, "Generate ") == 1,
+    assert(count(plan, "Generate ") <= 1,
       s"gram pipeline must not re-derive per consumer:\n$plan")
   }
 

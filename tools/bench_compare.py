@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparator — the regression gate the r8 verdict
+asked for (VERDICT.md item 2): concentrated per-query regressions must not
+hide behind a healthy-looking total or get waved off as container drift.
+
+Usage: python3 tools/bench_compare.py BENCH_rPREV.json BENCH_rCURR.json
+
+Parses the driver-recorded stdout tail of each bench artifact, joins the
+per-query times, and prints a markdown report: totals, the MEDIAN
+per-query ratio (the drift estimator — uniform container noise moves the
+median; real regressions sit far above it), and every query whose ratio
+exceeds 1.25x in either direction. Paste the output into SCALE.md at
+round close. Dev-only tool; the library itself never uses Python.
+"""
+import json
+import re
+import statistics
+import sys
+
+
+def qmap(path):
+    d = json.load(open(path))
+    # driver artifact: the JSON line lives at the end of the "tail"
+    # capture; a raw Bench stdout line also parses (no "tail" key)
+    if "tail" in d:
+        m = re.search(r'\{"metric".*\}', d["tail"])
+        d = json.loads(m.group(0))
+    qs = dict(d["queries"])
+    qs.pop("_other", None)
+    qs.pop("_other_n", None)
+    return d.get("value"), qs
+
+
+def main(prev_path, curr_path):
+    ptot, prev = qmap(prev_path)
+    ctot, curr = qmap(curr_path)
+    common = sorted(set(prev) & set(curr))
+    ratios = {k: curr[k] / prev[k] for k in common if prev[k] > 0}
+    med = statistics.median(ratios.values()) if ratios else float("nan")
+    print(f"### Bench compare: {prev_path} -> {curr_path}\n")
+    print(f"- totals: {ptot} s -> {ctot} s "
+          f"({len(prev)} -> {len(curr)} shown queries)")
+    print(f"- median per-query ratio over {len(ratios)} common queries: "
+          f"**{med:.2f}** (the drift estimator; outliers below are real)")
+    added = sorted(set(curr) - set(prev))
+    if added:
+        tail = sum(curr[k] for k in added)
+        print(f"- new queries: {len(added)} adding {tail:.2f} s "
+              f"({', '.join(added[:8])}{', ...' if len(added) > 8 else ''})")
+    out = [(r, k) for k, r in ratios.items()
+           if r >= 1.25 or r <= 0.8]
+    if not out:
+        print("\nNo per-query ratio outside [0.8, 1.25] - no outliers.")
+        return
+    print("\n| query | prev s | curr s | ratio |")
+    print("|---|---|---|---|")
+    for r, k in sorted(out, reverse=True):
+        print(f"| {k} | {prev[k]:.2f} | {curr[k]:.2f} | {r:.2f}x |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
