@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -709,52 +709,88 @@ object Analytics {
     * — the classic dedup/ER shape where an exact blocking key bounds the
     * candidate space and an edit-distance predicate decides.
     *
-    * Scale design: the blocking key is the whole story. The block is the
-    * COMPOSITE key `(brand, token position, token)` over the first
-    * `bands` whitespace tokens of the name — banded exactly like the
-    * MinHash LSH keys in Dedup: each record emits `bands` keys, candidates
-    * are pairs agreeing on ANY band, deduplicated before the distance DP
-    * runs once per pair. Why this is recall-safe for the edit predicate
-    * ON THIS DOMAIN: `maxDist` character edits touch at most `maxDist`
-    * tokens, so with `bands > maxDist` leading tokens at least one must
-    * match positionally — the same pigeonhole that sizes LSH bands.
-    * Names with ≤ `maxDist` tokens have no clean band guaranteed (one
-    * token can absorb the whole budget) and take an explicit length-
-    * banded same-brand fallback instead — empty on TPC-H, where every
-    * name has five tokens.
-    * CAVEAT for reuse on arbitrary frames: the pigeonhole assumes edits
-    * stay WITHIN tokens. An edit budget spent on whitespace can merge
-    * one leading token and split another ("ab cd ef…" vs "abcd e f…"
-    * are 2 edits apart yet disagree on every banded position), and such
-    * pairs are not candidates. TPC-H names are fixed five-word strings
-    * over a closed word vocabulary — merged words are out-of-vocabulary
-    * — so the guarantee is exact here; for free-text linkage use a
-    * position-free block (char n-gram bands, Dedup-style) instead.
-    * LlmOpsSpec proves recall 1.0 against the brand-only brute force on
-    * real data AND on planted adversarial pairs. Cost: blocks shrink
-    * from `n/|brands|` to `n/(|brands|·|token vocab|)`, so pair count
-    * drops ~|vocab|/bands ≈ 30× and — unlike the brand-only block —
-    * grows with catalog VOCABULARY, not quadratically with catalog size.
+    * Scale design: the blocking key is the whole story, and records are
+    * routed to one of TWO exact candidate generators by token count:
+    *
+    *  - MULTI-TOKEN records (> maxDist whitespace tokens): the composite
+    *    key `(brand, token position, token)` over the first `bands`
+    *    tokens — banded exactly like the MinHash LSH keys in Dedup.
+    *    Recall is the pigeonhole: `maxDist` character edits touch at
+    *    most `maxDist` tokens, so with `bands > maxDist` leading tokens
+    *    at least one must match positionally. Pair count grows with
+    *    catalog VOCABULARY, not quadratically with catalog size.
+    *  - LOW-TOKEN records (≤ maxDist tokens — a single token can absorb
+    *    the whole edit budget, so no band is guaranteed): DELETION-
+    *    NEIGHBORHOOD blocking (the FastSS family): every such record
+    *    emits the strings reachable by deleting ≤ maxDist characters
+    *    (C(len, ≤maxDist) keys), and any two strings within `maxDist`
+    *    edits share one (delete the ≤maxDist unaligned characters of an
+    *    optimal alignment from each side) — so candidates are pairs
+    *    agreeing on (brand, variant), and candidate volume is
+    *    ∝ true near-matches + variant collisions, INDEPENDENT of block
+    *    size. Non-low records within `maxDist` length of some low
+    *    record (per brand) emit variants too, covering the mixed
+    *    (low, multi) pairs — whitespace edits can change token counts.
+    *    The r8 form paired each low record against every length-
+    *    compatible same-brand record instead: on a catalog of 2-token
+    *    names (this testdata) that is block² — 5M candidate pairs and
+    *    ~14 s of DP at sf0.1 where the deletion block pays ~56 keys per
+    *    record and DP only on real collisions.
+    *
+    * CAVEAT (unchanged from r8): for (multi, multi) pairs the pigeonhole
+    * assumes edits stay within tokens — an edit budget spent merging and
+    * splitting leading tokens ("a b c d" vs "ab c d": every banded
+    * position shifts) is not a candidate. Closed-vocabulary catalogs
+    * don't produce such pairs (merged words are out-of-vocabulary);
+    * free-text linkage should use [[fuzzyMatchPairsQgram]]. Pairs with a
+    * LOW side are always exact via deletions. LlmOpsSpec proves recall
+    * 1.0 against the brand-only brute force on real data AND planted
+    * adversarial pairs.
     *
     * `levenshtein` is a codegen'd built-in with the standard unit-cost
     * DP semantics in both engines (Spark `levenshtein` ≡ DuckDB
     * `levenshtein`), so the distances — and the oracle hash — agree
-    * exactly; the oracle mirrors the banded candidate generation itself.
-    * The per-pair DP is the banded 3-arg `levenshtein(l, r, threshold)`:
-    * it walks an O(threshold·min(len)) diagonal band and early-exits
-    * with −1 instead of filling the full O(len²) table — exact whenever
-    * the distance is ≤ threshold, so the declared output is
-    * bit-identical to the unbanded form (measured 2.1× on 8M intra-brand
-    * pairs at sf0.1). Cheaper necessary-condition prefilters (length
-    * delta, char-bag L1 distance) were measured and rejected: TPC-H part
-    * names are same-length same-alphabet word permutations, so they
-    * prune <50% while paying per-pair evaluation and wider join rows.
+    * exactly. The per-pair DP is the banded 3-arg
+    * `levenshtein(l, r, threshold)`: it walks an O(threshold·min(len))
+    * diagonal band and early-exits with −1 — exact whenever the distance
+    * is ≤ threshold. The ORACLE keeps the r8 candidate shape (banded ∪
+    * low×length-window): both generators are supersets of the true pair
+    * set within the covered classes and the DP decides membership, so
+    * the final rows are provably identical — CORRECTNESS pins that.
     */
   def fuzzyJoinParts(spark: SparkSession, dir: String,
       maxDist: Int = 2, bands: Int = 3): DataFrame =
     fuzzyMatchPairs(table(spark, dir, "part")
       .select(col("p_brand"), col("p_partkey"), col("p_name")),
       maxDist, bands)
+
+  /** All strings reachable from `name` by deleting at most `k` (≤ 2)
+    * characters, distinct — the FastSS blocking key set. C(len, ≤k)
+    * strings, generated in-row (no shuffle).
+    */
+  private def delVariants(name: Column, k: Int): Column = {
+    val len = length(name)
+    val d1 = when(len >= 1, transform(sequence(lit(1), len), i =>
+        concat(name.substr(lit(1), i - lit(1)),
+          name.substr(i + lit(1), len))))
+      .otherwise(array().cast("array<string>"))
+    val d2 = when(len >= 2, flatten(transform(sequence(lit(1), len - 1),
+        i => transform(sequence(i + lit(1), len), j =>
+          concat(name.substr(lit(1), i - lit(1)),
+            name.substr(i + lit(1), j - i - lit(1)),
+            name.substr(j + lit(1), len))))))
+      .otherwise(array().cast("array<string>"))
+    // NOT array_distinct'ed: deduping ~C(len,2) strings in-row is O(v²)
+    // string compares — measured 4.9 s of a 6.3 s generate at sf0.1 —
+    // while the ~2.5% duplicate variants (equal neighbors, e.g. deleting
+    // either of a double letter) only add same-id bucket entries that
+    // the part_a < part_b combo filter drops anyway
+    k match {
+      case 0 => array(name)
+      case 1 => concat(array(name), d1)
+      case _ => concat(array(name), d1, d2)
+    }
+  }
 
   /** The banded-blocking core over an arbitrary
     * `(p_brand, p_partkey, p_name)` frame — see [[fuzzyJoinParts]].
@@ -765,14 +801,23 @@ object Analytics {
       bands: Int): DataFrame = {
     require(bands > maxDist,
       s"bands ($bands) must exceed maxDist ($maxDist) for pigeonhole recall")
-    val banded = parts.select(col("p_brand"), col("p_partkey"),
-      col("p_name"),
+    require(maxDist <= 2,
+      s"the deletion-neighborhood generator enumerates <= 2 deletions " +
+        s"(got maxDist=$maxDist)")
+    val nTok = size(split(col("p_name"), " "))
+    // banded path: ONLY records where the pigeonhole guarantee holds
+    // (> maxDist tokens) — low-token records are covered exactly by the
+    // deletion path below, so keeping them here would only add redundant
+    // candidates (on an all-2-token catalog, the entire banded branch
+    // collapses to empty and AQE prunes it)
+    val multi = parts.filter(nTok > maxDist)
+    val banded = multi.select(col("p_brand"), col("p_partkey"),
       posexplode(slice(split(col("p_name"), " "), 1, bands))
         .as(Seq("band", "tok")))
     val a = banded.select(col("p_brand"), col("band"), col("tok"),
-      col("p_partkey").as("part_a"), col("p_name").as("name_a"))
+      col("p_partkey").as("part_a"))
     val b = banded.select(col("p_brand"), col("band"), col("tok"),
-      col("p_partkey").as("part_b"), col("p_name").as("name_b"))
+      col("p_partkey").as("part_b"))
     val bandCands = a.join(b, Seq("p_brand", "band", "tok"))
       .filter(col("part_a") < col("part_b"))
       // a pair agreeing on several bands is one candidate: dedupe BEFORE
@@ -782,32 +827,58 @@ object Analytics {
       // candidate shuffle (the r8 wide distinct carried both names
       // through the biggest exchange in the query)
       .select(col("p_brand"), col("part_a"), col("part_b"))
-    // LOW-TOKEN FALLBACK — the pigeonhole needs MORE token bands than
-    // the edit budget, so a name with ≤ maxDist tokens (its single
-    // token can absorb every edit: 'abc' vs 'abd') has no clean band
-    // guaranteed; such records pair against every same-brand record in
-    // the exact |len(a)−len(b)| ≤ maxDist window via a length-key
-    // equi-join. Zero rows when every name has > maxDist tokens (all
-    // of TPC-H); mirrors the q-gram matcher's low-gram fallback.
-    val lows = parts
-      .filter(size(split(col("p_name"), " ")) <= maxDist)
-      .select(col("p_brand"), col("p_partkey").as("low_id"),
-        col("p_name").as("low_name"), length(col("p_name")).as("lk"))
-    val allByLen = parts.select(col("p_brand"),
-        col("p_partkey").as("all_id"), col("p_name").as("all_name"),
+    // DELETION-NEIGHBORHOOD path for low-token records (see
+    // [[fuzzyJoinParts]]): low records emit their ≤maxDist-deletion
+    // variants; non-low records emit variants only if some same-brand
+    // low record sits within maxDist of their length (the only way a
+    // (low, multi) pair can be within budget) — selected by a
+    // brand+length semi-join against the tiny distinct low-length set.
+    val lows = parts.filter(nTok <= maxDist)
+    val lowLens = lows.select(col("p_brand"),
         explode(sequence(length(col("p_name")) - maxDist,
           length(col("p_name")) + maxDist)).as("lk"))
-    val lowCands = lows.join(allByLen, Seq("p_brand", "lk"))
-      .filter(col("low_id") =!= col("all_id"))
-      .select(col("p_brand"),
-        least(col("low_id"), col("all_id")).as("part_a"),
-        greatest(col("low_id"), col("all_id")).as("part_b"))
+      .distinct()
+    val lenMatched = multi
+      .withColumn("lk", length(col("p_name")))
+      .join(lowLens, Seq("p_brand", "lk"), "left_semi")
+      .drop("lk")
+    // variants travel as xxhash64 LONGS, hashed in-row before the
+    // explode: the shuffle key is 8 bytes instead of a ~20-char string,
+    // and a hash collision can only ADD a candidate pair, which the
+    // exact DP then rejects — no false negatives (the oracle generates
+    // its own candidates, so nothing here needs cross-engine hash
+    // equality). Candidates come from per-(brand, variant) BUCKETS via
+    // one aggregate — the jaccardPairs shape — not a self-join: the
+    // variant stream is generated and shuffled ONCE, and each bucket
+    // emits its 2-combinations in-row (a pair sharing many variants
+    // re-emits per bucket, deduped by the distinct below). Only pairs
+    // with ≥ 1 LOW member emit: (multi, multi) pairs belong to the
+    // banded generator's class, and emitting them here would diverge
+    // from the oracle's candidate classes.
+    def variants(recs: DataFrame, isLow: Boolean): DataFrame =
+      recs.select(col("p_brand"), col("p_partkey"), lit(isLow).as("low"),
+        explode(transform(delVariants(col("p_name"), maxDist),
+          v => xxhash64(v))).as("vh"))
+    val vAll = variants(lows, isLow = true)
+      .unionByName(variants(lenMatched, isLow = false))
+    val delCands = vAll.groupBy(col("p_brand"), col("vh"))
+      .agg(collect_list(struct(col("p_partkey").as("id"), col("low")))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(col("p_brand"), explode(flatten(transform(col("ms"), l =>
+        filter(transform(col("ms"), r => struct(
+          l.getField("id").as("part_a"), r.getField("id").as("part_b"),
+          (l.getField("low") || r.getField("low")).as("any_low"))),
+          p => p.getField("part_a") < p.getField("part_b") &&
+            p.getField("any_low"))))).as("pr"))
+      .select(col("p_brand"), col("pr.part_a").as("part_a"),
+        col("pr.part_b").as("part_b"))
     // names attach AFTER the narrow distinct: two id-keyed joins sized by
     // the deduped pair set (AQE broadcasts the record side when it fits;
     // at 100 TB both are plain linear shuffled joins — still cheaper than
     // shipping every candidate's two name strings through the dedupe)
     val nameOf = parts.select(col("p_partkey"), col("p_name"))
-    bandCands.unionByName(lowCands)
+    bandCands.unionByName(delCands)
       .distinct()
       .join(nameOf.select(col("p_partkey").as("part_a"),
         col("p_name").as("name_a")), Seq("part_a"))
