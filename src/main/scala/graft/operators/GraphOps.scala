@@ -78,15 +78,20 @@ object GraphOps {
     // because every unrolled iteration re-reads it.
     val edges = edgeList.localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
-    val nodes = withDeg.select(col("src")).distinct()
+    // deg is one row per node BY CONSTRUCTION (groupBy output) — the
+    // node set reads it directly; the former
+    // withDeg.select(src).distinct() paid an EDGE-sized exchange for a
+    // set deg already materializes
+    val nodes = deg.select(col("src"))
     // 1/N folds into the plan as a ONE-ROW broadcast scalar instead of a
     // driver-side count(): init = scale div n and base = (1-d)·init are
     // BIGINT floor divisions, identical to the former Scala longs, and
     // the query stays fully lazy — no action executes at plan-build.
     // The consts subplan appears once per iteration, but every copy is
-    // the identical aggregate over the identical exchange, so
-    // ReuseExchange collapses them in the physical plan.
+    // the identical metrics-sized aggregate over the checkpointed
+    // node-sized deg table.
     val consts = broadcast(nodes.agg(count(lit(1)).as("n"))
       .select(expr(s"$scale div n").as("init"))
       .select(col("init"), expr("(3 * init) div 20").as("base")))
