@@ -362,6 +362,34 @@ object ScaleSmoke {
       stage("keep_best_docs")(
         Dedup.dedupKeepBest(docs, 3, 0.5, maxDf = 50)
           .filter(col("kept") === 1L).count()),
+      // deletion-neighborhood fuzzy matcher at catalog scale, on the
+      // driver-catalog shape (2-token names → EVERY record takes the
+      // FastSS path): every 50th record's successor appends one char
+      // (ed = 1); other names derive from hashed 5-digit tokens, so
+      // incidental ed≤2 pairs are possible but rare, and any the DP
+      // confirms are TRUE matches — the check is RECALL: the deletion
+      // theorem is exact, so every planted pair MUST surface
+      stage("fuzzy_del_docs") {
+        val nRecs = math.max(20000L, nDocs / 4L)
+        val recs = spark.range(nRecs).select(col("id").as("e"))
+          .withColumn("pid",
+            when(col("e") % 50L === 1L, col("e") - 1L).otherwise(col("e")))
+          .select(concat(lit("B"), col("pid") % 20L).as("p_brand"),
+            col("e").as("p_partkey"),
+            concat(lit("w"), pmod(hash(col("pid"), lit(3)), lit(100000)),
+              lit(" x"), pmod(hash(col("pid"), lit(7)), lit(100000)),
+              when(col("e") % 50L === 1L, lit("z")).otherwise(lit("")))
+              .as("p_name"))
+        val pairs = graft.operators.Analytics.fuzzyMatchPairs(recs, 2, 3)
+        val planted = pairs
+          .filter(col("part_a") % 50L === 0L &&
+            col("part_b") === col("part_a") + 1L).count()
+        val expected = (nRecs - 2L) / 50L + 1L
+        require(planted == expected,
+          s"deletion path must find every planted ed-1 pair: " +
+            s"$planted of $expected")
+        planted
+      },
       // exact-quota sampling under stratum skew: 80% of the corpus in
       // ONE stratum ("big"), the rest split over s0/s1 — every stratum
       // exceeds the cap, so the output must be EXACTLY 3 × cap rows
