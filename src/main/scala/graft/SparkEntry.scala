@@ -1897,9 +1897,35 @@ object SparkEntry {
          |  raw_close IS NULL AS gap_filled
          |FROM filled""".stripMargin,
 
-    // backtest_positions (uncapped) has NO oracle: the budget gate binds on
-    // this data (cumulative losses exceed budget−perTrade), and the gate is
-    // genuinely sequential — the driver records a rows-only check.
+    // backtest_positions (uncapped): the budget gate binds on this data
+    // and is genuinely sequential — but the SEQUENCE is still SQL-
+    // expressible, because the machine is flat between trades and the
+    // budget only changes at opens/closes: once a buy-cross is gated
+    // (budget < perTrade while flat) the budget is frozen forever, so
+    // every later open is gated too. The gated trace is therefore a
+    // PREFIX of the ungated trade list, cut at the first open whose
+    // running budget — replayed in the fold's exact IEEE op order
+    // ((b − perTrade) + (perTrade/entry)·exit per trade) by a recursive
+    // CTE — drops below perTrade. Rows-only in r8, bit-exact since r9.
+    "backtest_positions" ->
+      s"""WITH RECURSIVE pos AS (${backtestPositionsSql(1000.0, None)}),
+         |rp AS (
+         |  SELECT *, row_number() OVER (PARTITION BY symbol
+         |    ORDER BY entry_ts) AS k
+         |  FROM pos),
+         |bud AS (
+         |  SELECT symbol, 0 AS k, CAST(10000.0 AS DOUBLE) AS b
+         |  FROM (SELECT DISTINCT symbol FROM rp)
+         |  UNION ALL
+         |  SELECT b.symbol, b.k + 1,
+         |    (b.b - 1000.0) + ((1000.0 / r.entry_price) * r.exit_price)
+         |  FROM bud b JOIN rp r ON r.symbol = b.symbol AND r.k = b.k + 1
+         |  WHERE b.b >= 1000.0
+         |)
+         |SELECT r.symbol, r.entry_ts, r.entry_price, r.exit_ts,
+         |  r.exit_price, r.shares
+         |FROM rp r JOIN bud b ON b.symbol = r.symbol AND b.k = r.k - 1
+         |WHERE b.b >= 1000.0""".stripMargin,
 
     "backtest_positions_capped" -> backtestPositionsSql(1000.0, Some(5)),
 
@@ -1931,9 +1957,10 @@ object SparkEntry {
     * The budget gate (main.py:415) PROVABLY never binds when
     * K ≤ budget/perTrade − 1: before the K-th open the budget has taken at
     * most K−1 debits of perTrade and only non-negative credits, so
-    * budget ≥ initial − (K−1)·perTrade ≥ perTrade. The uncapped machine has
-    * no such bound (the gate does bind on this data), so only capped
-    * variants carry an oracle.
+    * budget ≥ initial − (K−1)·perTrade ≥ perTrade. The uncapped machine
+    * has no such bound and the gate DOES bind on this data (sf0.01: 316
+    * ungated trades → 74 gated) — its oracle wraps this ungated form in
+    * the recursive budget-prefix CTE at the `backtest_positions` entry.
     */
   private def backtestPositionsSql(perTrade: Double, maxTrades: Option[Int]): String = {
     val exitTs = maxTrades match {
