@@ -899,6 +899,28 @@ object OracleSql {
        |QUALIFY rank <= $topK""".stripMargin
   }
 
+  /** Hybrid retrieval (mirrors Similarity.hybridRetrieval): the BM25 and
+    * ANN oracles verbatim as CTEs, fused by fixed-point reciprocal rank
+    * — BIGINT floor terms `1000000 // (rrfK + rank)`, ties to the
+    * smaller doc id.
+    */
+  def hybridRetrieval(terms: Seq[String], kEach: Int, k: Int,
+      rrfK: Int): String =
+    s"""WITH lexall AS (${bm25TopK(Seq("q0" -> terms), kEach)}),
+       |semall AS (${annTopK(1, kEach)}),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+       |    l.rank AS lex_rank, s.rank AS sem_rank,
+       |    coalesce(CAST(1000000 AS BIGINT) // ($rrfK + l.rank),
+       |      CAST(0 AS BIGINT)) +
+       |    coalesce(CAST(1000000 AS BIGINT) // ($rrfK + s.rank),
+       |      CAST(0 AS BIGINT)) AS rrf_micros
+       |  FROM lexall l FULL OUTER JOIN semall s ON s.vec_id = l.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf_micros,
+       |  CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id)
+       |    AS INT) AS rank
+       |FROM fused QUALIFY rank <= $k""".stripMargin
+
   /** Triangle count (mirrors GraphOps.triangleCount): same co-purchase
     * edge set; plain id-orientation instead of the Spark side's
     * degree-orientation — the triangle TOTAL is orientation-invariant

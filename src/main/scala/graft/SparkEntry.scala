@@ -346,6 +346,14 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.table(s, dir, "documents"),
         SparkEntry.bm25Queries, 5)),
+    // RAG hybrid retrieval: BM25 lexical + embedding-cosine semantic
+    // top-k lists fused by fixed-point reciprocal rank fusion (rank-only,
+    // scale-free); semantic query = vec_id 0's embedding, doc/vec ids
+    // share the id space
+    "hybrid_retrieval" -> ((s, dir) =>
+      Similarity.hybridRetrieval(Tables.table(s, dir, "documents"),
+        Tables.table(s, dir, "embeddings"),
+        Seq("spark", "hash", "join"), 20, 10)),
     // deterministic per-language downsampling (en-dominant corpus → keep
     // 40% en, 80% zh, everything else whole)
     "stratified_sample" -> ((s, dir) =>
@@ -1342,6 +1350,8 @@ object SparkEntry {
     "tfidf_top_terms" -> OracleSql.tfidfTopTerms(3),
     "inverted_index" -> OracleSql.invertedIndex(20),
     "bm25_topk" -> OracleSql.bm25TopK(bm25Queries, 5),
+    "hybrid_retrieval" ->
+      OracleSql.hybridRetrieval(Seq("spark", "hash", "join"), 20, 10, 60),
     "triangle_count" -> OracleSql.triangleCount,
     "stratified_sample" ->
       OracleSql.stratifiedSample(Seq("en" -> 40, "zh" -> 80), 100),

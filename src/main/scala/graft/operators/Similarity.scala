@@ -653,6 +653,47 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Hybrid retrieval (the standard RAG shape): BM25 lexical top-k and
+    * embedding-cosine semantic top-k fused by RECIPROCAL RANK FUSION —
+    * `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))` (Cormack et al.'s
+    * robust rank-only fusion; no score normalization across
+    * incomparable scales). The semantic query is `vec_id` 0's
+    * embedding ([[annTopK]] with one query), the lexical query is a
+    * term list ([[graft.functions.TextAnalysis.bm25TopK]]); documents
+    * and vectors share the id space.
+    *
+    * Exactness: both input rankings are already engine-exact (BM25 in
+    * fixed-point micros, cosine in decimal), and the fusion keeps the
+    * discipline — `1000000 div (rrfK + rank)` BIGINT floor terms,
+    * summed exactly, ties to the smaller doc_id — so the DuckDB oracle
+    * reproduces the fused ranking bit-for-bit.
+    *
+    * Scale shape: both retrievers are top-k-bounded, so the fusion
+    * join and final window touch ≤ 2·kEach rows regardless of corpus
+    * size — the global (unpartitioned) rank window here is over that
+    * bounded fused candidate list, never the corpus. At real scale the
+    * per-query fan-out is the `queries`-side broadcast both retrievers
+    * already implement.
+    */
+  def hybridRetrieval(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], kEach: Int = 20, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val lex = graft.functions.TextAnalysis
+      .bm25TopK(docs, Seq("q0" -> terms), kEach)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = annTopK(embeddings, 1, kEach)
+      .select(col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"cast(1000000 as bigint) div ($rrfK + lex_rank)"),
+          lit(0L)) +
+         coalesce(expr(s"cast(1000000 as bigint) div ($rrfK + sem_rank)"),
+           lit(0L))).as("rrf_micros"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micros").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-vector int8 min-max quantization — the vector-store compression
     * step (4× smaller than float32; at a 100 TB embedding corpus that is
     * the difference between 100 TB and 25 TB of scan): each vector emits

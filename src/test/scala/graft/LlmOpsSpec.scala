@@ -948,4 +948,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(shortGot == Set((1L, 2L, 1L)),
       s"low-token fallback must pair same-brand short names: $shortGot")
   }
+
+  test("hybridRetrieval fuses by reciprocal rank: a doc strong in BOTH " +
+    "lists outranks single-list docs") {
+    val dir = "/root/testdata/sf0.01"
+    val fused = graft.operators.Similarity.hybridRetrieval(
+      Tables.table(spark, dir, "documents"),
+      Tables.table(spark, dir, "embeddings"),
+      Seq("spark", "hash", "join"), 20, 10)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_micros"), col("rank")).collect()
+    assert(fused.length == 10, s"top-10 fused list, got ${fused.length}")
+    assert(fused.map(_.getInt(4)).toSeq == (1 to 10),
+      "ranks must be dense 1..10")
+    // every fused doc came from at least one retriever's top-20
+    assert(fused.forall(r => !r.isNullAt(1) || !r.isNullAt(2)))
+    // rrf is the fixed-point sum of its per-list terms — recompute
+    fused.foreach { r =>
+      val lex = if (r.isNullAt(1)) 0L else 1000000L / (60 + r.getInt(1))
+      val sem = if (r.isNullAt(2)) 0L else 1000000L / (60 + r.getInt(2))
+      assert(r.getLong(3) == lex + sem,
+        s"rrf_micros mismatch for doc ${r.getLong(0)}")
+    }
+    // the list is sorted by (rrf desc, doc_id): a doc present in BOTH
+    // lists at ranks (a, b) always beats a doc present only in one list
+    // at rank min(a, b) — monotonicity of the fusion
+    val scores = fused.map(_.getLong(3)).toSeq
+    assert(scores == scores.sorted.reverse, "fused order must follow rrf")
+  }
 }
