@@ -254,6 +254,21 @@ object SparkEntry {
             col("ts"), col("value")),
         Tables.candles(s, dir).select(col("symbol"), col("ts"), col("close")),
         "symbol", "ts")),
+    // the other two merge_asof directions over the same inputs
+    "asof_join_forward" -> ((s, dir) =>
+      TimeSeriesOps.asofJoinForward(
+        Tables.table(s, dir, "events")
+          .select(col("event_id"), col("event_type").as("symbol"),
+            col("ts"), col("value")),
+        Tables.candles(s, dir).select(col("symbol"), col("ts"), col("close")),
+        "symbol", "ts")),
+    "asof_join_nearest" -> ((s, dir) =>
+      TimeSeriesOps.asofJoinNearest(
+        Tables.table(s, dir, "events")
+          .select(col("event_id"), col("event_type").as("symbol"),
+            col("ts"), col("value")),
+        Tables.candles(s, dir).select(col("symbol"), col("ts"), col("close")),
+        "symbol", "ts")),
 
     "sessionize_events" -> ((s, dir) =>
       TimeSeriesOps.sessionize(Tables.table(s, dir, "events"), 30)),
@@ -1200,6 +1215,29 @@ object SparkEntry {
          |  c.ts AS asof_ts, c.close
          |FROM ev e ASOF LEFT JOIN candles c
          |  ON e.symbol = c.symbol AND e.ts >= c.ts""".stripMargin,
+
+    // DuckDB's native ASOF supports the forward direction via <=
+    "asof_join_forward" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |ev AS (SELECT event_id, event_type AS symbol, ts, "value" FROM events)
+         |SELECT e.event_id, e.symbol, e.ts, e."value",
+         |  c.ts AS asof_ts, c.close
+         |FROM ev e ASOF LEFT JOIN candles c
+         |  ON e.symbol = c.symbol AND e.ts <= c.ts""".stripMargin,
+
+    // nearest = |Δt| argmin with ties to the backward side — exact
+    // integer µs arithmetic on both engines
+    "asof_join_nearest" ->
+      s"""WITH candles AS (${Tables.candlesSql}),
+         |ev AS (SELECT event_id, event_type AS symbol, ts, "value" FROM events)
+         |SELECT e.event_id, e.symbol, e.ts, e."value",
+         |  c.ts AS asof_ts, c.close
+         |FROM ev e LEFT JOIN LATERAL (
+         |  SELECT r.ts, r.close FROM candles r
+         |  WHERE r.symbol = e.symbol
+         |  ORDER BY abs(epoch_us(r.ts) - epoch_us(e.ts)),
+         |    CASE WHEN r.ts <= e.ts THEN 0 ELSE 1 END
+         |  LIMIT 1) c ON true""".stripMargin,
 
     "sessionize_events" ->
       """SELECT user_id, session_id,

@@ -28,7 +28,38 @@ object TimeSeriesOps {
     *              with their own names — callers alias beforehand.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame,
-      key: String, ts: String): DataFrame = {
+      key: String, ts: String): DataFrame =
+    asofJoin(left, right, key, ts, Direction.Backward)
+
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` (inclusive) per key — pandas
+    * `merge_asof(direction='forward')`. Same tag-union-window shape as
+    * the backward form; the forward window orders `__side` DESCENDING so
+    * a right row at exactly left.ts sorts after the left row and lands
+    * inside the [current, following) frame — inclusivity falls out of
+    * the sort key, mirroring the backward trick.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame =
+    asofJoin(left, right, key, ts, Direction.Forward)
+
+  /** Nearest as-of join: the temporally closest right row on EITHER side
+    * (pandas `merge_asof(direction='nearest')`), ties to the backward
+    * match. Both candidate matches come from the SAME tagged union (one
+    * exchange on the key; the two window orderings each sort their
+    * partition), and the winner is a µs-delta comparison — exact integer
+    * arithmetic, so the oracle's |Δt| argmin reproduces it bit-for-bit.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame =
+    asofJoin(left, right, key, ts, Direction.Nearest)
+
+  private object Direction extends Enumeration {
+    val Backward, Forward, Nearest = Value
+  }
+
+  private def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String, dir: Direction.Value): DataFrame = {
     val payloadCols = right.columns.filter(c => c != key && c != ts).toSeq
     val payload = struct(col(ts).as("__ts") +: payloadCols.map(col): _*)
     val taggedRight = right.select(
@@ -41,12 +72,35 @@ object TimeSeriesOps {
     val unioned = taggedRight
       .withColumn("__l", lit(null).cast(taggedLeft.schema("__l").dataType))
       .unionByName(taggedLeft)
-    val w = Window.partitionBy(col(key))
+    // backward: right (side 0) sorts BEFORE left at equal ts → inside the
+    // trailing frame. forward: side DESC puts right AFTER left at equal
+    // ts → inside the leading frame. Both windows share the key
+    // partitioning (one exchange); Nearest pays the two sorts.
+    val wB = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withMatch = dir match {
+      case Direction.Backward =>
+        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wB))
+      case Direction.Forward =>
+        unioned.withColumn("__m", first(col("__p"), ignoreNulls = true).over(wF))
+      case Direction.Nearest =>
+        unioned
+          .withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
+          .withColumn("__mf", first(col("__p"), ignoreNulls = true).over(wF))
+          .withColumn("__m",
+            when(col("__mf").isNull, col("__mb"))
+              .when(col("__mb").isNull, col("__mf"))
+              .when(unix_micros(col(ts)) -
+                  unix_micros(col("__mb").getField("__ts")) <=
+                unix_micros(col("__mf").getField("__ts")) -
+                  unix_micros(col(ts)), col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    val matched = withMatch.filter(col("__side") === 1)
     val leftOut = leftCols.map(c => col("__l").getField(c).as(c))
     val rightOut = col("__m").getField("__ts").as(s"asof_$ts") +:
       payloadCols.map(c => col("__m").getField(c).as(c))

@@ -34,6 +34,42 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got(104L) == (Some(base + 6 * 60000L), Some(9.0)))
   }
 
+  test("asofJoinForward and Nearest: inclusive ties, direction, " +
+    "backward tie-break") {
+    val left = Seq(
+      ("a", ts(0), 100L),  // fwd -> 5; nearest -> 5
+      ("a", ts(5), 101L),  // exactly at right 5 -> both inclusive 5
+      ("a", ts(7), 102L),  // fwd -> 10; nearest: |7-5|=2 < |10-7|=3 -> 5
+      ("a", ts(12), 103L), // fwd -> null; nearest -> 10
+      ("a", ts(15), 104L)) // equidistant 5/10?? no: bwd 10 (d=5), no fwd -> 10
+      .toDF("symbol", "ts", "event_id")
+    val right = Seq(("a", ts(5), 1.5), ("a", ts(10), 2.5))
+      .toDF("symbol", "ts", "px")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("asof_ts")).map(_.getTime)).toMap
+    val fwd = toMap(
+      TimeSeriesOps.asofJoinForward(left, right, "symbol", "ts"))
+    assert(fwd(100L) == Some(base + 5 * 60000L))
+    assert(fwd(101L) == Some(base + 5 * 60000L), "forward tie is inclusive")
+    assert(fwd(102L) == Some(base + 10 * 60000L))
+    assert(fwd(103L).isEmpty, "no following row -> null")
+    val near = toMap(
+      TimeSeriesOps.asofJoinNearest(left, right, "symbol", "ts"))
+    assert(near(100L) == Some(base + 5 * 60000L))
+    assert(near(101L) == Some(base + 5 * 60000L))
+    assert(near(102L) == Some(base + 5 * 60000L), "2 min back beats 3 fwd")
+    assert(near(103L) == Some(base + 10 * 60000L))
+    // an exactly equidistant left row ties to the BACKWARD side
+    val eq = Seq(("a", ts(6), 200L)).toDF("symbol", "ts", "event_id")
+    val nearEq = toMap(
+      TimeSeriesOps.asofJoinNearest(eq,
+        Seq(("a", ts(4), 1.0), ("a", ts(8), 2.0)).toDF("symbol", "ts", "px"),
+        "symbol", "ts"))
+    assert(nearEq(200L) == Some(base + 4 * 60000L),
+      "equidistant -> backward wins")
+  }
+
   test("asofJoinBackward is invariant to input partitioning") {
     val left = (1 to 200).map(i => ("k" + (i % 3), ts(i), i.toLong))
       .toDF("symbol", "ts", "event_id")
