@@ -35,6 +35,27 @@ object SparkEntry {
     "q_window_agg" -> Seq("window", "agg"),
     "q_scan_filter_fast" -> Seq("scan", "filter", "fast"))
 
+  /** SCD2 history oracle SQL — shared by `scd2_intervals` and the
+    * point-in-time `scd2_asof_lookup` (which wraps it as a CTE).
+    */
+  private val scd2Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_id, event_type, ts FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  row_number() OVER w AS version,
+      |  event_type AS state, event_id,
+      |  ts AS effective_from,
+      |  lead(ts) OVER w AS effective_to,
+      |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A: aggregation over lineitem (TPC-H Q1 shape) -------------------
@@ -605,6 +626,28 @@ object SparkEntry {
     // [effective_from, effective_to) versions (NULL = current)
     "scd2_intervals" -> ((s, dir) =>
       TimeSeriesOps.scd2Intervals(Tables.table(s, dir, "events"))),
+
+    // point-in-time SCD2 lookup: attach the dimension version valid at
+    // each event's timestamp. Composed as BACKWARD AS-OF on
+    // effective_from instead of a point-in-interval range join — the
+    // interval predicate would plan as a broadcast-nested-loop at scale,
+    // while the as-of core is one exchange + sort; versions chain
+    // contiguously, so the latest at-or-before version IS the valid one.
+    // Duplicate effective_from timestamps (two changes in the same
+    // instant) collapse to the highest version — the zero-length interval
+    // a point query can never observe.
+    "scd2_asof_lookup" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val hist = TimeSeriesOps
+        .scd2Intervals(Tables.table(s, dir, "events"))
+        .groupBy(col("user_id"), col("effective_from"))
+        .agg(max_by(struct(col("version"), col("state")), col("version"))
+          .as("v"))
+        .select(col("user_id"), col("effective_from").as("ts"),
+          col("v.version").as("version"), col("v.state").as("state"))
+      TimeSeriesOps.asofJoinBackward(ev, hist, "user_id", "ts")
+    }),
 
     // greatest-n-per-group: top customer by account balance per nation
     "top_customer_per_nation" -> ((s, dir) =>
@@ -1551,23 +1594,20 @@ object SparkEntry {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
 
-    "scd2_intervals" ->
-      """WITH ordered AS (
-        |  SELECT user_id, event_id, event_type, ts,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_type
-        |  FROM events),
-        |chg AS (
-        |  SELECT user_id, event_id, event_type, ts FROM ordered
-        |  WHERE prev_type IS NULL OR prev_type <> event_type)
-        |SELECT user_id,
-        |  row_number() OVER w AS version,
-        |  event_type AS state, event_id,
-        |  ts AS effective_from,
-        |  lead(ts) OVER w AS effective_to,
-        |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
-        |FROM chg
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "scd2_intervals" -> scd2Sql,
+
+    // point-in-time lookup: the valid version is the HIGHEST version with
+    // effective_from <= ts (the version-desc argmin also resolves
+    // zero-length versions when two changes share a timestamp); the
+    // Spark side reaches the same row via the as-of core
+    "scd2_asof_lookup" ->
+      s"""WITH hist AS ($scd2Sql)
+         |SELECT e.event_id, e.user_id, e.ts, e."value",
+         |  h.effective_from AS asof_ts, h.version, h.state
+         |FROM events e LEFT JOIN LATERAL (
+         |  SELECT version, state, effective_from FROM hist
+         |  WHERE hist.user_id = e.user_id AND hist.effective_from <= e.ts
+         |  ORDER BY version DESC LIMIT 1) h ON true""".stripMargin,
 
     "top_customer_per_nation" ->
       """SELECT c_nationkey, c_name AS top_customer, max_acctbal FROM (
