@@ -116,6 +116,9 @@ object ScaleSmoke {
     // *_docs stages process the doc corpus, codec stages docs/20 payloads
     def baseOf(name: String): Long =
       if (name.endsWith("_decode")) math.max(nDocs / 20, 1)
+      // the deletion-neighborhood stage builds its own smaller catalog —
+      // charge its actual record count, not the doc corpus
+      else if (name == "fuzzy_del_docs") math.max(20000L, nDocs / 4L)
       else if (name.endsWith("_docs")) nDocs
       else if (name.startsWith("cc_lss") ||
         name.startsWith("pagerank") ||
@@ -230,8 +233,9 @@ object ScaleSmoke {
           .queryName("scale_merge_stream")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        require(q.awaitTermination(600000),
-          "streaming merge did not drain within 600 s")
+        val drained = q.awaitTermination(600000)
+        if (!drained) q.stop() // don't leave a live query behind the throw
+        require(drained, "streaming merge did not drain within 600 s")
         val byStatus = spark.table("scale_merge_stream")
           .groupBy(col("status")).agg(count(lit(1)).as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

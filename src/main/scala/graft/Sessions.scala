@@ -57,6 +57,16 @@ object Sessions {
     * every localCheckpoint-using query 1.2–3.1× slower. Calling this
     * between queries is safe because a finished query's DataFrames are
     * never re-executed (each bench run rebuilds the plan from scratch).
+    *
+    * HARNESS-ONLY invariant: this unpersists EVERY persisted RDD in the
+    * context, and an unpersisted localCheckpoint is unrecoverable (its
+    * lineage is truncated). Callers must guarantee nothing live still
+    * reads persisted blocks — no DataFrame memoized across queries
+    * (the engine memoizes only paths/scalars: cellLayoutFor, dimCache,
+    * countsCache) and no concurrently RUNNING streaming query whose
+    * static side was checkpointed (mergeStream). Bench and Verify hold
+    * both invariants by construction; do not call this from operator
+    * code.
     */
   def releaseCaches(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.valuesIterator

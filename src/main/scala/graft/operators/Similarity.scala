@@ -26,12 +26,17 @@ object Similarity {
 
   private def vec(c: Column): Column = c.cast("array<double>")
 
-  /** Memoized embedding dimensionality per input plan (semanticHash →
-    * dim): keeps the plan-build dim peek out of repeated query
-    * constructions (see srpLshNearDupPairs).
+  /** Memoized embedding dimensionality per input plan (canonicalized
+    * plan string → dim, exact — no hash collisions): keeps the
+    * plan-build dim peek out of repeated query constructions (see
+    * srpLshNearDupPairs). Uniform dim is an engine-wide CONTRACT
+    * (centroids/quantize/IVF all zip positionally); on a ragged corpus
+    * the first-row probe can under-size the hyperplanes, which only
+    * costs LSH candidate recall — the exact-decimal verification step
+    * still makes every emitted pair correct.
     */
   private val dimCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
   /** Exact-decimal dot product of two double arrays via the codegen'd
     * [[graft.functions.DecimalDotProduct]] expression: per-element products
@@ -190,7 +195,8 @@ object Similarity {
     // constructions (bench warmup + 3 timed runs) pay it once per input.
     // Uniform dim is assumed engine-wide (centroids/quantize/IVF all zip
     // positionally).
-    val dim = dimCache.computeIfAbsent(embeddings.semanticHash(),
+    val dim = dimCache.computeIfAbsent(
+      embeddings.queryExecution.analyzed.canonicalized.toString,
       _ => embeddings.select(size(vec(col("embedding")))).head().getInt(0))
     val hplanes = spark.range(planes.toLong)
       .select(col("id").cast("int").as("plane"),

@@ -55,7 +55,14 @@ object EventStreams {
     // directly)
     val eventsFile = new java.io.File(dir, "events.parquet")
     val probePath = if (eventsFile.exists) eventsFile.getPath else dir
-    val physicalTs = spark.read.parquet(probePath).schema("ts").dataType
+    // an EMPTY drop folder (stream started before the producer's first
+    // write — the standard ingestion race) has no footer to probe:
+    // assume the current MICROS generation, matching the r8 fixed
+    // schema, so stream construction never fails on an empty source
+    val physicalTs =
+      try spark.read.parquet(probePath).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        TimestampType }
     val raw = spark.readStream
       .schema(StructType(eventsRawSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = physicalTs) else f)))

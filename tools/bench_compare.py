@@ -24,6 +24,10 @@ def qmap(path):
     # capture; a raw Bench stdout line also parses (no "tail" key)
     if "tail" in d:
         m = re.search(r'\{"metric".*\}', d["tail"])
+        if m is None:
+            sys.exit(f"{path}: no bench JSON line in the recorded stdout "
+                     "tail (the 'parsed: null' overflow case) - nothing "
+                     "to compare")
         d = json.loads(m.group(0))
     qs = dict(d["queries"])
     qs.pop("_other", None)
@@ -59,4 +63,7 @@ def main(prev_path, curr_path):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    try:
+        main(sys.argv[1], sys.argv[2])
+    except BrokenPipeError:  # piped into head — not an error
+        pass
