@@ -62,8 +62,10 @@ object Sessions {
     * context, and an unpersisted localCheckpoint is unrecoverable (its
     * lineage is truncated). Callers must guarantee nothing live still
     * reads persisted blocks — no DataFrame memoized across queries
-    * (the engine memoizes only paths/scalars: cellLayoutFor, dimCache,
-    * countsCache) and no concurrently RUNNING streaming query whose
+    * (the engine memoizes only layout PATHS: cellLayoutFor — the former
+    * dim/counts scalar caches were dropped, their plan-string keys
+    * could collide across inputs) and no concurrently RUNNING streaming
+    * query whose
     * static side was checkpointed (mergeStream). Bench and Verify hold
     * both invariants by construction; do not call this from operator
     * code.

@@ -170,20 +170,6 @@ object GraphOps {
     */
   private val BroadcastEdgeLimit = 4000000L
 
-  /** Memoized (n_nodes, n_edges) per edge-list plan: the statistics
-    * peek that sizes the closing-join strategy runs once per distinct
-    * input instead of once per query construction (bench warmup + 3
-    * timed runs rebuild the plan 4×). Keyed by the CANONICALIZED PLAN
-    * STRING, not its 32-bit semanticHash — two different edge lists
-    * must never collide, because the counts are emitted in the output
-    * row. Statistics-cache semantics: like any table-stats cache, the
-    * entry goes stale if the files UNDER an already-seen plan are
-    * rewritten in the same JVM (never the case for the read-only
-    * driver testdata; rebuild the session to invalidate).
-    */
-  private val countsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-
   /** The counting core over an arbitrary UNDIRECTED edge list given as
     * distinct `(u, v)` rows with u < v. Returns one row:
     * `(n_nodes, n_edges, n_triangles)`.
@@ -203,13 +189,15 @@ object GraphOps {
     // the exact counts come off the node-sized degree table in one
     // metrics-sized driver action (Σdeg = 2·|E| exactly); n_edges also
     // decides the closing-join strategy below, the same driver-
-    // coordinated adaptivity as the CC/Lloyd loops
-    val (nNodes, nEdges) = countsCache.computeIfAbsent(
-      edges0.queryExecution.analyzed.canonicalized.toString, _ => {
-        val counts = deg.agg(count(lit(1)).as("n_nodes"),
-          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges")).head()
-        (counts.getLong(0), counts.getLong(1))
-      })
+    // coordinated adaptivity as the CC/Lloyd loops. NOT memoized: a
+    // canonicalized-plan key omits LocalRelation data and parquet
+    // paths, so two different edge lists can share a key (stale counts
+    // would be EMITTED in the output row) — and the peek is a cheap
+    // metrics-sized action over the already-checkpointed degree table,
+    // so each plan construction just pays it.
+    val counts = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges")).head()
+    val (nNodes, nEdges) = (counts.getLong(0), counts.getLong(1))
     // orient low-rank → high-rank, rank = (deg, id)
     val withDeg = edges
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))

@@ -26,18 +26,6 @@ object Similarity {
 
   private def vec(c: Column): Column = c.cast("array<double>")
 
-  /** Memoized embedding dimensionality per input plan (canonicalized
-    * plan string → dim, exact — no hash collisions): keeps the
-    * plan-build dim peek out of repeated query constructions (see
-    * srpLshNearDupPairs). Uniform dim is an engine-wide CONTRACT
-    * (centroids/quantize/IVF all zip positionally); on a ragged corpus
-    * the first-row probe can under-size the hyperplanes, which only
-    * costs LSH candidate recall — the exact-decimal verification step
-    * still makes every emitted pair correct.
-    */
-  private val dimCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Int]()
-
   /** Exact-decimal dot product of two double arrays via the codegen'd
     * [[graft.functions.DecimalDotProduct]] expression: per-element products
     * rounded to scale 18 (HALF_UP — Spark's own double→decimal cast
@@ -191,13 +179,15 @@ object Similarity {
     GraftFunctions.register(spark)
     // dim probe: FIRST row only (a LocalLimit(1) single-split peek — the
     // prior max(size(...)) aggregated the whole corpus at plan-build
-    // time), memoized on the frame's semantic plan hash so repeated
-    // constructions (bench warmup + 3 timed runs) pay it once per input.
+    // time). NOT memoized: a canonicalized-plan key omits LocalRelation
+    // data and file paths, so two same-schema frames would share one
+    // entry and a stale dim would silently size the hyperplanes — and
+    // the LIMIT 1 peek is already cheap enough to pay per construction.
     // Uniform dim is assumed engine-wide (centroids/quantize/IVF all zip
-    // positionally).
-    val dim = dimCache.computeIfAbsent(
-      embeddings.queryExecution.analyzed.canonicalized.toString,
-      _ => embeddings.select(size(vec(col("embedding")))).head().getInt(0))
+    // positionally); on a ragged corpus a first-row probe can under-size
+    // the hyperplanes, which only costs LSH candidate recall — the
+    // exact-decimal verification step keeps every emitted pair correct.
+    val dim = embeddings.select(size(vec(col("embedding")))).head().getInt(0)
     val hplanes = spark.range(planes.toLong)
       .select(col("id").cast("int").as("plane"),
         transform(sequence(lit(0), lit(dim - 1)), d =>

@@ -34,10 +34,13 @@ object TimeSeriesOps {
   /** Forward as-of join: for every left row, the EARLIEST right row with
     * `right.ts >= left.ts` (inclusive) per key — pandas
     * `merge_asof(direction='forward')`. Same tag-union-window shape as
-    * the backward form; the forward window orders `__side` DESCENDING so
-    * a right row at exactly left.ts sorts after the left row and lands
-    * inside the [current, following) frame — inclusivity falls out of
-    * the sort key, mirroring the backward trick.
+    * the backward form, with the order REVERSED (`ts` descending): a
+    * running `last(ignoreNulls)` over the trailing frame then yields the
+    * earliest right row at-or-after each left row in one O(n) pass —
+    * never a [current, unboundedFollowing) frame, which Spark evaluates
+    * quadratically (the moving lower bound re-scans the partition tail
+    * per row). Inclusivity falls out of the sort key exactly as in the
+    * backward form.
     */
   def asofJoinForward(left: DataFrame, right: DataFrame,
       key: String, ts: String): DataFrame =
@@ -73,24 +76,31 @@ object TimeSeriesOps {
       .withColumn("__l", lit(null).cast(taggedLeft.schema("__l").dataType))
       .unionByName(taggedLeft)
     // backward: right (side 0) sorts BEFORE left at equal ts → inside the
-    // trailing frame. forward: side DESC puts right AFTER left at equal
-    // ts → inside the leading frame. Both windows share the key
-    // partitioning (one exchange); Nearest pays the two sorts.
+    // trailing frame. forward: the SAME running-frame trick over ts DESC —
+    // scanning from the largest ts down, the last right payload seen is
+    // the earliest right row with right.ts >= left.ts, and side ASC puts
+    // the right row before the left at equal ts (inclusive). Both frames
+    // are [unboundedPreceding, currentRow): O(n) single-pass per key
+    // partition. A [currentRow, unboundedFollowing] frame would be
+    // quadratic — Spark's UnboundedFollowingWindowFunctionFrame re-scans
+    // the partition tail for every row because the lower bound moves.
+    // Both windows share the key partitioning (one exchange); Nearest
+    // pays the two sorts.
     val wB = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(ts).desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withMatch = dir match {
       case Direction.Backward =>
         unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wB))
       case Direction.Forward =>
-        unioned.withColumn("__m", first(col("__p"), ignoreNulls = true).over(wF))
+        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(wF))
       case Direction.Nearest =>
         unioned
           .withColumn("__mb", last(col("__p"), ignoreNulls = true).over(wB))
-          .withColumn("__mf", first(col("__p"), ignoreNulls = true).over(wF))
+          .withColumn("__mf", last(col("__p"), ignoreNulls = true).over(wF))
           .withColumn("__m",
             when(col("__mf").isNull, col("__mb"))
               .when(col("__mb").isNull, col("__mf"))

@@ -39,7 +39,10 @@ def main(prev_path, curr_path):
     ptot, prev = qmap(prev_path)
     ctot, curr = qmap(curr_path)
     common = sorted(set(prev) & set(curr))
-    ratios = {k: curr[k] / prev[k] for k in common if prev[k] > 0}
+    # Clamp prev to half the 10 ms per-query precision floor: a recorded
+    # 0.0 would otherwise drop the query from the ratio map entirely, so
+    # a 0.00 -> X s regression could never reach the outlier table.
+    ratios = {k: curr[k] / max(prev[k], 0.005) for k in common}
     med = statistics.median(ratios.values()) if ratios else float("nan")
     print(f"### Bench compare: {prev_path} -> {curr_path}\n")
     print(f"- totals: {ptot} s -> {ctot} s "
