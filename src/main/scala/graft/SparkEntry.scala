@@ -547,6 +547,12 @@ object SparkEntry {
         Dedup.corpusDedupState(docs.filter(col("doc_id") % 5 =!= 0)),
         docs.filter(col("doc_id") % 5 === 0), minJaccard = 0.5)
     }),
+    // the SAME daily merge executed by a real StreamingQuery: the delta
+    // arrives as a parquet drop-folder, classified stream-static against
+    // the checkpointed corpus state, drained with Trigger.AvailableNow —
+    // shares merge_corpus_day's oracle (stream ≡ batch)
+    "merge_stream_day" -> ((s, dir) =>
+      streaming.EventStreams.mergeStreamDay(s, dir, 5, minJaccard = 0.5)),
 
     // Fixed-point integer PageRank over the customer↔supplier trade
     // graph — iterative-rank workload with a bit-exact unrolled oracle
@@ -585,6 +591,21 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("symbol")).orderBy(col("ts"))
       Tables.candles(s, dir)
+        .select(col("symbol"), col("ts"), col("close"),
+          lead(col("close"), 1).over(w).as("next_close"),
+          first_value(col("close")).over(w).as("first_close"),
+          nth_value(col("close"), 3).over(w).as("third_close"))
+    }),
+
+    // the SAME lead/first/nth window read from BUCKETED storage
+    // (Tables.writeBucketed): the scan's hash-partitioning satisfies the
+    // window's distribution, so the plan has ZERO Exchanges (pinned in
+    // PlanShapeSpec) — the 100 TB sorted-index analog under the driver's
+    // eye, sharing window_leads' oracle
+    "candles_bucketed" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("ts"))
+      s.table(Tables.bucketedCandlesFor(s, dir))
         .select(col("symbol"), col("ts"), col("close"),
           lead(col("close"), 1).over(w).as("next_close"),
           first_value(col("close")).over(w).as("first_close"),
@@ -1479,6 +1500,8 @@ object SparkEntry {
     "minhash_signatures" -> OracleSql.minhashSignatures(16),
     "dedup_minhash_lsh" -> OracleSql.minhashLshPairs(16, 4, 0.5),
     "merge_corpus_day" -> OracleSql.mergeCorpusDay(5, 16, 4, 0.5),
+    // the streaming drain must land on the identical classification
+    "merge_stream_day" -> OracleSql.mergeCorpusDay(5, 16, 4, 0.5),
     "dedup_clusters" ->
       s"""WITH RECURSIVE
          |jac AS (${OracleSql.jaccardPairs(0.5, 50)}),
@@ -1570,6 +1593,17 @@ object SparkEntry {
         |SELECT s_name AS name, 'supplier' AS kind FROM supplier""".stripMargin,
 
     "window_leads" ->
+      s"""WITH candles AS (${Tables.candlesSql})
+         |SELECT symbol, ts, close,
+         |  lead(close, 1) OVER w AS next_close,
+         |  first_value(close) OVER w AS first_close,
+         |  nth_value(close, 3) OVER w AS third_close
+         |FROM candles
+         |WINDOW w AS (PARTITION BY symbol ORDER BY ts)""".stripMargin,
+
+    // identical semantics read from bucketed storage — one oracle text,
+    // two physical execution paths
+    "candles_bucketed" ->
       s"""WITH candles AS (${Tables.candlesSql})
          |SELECT symbol, ts, close,
          |  lead(close, 1) OVER w AS next_close,

@@ -194,6 +194,33 @@ object Tables {
       .sortBy(bucketCol, sortCol)
       .saveAsTable(tableName)
 
+  /** Build-once/read-many fixture: the [[candles]] series for a corpus
+    * directory, materialized through [[writeBucketed]] on FIRST use per
+    * JVM and memoized — the lifecycle a real deployment runs (one layout
+    * write amortized over every later symbol-clustered read). Returns
+    * the catalog table name; `spark.table(name)` scans it WITHOUT an
+    * Exchange for symbol-clustered operators. Keyed by the DIRECTORY
+    * string (content-bound — unlike a canonicalized-plan key, two
+    * distinct corpora can never share an entry), same contract as
+    * [[graft.operators.Similarity.cellLayoutFor]].
+    */
+  private val bucketedCandlesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def bucketedCandlesFor(spark: SparkSession, sfDir: String): String =
+    bucketedCandlesCache.computeIfAbsent(sfDir, d => {
+      // table identifiers allow [A-Za-z0-9_] — sanitize, then suffix a
+      // digest of the raw dir so two dirs never share a table
+      val safe = d.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString
+      val tbl = s"candles_bkt_$safe"
+      val path = new java.io.File(
+        "spark-warehouse", s"candles_bkt_$safe").getAbsolutePath
+      writeBucketed(candles(spark, d), tbl, path)
+      tbl
+    })
+
   /** S8 — JSON template source (main.py:536-555): flat scalar config
     * `{"initial_budget": N, "investment_per_trade": N, "max_trades": N|""}`
     * parsed to the typed backtest config (control-plane, driver-side).

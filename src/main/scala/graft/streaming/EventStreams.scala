@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming surface (SURVEY.md §2.8 — additive: the reference
@@ -398,5 +398,52 @@ object EventStreams {
         min(col("ver")).as("near_match"))
       .select(col("doc_id") +:
         Dedup.mergeStatus(col("exact_match"), col("near_match")): _*)
+  }
+
+  /** Bounded drain of [[mergeStream]] — the declared-query form: the
+    * day's delta (docs with `doc_id % mod == 0`) is dropped as parquet
+    * files, classified against the rest of the corpus by a REAL
+    * `StreamingQuery` (`Trigger.AvailableNow`), and the drained result
+    * is returned as a batch frame. Shares `merge_corpus_day`'s oracle:
+    * stream ≡ batch is the spec-proven contract of [[mergeStream]], and
+    * this puts the streaming execution path itself under the driver's
+    * bit-exact correctness gate.
+    *
+    * Update-mode re-emissions (a doc's min-aggregate can tighten across
+    * micro-batches as bands arrive) are resolved the way a real sink
+    * upserts: each batch is appended with its batch id and the LAST
+    * batch's row per doc wins — so the result is invariant to how the
+    * file source splits the drop-folder into batches.
+    */
+  def mergeStreamDay(spark: SparkSession, dir: String, mod: Int = 5,
+      minJaccard: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val docs = graft.Tables.table(spark, dir, "documents")
+    // the static side re-executes per micro-batch — checkpoint it, as
+    // mergeStream's contract requires
+    val state = Dedup.corpusDedupState(docs.filter(col("doc_id") % mod =!= 0))
+      .localCheckpoint()
+    val delta = docs.filter(col("doc_id") % mod === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-merge-stream-day").toString
+    delta.write.mode("overwrite").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(delta.schema).parquet(s"$root/drop")
+    val query = mergeStream(stream, state, minJaccard = minJaccard)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(s"$root/out")
+      }
+      .start()
+    query.awaitTermination()
+    val lastEmission = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__batch").desc)
+    spark.read.parquet(s"$root/out")
+      .withColumn("__rn", row_number().over(lastEmission))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("status"), col("match_id"))
   }
 }

@@ -316,6 +316,16 @@ class PlanShapeSpec extends SparkSpec {
       s"document text must be fingerprinted before any exchange:\n$plan")
   }
 
+  test("candles_bucketed plans ZERO Exchanges: the bucketed scan " +
+    "satisfies the window's distribution") {
+    val plan = finalPlan(SparkEntry.queries("candles_bucketed")(spark, dir))
+    assert(count(plan, "Exchange ") == 0,
+      s"the bucketed table's hash-partitioning must be reused — any " +
+        s"Exchange means the layout stopped paying for itself:\n$plan")
+    assert(count(plan, "Window \\[[^\\]]*\\], \\[\\], \\[") == 0,
+      s"window must stay partitioned by symbol:\n$plan")
+  }
+
   test("merge_corpus_day probes broadcast the delta: the corpus is " +
     "scanned but never shuffle-joined") {
     val plan = finalPlan(SparkEntry.queries("merge_corpus_day")(spark, dir))
