@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measurement harness (like PerfProbe/ScaleSmoke — never part of a
+  * declared query): replicate a driver testdata directory `factor`× into
+  * a local target dir so the full declared-query surface can be benched
+  * at 10× the driver's largest SF with the REAL table shapes, not
+  * synthetic stand-ins.
+  *
+  * The replication is growth-realistic, not naive duplication — naive
+  * copies would corrupt the cost model this exists to check (10 exact
+  * text copies turn every doc into a 10-member duplicate class: LSH pair
+  * output grows 45× instead of 10×; identical part names merge fuzzy
+  * blocks: Σblock² grows 100×). Per copy `i`:
+  *  - every entity key is offset by a multiple of 100 past the source
+  *    max (residue-class predicates like doc_id % 5 keep their meaning);
+  *    foreign keys get the same offset, so copies are disjoint subgraphs
+  *    — joins, graphs, and dedup clusters scale linearly, as adding new
+  *    orders/customers/parts would;
+  *  - document tokens get a per-copy suffix (new docs are NEW text, not
+  *    re-crawls — shingle sets across copies are disjoint);
+  *  - part names get a 3-digit per-copy prefix on the last token (>2
+  *    edits between copies: no cross-copy fuzzy matches, within-copy
+  *    distances unchanged);
+  *  - embeddings are sign-flipped per (copy, dim) — a diagonal ±1
+  *    rotation preserves EVERY within-copy dot product and norm exactly
+  *    while decorrelating cross-copy cosines (dot(Sx, Sy) = dot(x, y));
+  *  - events extend the time axis: copy i shifts ts by i·span (rounded
+  *    to whole hours, so candle buckets stay aligned) with offset
+  *    user/event ids — longer history × more users, the real shape of
+  *    10× market data.
+  * nation/region are TPC-H-style fixed dimensions and copy unchanged.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Sessions.get("graft-scale-up")
+    new java.io.File(dst).mkdirs()
+
+    /** Key offset per copy: the source max rounded up to a multiple of
+      * 100 (residues mod 2/4/5/10/20/25/50/100 survive the shift).
+      */
+    def step(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head().getLong(0)
+      ((mx / 100L) + 1L) * 100L
+    }
+
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name done")
+    }
+
+    // fixed dimensions: straight copy
+    for (t <- Seq("region", "nation"))
+      write(t, spark.read.parquet(s"$src/$t.parquet"))
+
+    val customer = spark.read.parquet(s"$src/customer.parquet")
+    val supplier = spark.read.parquet(s"$src/supplier.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val custStep = step(customer, "c_custkey")
+    val suppStep = step(supplier, "s_suppkey")
+    val partStep = step(part, "p_partkey")
+    val orderStep = step(orders, "o_orderkey")
+
+    write("customer", copies(customer) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * custStep))
+    })
+    write("supplier", copies(supplier) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppStep))
+    })
+    write("part", copies(part) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * partStep))
+        .withColumn("p_name", if (i == 0) col("p_name")
+          else regexp_replace(col("p_name"), "(\\S+)$", s"$i$i$i$$1"))
+    })
+    write("orders", copies(orders) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStep))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custStep))
+    })
+    write("lineitem", copies(lineitem) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderStep))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partStep))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppStep))
+    })
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docStep = step(docs, "doc_id")
+    write("documents", copies(docs) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * docStep))
+        .withColumn("text", if (i == 0) col("text")
+          else concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => concat(t, lit(s"${i}q")))))
+    })
+
+    val vecs = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecStep = step(vecs, "vec_id")
+    write("embeddings", copies(vecs) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * vecStep))
+        .withColumn("embedding", if (i == 0) col("embedding")
+          else transform(col("embedding"), (x, d) =>
+            (x * when(pmod(hash(d, lit(i)), lit(2)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).cast("float")))
+    })
+
+    // Tables.table normalizes ts (NANOS-as-long / NTZ) to a session-TZ
+    // TIMESTAMP — written back, that form round-trips through the same
+    // normalization, so the scaled dir serves every consumer identically
+    val events = Tables.table(spark, src, "events")
+    val evRange = events.agg(
+      max(col("event_id")), max(col("user_id")),
+      unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).head()
+    val evStep = ((evRange.getLong(0) / 100L) + 1L) * 100L
+    val userStep = ((evRange.getLong(1) / 100L) + 1L) * 100L
+    val hourUs = 3600L * 1000000L
+    val spanUs = ((evRange.getLong(2) / hourUs) + 1L) * hourUs
+    write("events", copies(events) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * evStep))
+        .withColumn("user_id", col("user_id") + lit(i * userStep))
+        .withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) + lit(i * spanUs)))
+    })
+
+    spark.stop()
+  }
+}
