@@ -133,6 +133,38 @@ object PerfProbe {
     r
   }
 
+  /** Deep-partition as-of probe (round-10 ADVICE fix evidence): few
+    * keys × many rows is the shape where a [currentRow,
+    * unboundedFollowing) forward frame is quadratic — Spark's
+    * UnboundedFollowingWindowFunctionFrame re-scans the partition tail
+    * per row, so 4 keys × 250k rows/side would do ~4·(500k)²/2 frame
+    * scans (hours). The shipped running-frame rewrite (last() over ts
+    * DESC) is one O(n) pass per sort order; seconds here IS the proof.
+    */
+  def asofDeep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val n = 1000000L
+    val keys = 4
+    val left = spark.range(n).select(
+      concat(lit("k"), col("id") % keys).as("symbol"),
+      timestamp_micros(col("id") * 1000000L).as("ts"),
+      col("id").as("l_id"))
+    val right = spark.range(n).select(
+      concat(lit("k"), col("id") % keys).as("symbol"),
+      timestamp_micros(col("id") * 1000000L + 500000L).as("ts"),
+      (col("id") * 2).as("r_val"))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val f = dir match {
+        case "backward" => operators.TimeSeriesOps.asofJoinBackward _
+        case "forward" => operators.TimeSeriesOps.asofJoinForward _
+        case "nearest" => operators.TimeSeriesOps.asofJoinNearest _
+      }
+      val got = time(s"asof $dir ${n} rows / $keys keys") {
+        f(left, right, "symbol", "ts").filter(col("r_val").isNotNull).count()
+      }
+      println(s"[probe] asof_$dir matched = $got")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-probe")
@@ -140,6 +172,7 @@ object PerfProbe {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     if (args.contains("triangle")) { triangleStages(spark, sfDir); spark.stop(); return }
+    if (args.contains("asof")) { asofDeep(spark); spark.stop(); return }
     val docs = Tables.table(spark, sfDir, "documents")
     docs.count()
 
