@@ -67,6 +67,15 @@ class BucketingSpec extends SparkSpec {
     assert(fromBucketed == fromPlain)
   }
 
+  test("candles_bucketed (declared) equals window_leads off the plain " +
+    "candle derivation") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows("candles_bucketed") == rows("window_leads"),
+      "bucketed-storage path must reproduce the plain path bit-for-bit")
+  }
+
   test("date-partitioned writes prune partitions at scan (sorted-index analog)") {
     // the 100 TB analog of the reference's sorted-index `.loc[start:end]`
     // slice: date-partitioned parquet + Catalyst partition pruning reads

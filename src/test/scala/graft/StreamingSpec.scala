@@ -52,6 +52,24 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise dup classification, not just 'new'")
   }
 
+  test("mergeStreamDay (the declared drain-then-read form) equals the " +
+    "batch merge row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStreams.mergeStreamDay(spark, dir, 5, minJaccard = 0.5)
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.table(spark, dir, "documents")
+    val want = graft.operators.Dedup.mergeCorpusDay(
+      graft.operators.Dedup
+        .corpusDedupState(docs.filter(col("doc_id") % 5 =!= 0)),
+      docs.filter(col("doc_id") % 5 === 0), minJaccard = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"declared streaming merge diverged: stream-only=${got -- want}, " +
+        s"batch-only=${want -- got}")
+    assert(want.exists(_(1) != "new"),
+      "fixture must exercise dup classification, not just 'new'")
+  }
+
   test("streaming candles match the batch candle derivation") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventStreams.candleStream(
