@@ -439,6 +439,15 @@ object EventStreams {
       }
       .start()
     query.awaitTermination()
+    // zero micro-batches (possible only on an empty drop-folder) means
+    // foreachBatch never wrote the sink dir — return the typed empty
+    // result instead of failing the read
+    if (!new java.io.File(s"$root/out").exists)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("status", StringType),
+          StructField("match_id", LongType))))
     val lastEmission = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("__batch").desc)
     spark.read.parquet(s"$root/out")
