@@ -137,6 +137,21 @@ object SparkEntry {
         Tables.table(s, dir, "events"),
         "2024-01-10 00:00:00", "2024-01-20 23:59:59")),
 
+    // 2-D selective scan from the Z-ORDERED layout (Tables
+    // .zorderedEventsFor / ZOrder.writeZOrdered): predicates on BOTH
+    // ts and value reach the scan as PushedFilters (pinned in
+    // PlanShapeSpec) and each z-ordered file covers a small (ts, value)
+    // bounding box, so footer stats prune most files on either
+    // dimension — the multi-dimensional clustered-index analog under
+    // the driver's eye, sharing a plain events-filter oracle
+    "events_zordered" -> ((s, dir) =>
+      s.read.parquet(Tables.zorderedEventsFor(s, dir))
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp") &&
+          col("value") >= 100.0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))),
+
     // ---- P4: JSON predicate DSL ------------------------------------------
     "p4_json_filter" -> ((s, dir) =>
       TradingOps.jsonFilter(
@@ -553,6 +568,14 @@ object SparkEntry {
     // shares merge_corpus_day's oracle (stream ≡ batch)
     "merge_stream_day" -> ((s, dir) =>
       streaming.EventStreams.mergeStreamDay(s, dir, 5, minJaccard = 0.5)),
+    // the watermarked STATEFUL-AGGREGATION streaming path under the same
+    // gate: hourly candles computed by a real StreamingQuery over the
+    // events table replayed as time-ordered drop-folder slices, drained
+    // with Trigger.AvailableNow — shares the batch `candles` oracle
+    // (stream ≡ batch, StreamingSpec); merge_stream_day covers only the
+    // stream-static join path, this covers windowed state
+    "stream_candles" -> ((s, dir) =>
+      streaming.EventStreams.streamCandles(s, dir)),
 
     // Fixed-point integer PageRank over the customer↔supplier trade
     // graph — iterative-rank workload with a bit-exact unrolled oracle
@@ -1212,6 +1235,9 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "candles" -> Tables.candlesSql,
+    // stream ≡ batch: the drained streaming aggregation answers the
+    // SAME SQL as the batch candle derivation
+    "stream_candles" -> Tables.candlesSql,
     "candles_5m" -> Tables.candlesAtSql(5),
     "candles_1d" -> Tables.candlesAtSql(1440),
 
@@ -1219,6 +1245,14 @@ object SparkEntry {
       """SELECT * FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-20 23:59:59'""".stripMargin,
+
+    // the layout rewrite must be invisible to query results: the oracle
+    // is the same 2-D filter over the ORIGINAL events table
+    "events_zordered" ->
+      """SELECT event_id, ts, user_id, event_type, "value" FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |  AND "value" >= 100.0""".stripMargin,
 
     "p4_json_filter" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",

@@ -221,6 +221,31 @@ object Tables {
       tbl
     })
 
+  /** Build-once/read-many fixture for the Z-ORDER layout (the 2-D
+    * analog of [[bucketedCandlesFor]]): the events table rewritten
+    * through [[graft.functions.ZOrder.writeZOrdered]] on (ts, value) on
+    * FIRST use per JVM and memoized by DIRECTORY (content-bound key).
+    * Returns the parquet path; a scan with predicates on EITHER
+    * dimension prunes most files on footer min-max stats — what a
+    * linear single-key sort can only do for its leading column. One
+    * layout write amortized over every later 2-D-selective read, the
+    * same lifecycle as the bucketed table and the IVF cell layout.
+    */
+  private val zorderedEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def zorderedEventsFor(spark: SparkSession, sfDir: String): String =
+    zorderedEventsCache.computeIfAbsent(sfDir, d => {
+      val safe = d.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        "spark-warehouse", s"events_z_$safe").getAbsolutePath
+      graft.functions.ZOrder.writeZOrdered(
+        table(spark, d, "events"), path, "ts", "value", files = 16)
+      path
+    })
+
   /** S8 — JSON template source (main.py:536-555): flat scalar config
     * `{"initial_budget": N, "investment_per_trade": N, "max_trades": N|""}`
     * parsed to the typed backtest config (control-plane, driver-side).

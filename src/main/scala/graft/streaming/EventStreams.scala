@@ -455,4 +455,77 @@ object EventStreams {
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("status"), col("match_id"))
   }
+
+  /** Bounded drain of [[candleStream]] — the declared-query form of the
+    * watermarked streaming aggregation: the `events` table is replayed
+    * into a drop-folder as `slices` time-contiguous files (written
+    * sequentially, so the one-file-per-batch source consumes them in
+    * event-time order and the watermark genuinely trails the data), then
+    * aggregated by a REAL `StreamingQuery` (`Trigger.AvailableNow`) and
+    * drained back as a batch frame. Shares the batch `candles` oracle:
+    * stream ≡ batch is the spec-proven contract of [[candleStream]]
+    * (StreamingSpec), and this puts the stateful-aggregation streaming
+    * path itself under the driver's bit-exact correctness gate — the
+    * merge drain above covers only the stream-static join path.
+    *
+    * Update mode + last-emission-wins dedup (the [[mergeStreamDay]] sink
+    * pattern): a (symbol, hour) candle spanning a slice boundary is
+    * re-emitted with its tightened aggregate in the later batch, and the
+    * final emission per key IS the full aggregate — so the result is
+    * invariant to how the source splits the replay into batches, and no
+    * window is lost to the append-mode watermark-flush race at stream
+    * end. The min/max/min_by/max_by aggregates all merge associatively
+    * across batches, which is what makes the cross-batch fold exact.
+    *
+    * The min/max replay peek is one metrics-sized action over the events
+    * table — plan-construction cost of the harness replay, not part of
+    * the streaming semantics (production streams have a producer, not a
+    * replay loop).
+    */
+  def streamCandles(spark: SparkSession, dir: String, slices: Int = 6,
+      lateness: String = "2 hours"): DataFrame = {
+    val events = graft.Tables.table(spark, dir, "events")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-candles").toString
+    val mm = events.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    if (!mm.isNullAt(0)) {
+      val lo = mm.getTimestamp(0).getTime
+      val hi = mm.getTimestamp(1).getTime
+      val step = math.max(1L, (hi - lo) / slices + 1)
+      for (i <- 0 until slices) {
+        val a = lo + i * step
+        events
+          .filter(col("ts") >= timestamp_millis(lit(a)) &&
+            col("ts") < timestamp_millis(lit(a + step)))
+          .coalesce(1)
+          .write.mode("append").parquet(s"$root/drop")
+      }
+    }
+    val stream = candleStream(eventsStream(spark, s"$root/drop"), lateness)
+    val query = stream.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(s"$root/out")
+      }
+      .start()
+    query.awaitTermination()
+    if (!new java.io.File(s"$root/out").exists)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("symbol", StringType),
+          StructField("ts", TimestampType),
+          StructField("open", DoubleType), StructField("high", DoubleType),
+          StructField("low", DoubleType), StructField("close", DoubleType),
+          StructField("volume", DoubleType))))
+    val lastEmission = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol"), col("ts")).orderBy(col("__batch").desc)
+    spark.read.parquet(s"$root/out")
+      .withColumn("__rn", row_number().over(lastEmission))
+      .filter(col("__rn") === 1)
+      .select(col("symbol"), col("ts"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"))
+  }
 }

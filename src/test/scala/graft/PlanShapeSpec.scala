@@ -326,6 +326,28 @@ class PlanShapeSpec extends SparkSpec {
       s"window must stay partitioned by symbol:\n$plan")
   }
 
+  test("events_zordered pushes BOTH 2-D predicates to the scan and " +
+    "prunes props from the read schema") {
+    // the default 100-char metadata render truncates the PushedFilters
+    // list before the value bound — widen it for this assertion
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try finalPlan(SparkEntry.queries("events_zordered")(spark, dir))
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    // the layout only pays off if footer pruning sees the predicates:
+    // both ts bounds and the value bound must reach the parquet scan
+    val scanLines = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scanLines.contains("GreaterThanOrEqual(ts") &&
+      scanLines.contains("LessThan(ts"),
+      s"ts range must be pushed to the z-ordered scan:\n$plan")
+    assert(scanLines.contains("GreaterThanOrEqual(value"),
+      s"value bound must be pushed to the z-ordered scan:\n$plan")
+    assert(!plan.contains("props#"),
+      s"props must be pruned from the z-ordered read schema:\n$plan")
+  }
+
   test("merge_corpus_day probes broadcast the delta: the corpus is " +
     "scanned but never shuffle-joined") {
     val plan = finalPlan(SparkEntry.queries("merge_corpus_day")(spark, dir))

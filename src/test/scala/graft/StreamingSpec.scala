@@ -90,6 +90,20 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() == n, "every emitted candle must match batch")
   }
 
+  test("streamCandles (the declared drain-then-read form) equals the " +
+    "batch candle derivation bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStreams.streamCandles(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val want = Tables.candles(spark, dir).collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"declared streaming candles diverged: stream-only=${got -- want}, " +
+        s"batch-only=${want -- got}")
+    // update-mode last-emission dedup must recover EVERY window, not
+    // just the watermark-closed prefix the append test settles for
+    assert(want.size > 100, s"fixture too small: ${want.size} candles")
+  }
+
   test("sliding window emits overlapping per-symbol aggregates") {
     val dir = "/root/testdata/sf0.001"
     runToMemory(

@@ -53,6 +53,24 @@ class ZOrderSpec extends SparkSpec {
     assert(zHit < lHit)
   }
 
+  test("events_zordered (declared) equals the plain 2-D filter on the " +
+    "original events table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("events_zordered")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val want = Tables.table(spark, dir, "events")
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp") &&
+        col("value") >= 100.0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "fixture window must select rows")
+    assert(got == want,
+      s"layout rewrite changed results: z-only=${got -- want}, " +
+        s"plain-only=${want -- got}")
+  }
+
   test("z-ordered rows are exactly the input rows") {
     val grid = for { x <- 0 until 32; y <- 0 until 32 }
       yield (x.toLong, y.toLong)
