@@ -204,22 +204,38 @@ object Tables {
     * distinct corpora can never share an entry), same contract as
     * [[graft.operators.Similarity.cellLayoutFor]].
     */
+  /** Injective catalog/filesystem-safe key for a corpus directory:
+    * sanitized path ([A-Za-z0-9_] — legal in both table identifiers and
+    * file names) plus a 6-byte MD5 of the raw path, so two dirs that
+    * sanitize identically still never share a key. One shared derivation
+    * for every build-once layout fixture ([[bucketedCandlesFor]],
+    * [[zorderedEventsFor]], [[graft.operators.Similarity.cellLayoutFor]]).
+    */
+  def dirKey(d: String): String =
+    d.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString
+
   private val bucketedCandlesCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def bucketedCandlesFor(spark: SparkSession, sfDir: String): String =
-    bucketedCandlesCache.computeIfAbsent(sfDir, d => {
-      // table identifiers allow [A-Za-z0-9_] — sanitize, then suffix a
-      // digest of the raw dir so two dirs never share a table
-      val safe = d.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(6)
-          .map("%02x".format(_)).mkString
-      val tbl = s"candles_bkt_$safe"
-      val path = new java.io.File(
-        "spark-warehouse", s"candles_bkt_$safe").getAbsolutePath
-      writeBucketed(candles(spark, d), tbl, path)
-      tbl
+  def bucketedCandlesFor(spark: SparkSession, sfDir: String): String = {
+    val tbl = bucketedCandlesCache.computeIfAbsent(sfDir, d => {
+      val name = s"candles_bkt_${dirKey(d)}"
+      val path = new java.io.File("spark-warehouse", name).getAbsolutePath
+      writeBucketed(candles(spark, d), name, path)
+      name
     })
+    // the memoized NAME is bound to the in-memory catalog of the session
+    // that built it — after a session stop/rebuild in the same JVM the
+    // new catalog is empty, so re-register (rebuild) rather than hand
+    // back a dangling identifier
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = new java.io.File("spark-warehouse", tbl).getAbsolutePath
+      writeBucketed(candles(spark, sfDir), tbl, path)
+    }
+    tbl
+  }
 
   /** Build-once/read-many fixture for the Z-ORDER layout (the 2-D
     * analog of [[bucketedCandlesFor]]): the events table rewritten
@@ -235,12 +251,8 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def zorderedEventsFor(spark: SparkSession, sfDir: String): String =
     zorderedEventsCache.computeIfAbsent(sfDir, d => {
-      val safe = d.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(6)
-          .map("%02x".format(_)).mkString
       val path = new java.io.File(
-        "spark-warehouse", s"events_z_$safe").getAbsolutePath
+        "spark-warehouse", s"events_z_${dirKey(d)}").getAbsolutePath
       graft.functions.ZOrder.writeZOrdered(
         table(spark, d, "events"), path, "ts", "value", files = 16)
       path

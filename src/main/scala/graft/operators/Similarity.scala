@@ -585,14 +585,11 @@ object Similarity {
       dir: String): String =
     layoutCache.computeIfAbsent(dir, d => {
       // sanitization alone is not injective ("/data/x" and "/data_x"
-      // both map to "_data_x"), so suffix a digest of the raw dir —
-      // two distinct corpora must never share a layout path
-      val safe = d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(6)
-          .map("%02x".format(_)).mkString
+      // both map to "_data_x") — Tables.dirKey suffixes a digest of the
+      // raw dir so two distinct corpora never share a layout path
       val path = new java.io.File(
-        "spark-warehouse", s"ivf_layout_$safe").getAbsolutePath
+        "spark-warehouse", s"ivf_layout_${graft.Tables.dirKey(d)}")
+        .getAbsolutePath
       writeCellPartitioned(graft.Tables.table(spark, d, "embeddings"), path)
       path
     })

@@ -415,6 +415,96 @@ object EventStreams {
     * batch's row per doc wins — so the result is invariant to how the
     * file source splits the drop-folder into batches.
     */
+  // ---- drain-harness plumbing shared by the two declared streaming
+  // drains ([[mergeStreamDay]], [[streamCandles]]) ----
+
+  /** Recursive delete — used only on this object's own tmp harness
+    * dirs, never on data directories. */
+  private def rmTree(f: java.io.File): Unit =
+    if (f.exists) {
+      if (f.isDirectory) f.listFiles.foreach(rmTree)
+      f.delete(): Unit
+    }
+
+  /** A memoized producer-side scratch dir (replay / drop folders),
+    * removed at JVM exit so repeated rounds on a long-lived machine
+    * don't accumulate them in /tmp. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p.toString
+  }
+
+  /** Deterministic per-(query, corpus) run root, DELETED at the start of
+    * every drain: `AvailableNow` over a reused checkpoint would consider
+    * the drop files already processed (zero batches), and stale `out/`
+    * rows would alias the new run's batch ids — so each drain gets a
+    * fresh root at a stable path, bounding disk to ONE run dir per
+    * (query, corpus) instead of one per call (Bench alone makes 4 calls
+    * per query per round). Also removed at JVM exit. The returned result
+    * frame reads this root lazily — consume it before the same query's
+    * next drain; Bench/Verify run queries sequentially, which is exactly
+    * that contract.
+    */
+  private val runRootsRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def freshRunRoot(name: String, key: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-$name-run-$digest")
+    rmTree(root)
+    root.mkdirs()
+    if (runRootsRegistered.add(root.getPath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root)))
+    root.getPath
+  }
+
+  /** The shared drain protocol of the two declared streaming queries:
+    * run an update-mode stream to completion under
+    * `Trigger.AvailableNow` with the per-batch-id upsert sink, resolve
+    * update-mode re-emissions by last-batch-wins per key (the way a real
+    * sink upserts — so the result is invariant to how the file source
+    * splits the drop-folder into batches), and return the drained frame
+    * with `schema`'s columns. A zero-batch drain (empty drop-folder)
+    * returns the typed empty frame instead of failing the sink read.
+    *
+    * State-store partition count is a deployment knob sized to key
+    * cardinality (frozen into the checkpoint at stream start): the
+    * session's 32 is tuned for the batch shuffles, while these fixtures
+    * carry only thousands of keys, where 32 partitions just multiply
+    * per-batch state-commit overhead — size down for the drain, restore
+    * after (queries run sequentially in Bench/Verify; at production
+    * scale this is raised, not lowered).
+    */
+  private def drainUpdateStream(spark: SparkSession, stream: DataFrame,
+      runRoot: String, keyCols: Seq[String], schema: StructType,
+      statePartitions: Int = 8): DataFrame = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      stream.writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$runRoot/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("__batch", lit(batchId))
+            .write.mode("append").parquet(s"$runRoot/out")
+        }
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    if (!new java.io.File(s"$runRoot/out").exists)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val lastEmission = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__batch").desc)
+    spark.read.parquet(s"$runRoot/out")
+      .withColumn("__rn", row_number().over(lastEmission))
+      .filter(col("__rn") === 1)
+      .select(schema.map(f => col(f.name)): _*)
+  }
+
   /** Producer-side drop folder for [[mergeStreamDay]] — built once per
     * (JVM, directory, mod) and memoized, same contract and rationale as
     * [[candleReplayFor]]: writing the day's delta files is the PRODUCER
@@ -427,8 +517,7 @@ object EventStreams {
       mod: Int): String =
     mergeDropCache.computeIfAbsent((dir, mod), { case (d, m) =>
       val docs = graft.Tables.table(spark, d, "documents")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-merge-stream-day").toString
+      val root = scratchDir("graft-merge-stream-day")
       docs.filter(col("doc_id") % m === 0)
         .write.mode("overwrite").parquet(s"$root/drop")
       s"$root/drop"
@@ -444,44 +533,14 @@ object EventStreams {
       .localCheckpoint()
     val delta = docs.filter(col("doc_id") % mod === 0)
     val drop = mergeDropFor(spark, dir, mod)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-merge-stream-day-run").toString
     val stream = spark.readStream.schema(delta.schema).parquet(drop)
-    // Same state-store sizing note as [[streamCandles]]: the session's 32
-    // shuffle partitions are tuned for batch joins; the drain's update-mode
-    // min-aggregate keys on delta doc_ids (thousands here), where 32 state
-    // partitions just multiply per-batch commit overhead. Deployment knob,
-    // frozen into the checkpoint at stream start; raised at real scale.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      mergeStream(stream, state, minJaccard = minJaccard)
-        .writeStream
-        .outputMode(OutputMode.Update)
-        .option("checkpointLocation", s"$root/chk")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("__batch", lit(batchId))
-            .write.mode("append").parquet(s"$root/out")
-        }
-        .start()
-        .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // zero micro-batches (possible only on an empty drop-folder) means
-    // foreachBatch never wrote the sink dir — return the typed empty
-    // result instead of failing the read
-    if (!new java.io.File(s"$root/out").exists)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("status", StringType),
-          StructField("match_id", LongType))))
-    val lastEmission = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("__batch").desc)
-    spark.read.parquet(s"$root/out")
-      .withColumn("__rn", row_number().over(lastEmission))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("status"), col("match_id"))
+    drainUpdateStream(spark,
+      mergeStream(stream, state, minJaccard = minJaccard),
+      freshRunRoot("merge-stream-day", s"$dir#$mod"),
+      keyCols = Seq("doc_id"),
+      schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("status", StringType),
+        StructField("match_id", LongType))))
   }
 
   /** Bounded drain of [[candleStream]] — the declared-query form of the
@@ -514,20 +573,19 @@ object EventStreams {
     * part of that once-per-corpus build.
     */
   private val candleReplayCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
   private def candleReplayFor(spark: SparkSession, dir: String,
       slices: Int): String =
-    candleReplayCache.computeIfAbsent(dir, d => {
+    candleReplayCache.computeIfAbsent((dir, slices), { case (d, n) =>
       val events = graft.Tables.table(spark, d, "events")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-stream-candles").toString
+      val root = scratchDir("graft-stream-candles")
       val mm = events.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
         .head()
       if (!mm.isNullAt(0)) {
         val lo = mm.getTimestamp(0).getTime
         val hi = mm.getTimestamp(1).getTime
-        val step = math.max(1L, (hi - lo) / slices + 1)
-        for (i <- 0 until slices) {
+        val step = math.max(1L, (hi - lo) / n + 1)
+        for (i <- 0 until n) {
           val a = lo + i * step
           events
             .filter(col("ts") >= timestamp_millis(lit(a)) &&
@@ -540,46 +598,15 @@ object EventStreams {
     })
 
   def streamCandles(spark: SparkSession, dir: String, slices: Int = 4,
-      lateness: String = "2 hours"): DataFrame = {
-    val drop = candleReplayFor(spark, dir, slices)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-stream-candles-run").toString
-    val stream = candleStream(eventsStream(spark, drop), lateness)
-    // State-store partition count is a deployment knob sized to key
-    // cardinality (it is frozen into the checkpoint at stream start).
-    // The session's 32 is tuned for the batch shuffles; this fixture has
-    // a few thousand (symbol, hour) keys, where 32 partitions just
-    // multiply per-batch state-commit overhead — size it down for the
-    // drain, restore before returning (queries run sequentially in
-    // Bench/Verify; at production scale this is raised, not lowered).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      stream.writeStream
-        .outputMode(OutputMode.Update)
-        .option("checkpointLocation", s"$root/chk")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("__batch", lit(batchId))
-            .write.mode("append").parquet(s"$root/out")
-        }
-        .start()
-        .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    if (!new java.io.File(s"$root/out").exists)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("symbol", StringType),
-          StructField("ts", TimestampType),
-          StructField("open", DoubleType), StructField("high", DoubleType),
-          StructField("low", DoubleType), StructField("close", DoubleType),
-          StructField("volume", DoubleType))))
-    val lastEmission = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("symbol"), col("ts")).orderBy(col("__batch").desc)
-    spark.read.parquet(s"$root/out")
-      .withColumn("__rn", row_number().over(lastEmission))
-      .filter(col("__rn") === 1)
-      .select(col("symbol"), col("ts"), col("open"), col("high"),
-        col("low"), col("close"), col("volume"))
-  }
+      lateness: String = "2 hours"): DataFrame =
+    drainUpdateStream(spark,
+      candleStream(eventsStream(spark,
+        candleReplayFor(spark, dir, slices)), lateness),
+      freshRunRoot("stream-candles", s"$dir#$slices"),
+      keyCols = Seq("symbol", "ts"),
+      schema = StructType(Seq(StructField("symbol", StringType),
+        StructField("ts", TimestampType),
+        StructField("open", DoubleType), StructField("high", DoubleType),
+        StructField("low", DoubleType), StructField("close", DoubleType),
+        StructField("volume", DoubleType))))
 }

@@ -39,10 +39,13 @@ def main(prev_path, curr_path):
     ptot, prev = qmap(prev_path)
     ctot, curr = qmap(curr_path)
     common = sorted(set(prev) & set(curr))
-    # Clamp prev to half the 10 ms per-query precision floor: a recorded
-    # 0.0 would otherwise drop the query from the ratio map entirely, so
-    # a 0.00 -> X s regression could never reach the outlier table.
-    ratios = {k: curr[k] / max(prev[k], 0.005) for k in common}
+    # Clamp BOTH sides to half the 10 ms per-query precision floor: an
+    # unclamped prev of 0.0 would drop the query from the ratio map (a
+    # 0.00 -> X s regression could never reach the outlier table), and an
+    # unclamped curr of 0.0 would print phantom 0.00x "improvements" for
+    # queries recorded as 0.0 in both rounds while dragging the median
+    # down; symmetric clamping gives those queries ratio 1.0.
+    ratios = {k: max(curr[k], 0.005) / max(prev[k], 0.005) for k in common}
     med = statistics.median(ratios.values()) if ratios else float("nan")
     print(f"### Bench compare: {prev_path} -> {curr_path}\n")
     print(f"- totals: {ptot} s -> {ctot} s "
