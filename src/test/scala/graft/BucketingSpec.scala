@@ -76,6 +76,21 @@ class BucketingSpec extends SparkSpec {
       "bucketed-storage path must reproduce the plain path bit-for-bit")
   }
 
+  test("bucketedCandlesFor re-registers its table when the catalog lost " +
+    "it (memoized name must survive a catalog reset)") {
+    val dir = "/root/testdata/sf0.001"
+    val tbl = Tables.bucketedCandlesFor(spark, dir)
+    val before = spark.table(tbl).count()
+    // simulate the stale-memo hazard: the JVM-wide cache still holds the
+    // name, but the (in-memory) catalog no longer has the table — the
+    // state a session stop/rebuild leaves behind
+    spark.sql(s"DROP TABLE $tbl")
+    val again = Tables.bucketedCandlesFor(spark, dir)
+    assert(again == tbl, "key derivation must be deterministic")
+    assert(spark.table(again).count() == before,
+      "the fixture must rebuild, not hand back a dangling identifier")
+  }
+
   test("date-partitioned writes prune partitions at scan (sorted-index analog)") {
     // the 100 TB analog of the reference's sorted-index `.loc[start:end]`
     // slice: date-partitioned parquet + Catalyst partition pruning reads
