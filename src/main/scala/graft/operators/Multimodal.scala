@@ -197,9 +197,61 @@ object Multimodal {
   def patternSample(mediaId: Long, i: Int): Int =
     (((mediaId * 31 + i.toLong * 7) % 2001) - 1000).toInt
 
+  /** The JDK's audio codec providers, resolved ONCE per JVM.
+    *
+    * `AudioSystem.getAudioInputStream`/`AudioSystem.write` re-resolve
+    * their provider list through `JDK13Services.getProviders` on EVERY
+    * call — a `static synchronized` ServiceLoader scan that serializes
+    * every decode thread in the JVM. On local[32] that lock convoy made
+    * the audio path SUPER-linear (measured 14.6× for 10× clips at the
+    * /tmp/sf1 checkpoint) while the equally-real ImageIO paths scale
+    * linearly off ImageIO's cached registry. Resolving the providers
+    * once and invoking them directly keeps the REAL JDK codec — same
+    * parser, same bytes — without the global lock; at cluster scale the
+    * same convoy would serialize every core of an executor.
+    * (Empty provider lists can't happen on a stock JDK, but the users
+    * below fall back to the `AudioSystem` entry points if so.)
+    */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ListBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toList
+  }
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileWriter] = None
+    while (found.isEmpty && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = Some(w)
+    }
+    found
+  }
+
+  /** [[AudioSystem.getAudioInputStream]] minus the per-call provider
+    * re-resolution: try each cached reader, first parse wins. */
+  private def readAudio(payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    val readers = audioReaders
+    if (readers.isEmpty)
+      return Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload)))
+    readers.iterator.flatMap { r =>
+      try Some(r.getAudioInputStream(new ByteArrayInputStream(payload)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }.nextOption()
+  }
+
   /** Encode a [[patternSample]] signal as a REAL RIFF/WAV payload through
-    * the JDK codec (`AudioSystem.write`, PCM_SIGNED 16-bit mono LE —
-    * lossless, so decode recovers the samples bit-exactly).
+    * the JDK codec (the cached WAVE `AudioFileWriter` provider,
+    * PCM_SIGNED 16-bit mono LE — lossless, so decode recovers the
+    * samples bit-exactly).
     */
   def encodeWav(mediaId: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
     val pcm = new Array[Byte](nSamples * 2)
@@ -215,8 +267,12 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter match {
+      case Some(w) =>
+        w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
   }
 
@@ -244,9 +300,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { m =>
-        try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new ByteArrayInputStream(m.payload))
+        try readAudio(m.payload).flatMap { ais =>
           val fmt = ais.getFormat
           if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
           else {
