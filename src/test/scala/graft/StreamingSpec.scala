@@ -102,6 +102,14 @@ class StreamingSpec extends SparkSpec {
     // update-mode last-emission dedup must recover EVERY window, not
     // just the watermark-closed prefix the append test settles for
     assert(want.size > 100, s"fixture too small: ${want.size} candles")
+    // the drain reuses ONE deterministic run root per (query, corpus),
+    // wiped at the start of each call — a second drain must rebuild a
+    // fresh checkpoint + sink and reproduce the same answer, not replay
+    // a stale one (the consume-before-next-drain contract Bench/Verify
+    // run under)
+    val again = EventStreams.streamCandles(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(again == want, "second drain over the reused run root diverged")
   }
 
   test("sliding window emits overlapping per-symbol aggregates") {
