@@ -1881,7 +1881,8 @@ object SparkEntry {
          |  FROM rets WHERE r IS NOT NULL GROUP BY symbol)
          |SELECT symbol, n_returns,
          |  round(s / n_returns, 10) AS mean_return,
-         |  CASE WHEN (sq - s * s / n_returns) / (n_returns - 1.0) > 0.0
+         |  CASE WHEN n_returns > 1
+         |    AND (sq - s * s / n_returns) / (n_returns - 1.0) > 0.0
          |    THEN round((s / n_returns) /
          |      sqrt((sq - s * s / n_returns) / (n_returns - 1.0)), 6)
          |  END AS sharpe

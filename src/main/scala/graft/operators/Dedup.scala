@@ -600,6 +600,18 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
       bands: Int = 4, bandBits: Int = 15): DataFrame = {
+    // enforce the documented preconditions instead of silently returning
+    // partial recall: maxHamming >= bands can put one differing bit in
+    // EVERY band (no shared slice — the pair is never a candidate), and
+    // bands*bandBits beyond the 60-bit fingerprint makes high bands all
+    // key 0 (an O(n^2) mega-bucket). Same contract style as
+    // fuzzyMatchPairs' require(bands > maxDist).
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for the " +
+        "pigeonhole recall guarantee")
+    require(bands * bandBits <= 60,
+      s"bands*bandBits (${bands * bandBits}) must cover at most the " +
+        "60-bit simhash")
     val fp = simhashFingerprints(docs)
     val mask = (1L << bandBits) - 1
     val banded = fp
@@ -798,10 +810,14 @@ object Dedup {
     *
     *   (doc_id, change)   change = 'added' | 'removed' | 'changed'
     *
-    * 'changed' compares md5 content fingerprints, so a rewritten doc
-    * that kept its id is distinguished from add/remove churn.
-    * Unchanged docs emit nothing — at 100 TB the output is churn-sized,
-    * not corpus-sized.
+    * 'changed' compares md5 fingerprints of the RAW text — deliberately
+    * BYTE-exact, unlike the dedup family's md5(normText(...)) content
+    * fingerprint: an audit must surface every published-byte difference
+    * (a case or whitespace edit changes what ships), even ones the
+    * dedup normalizer would collapse — so a doc the merge classifies as
+    * an exact duplicate can still legitimately appear here as
+    * 'changed'. Unchanged docs emit nothing — at 100 TB the output is
+    * churn-sized, not corpus-sized.
     *
     * Scale: each side collapses to (doc_id, fingerprint) — 24 B/row —
     * BEFORE the full-outer join, so document text never crosses an

@@ -117,7 +117,12 @@ object Multimodal {
     media.mapPartitions { rows =>
       noDiskCache()
       rows.flatMap { m =>
-        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        // ImageIO.read returns null only for UNRECOGNIZED formats; a
+        // recognized-but-corrupt payload (PNG truncated mid-IDAT) makes
+        // the format reader THROW — catch it so one bad blob drops one
+        // row, not the task (the drop contract the scaladoc promises)
+        val img = try ImageIO.read(new ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
         if (img == null) None
         else {
           val w = img.getWidth
@@ -151,7 +156,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       noDiskCache()
       rows.flatMap { m =>
-        val img = ImageIO.read(new ByteArrayInputStream(m.payload))
+        // same corrupt-payload drop contract as [[decodeImages]]
+        val img = try ImageIO.read(new ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
         if (img == null) None
         else {
           val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
@@ -462,17 +469,27 @@ object Multimodal {
         val p = m.payload
         if (p.length < 8 || p(0) != 'F' || p(1) != 'P' || p(2) != 'V' ||
           p(3) != '1') Nil
-        else {
+        else try {
           val in = new java.io.DataInputStream(new ByteArrayInputStream(p))
           in.skipBytes(4)
+          // every length field is ADVERSARIAL input on an opaque binary
+          // column: a truncated container (readInt/readFully past the
+          // end) or a hostile frame length (negative, or larger than
+          // the remaining bytes) must yield no rows for THIS payload —
+          // never an EOFException/NegativeArraySizeException/OOM that
+          // kills the task (the drop contract of the scaladoc).
           val nFrames = in.readInt()
-          (0 until nFrames).flatMap { f =>
+          if (nFrames < 0 || nFrames > p.length) Nil
+          else (0 until nFrames).flatMap { f =>
             val len = in.readInt()
+            if (len < 0 || len > in.available())
+              throw new java.io.EOFException("frame length past payload end")
             if (f % stride != 0) { in.skipBytes(len); Nil }
             else {
               val buf = new Array[Byte](len)
               in.readFully(buf)
-              val img = ImageIO.read(new ByteArrayInputStream(buf))
+              val img = try ImageIO.read(new ByteArrayInputStream(buf))
+                catch { case _: java.io.IOException => null }
               if (img == null) Nil
               else {
                 val w = img.getWidth; val h = img.getHeight
@@ -488,7 +505,7 @@ object Multimodal {
               }
             }
           }
-        }
+        } catch { case _: java.io.IOException => Nil }
       }
     }
   }

@@ -187,7 +187,22 @@ object Similarity {
     // positionally); on a ragged corpus a first-row probe can under-size
     // the hyperplanes, which only costs LSH candidate recall — the
     // exact-decimal verification step keeps every emitted pair correct.
-    val dim = embeddings.select(size(vec(col("embedding")))).head().getInt(0)
+    // headOption: an EMPTY corpus has no pairs — return the typed empty
+    // frame instead of letting head() throw NoSuchElementException at
+    // plan-build time (every other operator here degrades the same way).
+    val dimRow = embeddings.select(size(vec(col("embedding")))).head(1)
+    if (dimRow.isEmpty)
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec_b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType))))
+    val dim = dimRow.head.getInt(0)
     val hplanes = spark.range(planes.toLong)
       .select(col("id").cast("int").as("plane"),
         transform(sequence(lit(0), lit(dim - 1)), d =>

@@ -252,9 +252,12 @@ object TradingOps {
       .withColumn("loss", greatest(-col("diff"), lit(0.0)))
       .withColumn("sg", dsum(col("gain")))
       .withColumn("sl", dsum(col("loss")))
+      // head rows (diff NULL) take the sl===0 branch to 100.0: greatest
+      // skips nulls, so gain/loss — and the frame sums — are never NULL
+      // (pinned by TradingOpsSpec; matches the reference's zero-seeded
+      // rolling means rather than pandas min_periods NULLs)
       .select(col("symbol"), col("ts"), col("close"),
-        when(col("sg").isNull, lit(null).cast(DoubleType))
-          .when(col("sl") === 0.0, lit(100.0))
+        when(col("sl") === 0.0, lit(100.0))
           .otherwise(round(lit(100.0) -
             lit(100.0) / (lit(1.0) + col("sg") / col("sl")), 6))
           .as("rsi"))
@@ -490,9 +493,16 @@ object TradingOps {
           .as("sq"))
     base
       .withColumn("mean_r", col("s") / col("n_returns"))
+      // n_returns > 1 guards the n−1 division like [[bollingerBands]]'
+      // cnt > 1 does: at n_returns = 1 the identity divides by zero, and
+      // because sq is the DECIMAL-rounded r² while s·s is the raw double
+      // square, the numerator is ±~1e-18 rather than exactly 0 — var_r
+      // would be ±Infinity and +Inf would FABRICATE sharpe = 0.0 instead
+      // of the NULL a one-return symbol must report
       .withColumn("var_r",
-        (col("sq") - col("s") * col("s") / col("n_returns")) /
-          (col("n_returns") - lit(1.0)))
+        when(col("n_returns") > 1,
+          (col("sq") - col("s") * col("s") / col("n_returns")) /
+            (col("n_returns") - lit(1.0))))
       .select(col("symbol"), col("n_returns"),
         round(col("mean_r"), 10).as("mean_return"),
         when(col("var_r") > 0.0,
