@@ -60,13 +60,64 @@ object Similarity {
   private def simOrZero(dot: Column, normProd: Column): Column =
     when(normProd > 0, dot / normProd).otherwise(lit(0.0))
 
+  /** The two-phase top-k core shared by [[annTopK]] and [[annTopKIvf]].
+    *
+    * Phase 1 — per-(query, input partition) pruning over KEYS ONLY:
+    * `scoredKeys` carries exactly (q_id, vec_id, simd), with the cheap
+    * double score computed MAP-SIDE where the arrays live, so the
+    * window's (q_id, pid) exchange ships ~32 B/row — never the
+    * dim-sized vectors. (The prior form selected q_vec AND embedding
+    * through this exchange: at corpus scale that shipped 2·dim·8 bytes
+    * × q·N over the network, contradicting the no-corpus-shuffle
+    * claim; the r10 review caught it.) Kept: the double top-k per
+    * partition plus every row within 1e-6 of the partition's k-th
+    * double sim. Double and exact-decimal cosines agree to ~1e-13, so
+    * any row in the true decimal top-k either ranks ≤ k by double, or
+    * sits ≤ 2e-13 below the k-th double sim — far inside the margin;
+    * pruning can never drop a true result.
+    *
+    * Phase 2 — the O(q·k·P) survivors are BROADCAST back onto the
+    * vector frames to re-attach the arrays (the corpus-side fetch is a
+    * broadcast hash join: exchange-free, a second column-pruned scan
+    * instead of an array shuffle), then exact-decimal rescoring and the
+    * global per-query rank decide; emitted sims are always the
+    * decimal-exact values.
+    */
+  private def twoPhaseTopK(scoredKeys: DataFrame, corpusVecs: DataFrame,
+      queryVecs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("simd").desc, col("vec_id"))
+    val survivors = scoredKeys
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prn", row_number().over(w))
+      .withColumn("kth", nth_value(col("simd"), k).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("prn") <= k ||
+        col("simd") >= coalesce(col("kth") - lit(1e-6),
+          lit(Double.NegativeInfinity)))
+      .select(col("q_id"), col("vec_id"))
+    broadcast(survivors)
+      .join(corpusVecs, Seq("vec_id"))
+      .join(broadcast(queryVecs), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        simOrZero(dotDecimal(col("q_vec"), col("embedding")),
+          col("q_norm") * col("c_norm")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest corpus vectors (vec_id ≥ nQueries).
     *
-    * Two-phase top-k: phase 1 keeps k per (query, input partition) —
-    * map-side, no data movement beyond k·P rows; phase 2 ranks the tiny
+    * Two-phase top-k ([[twoPhaseTopK]]): phase 1 keeps k per (query,
+    * input partition) on a keys-only exchange; phase 2 ranks the tiny
     * survivor set globally. Result is identical to the naive single
-    * window but shuffles O(q·k·P) instead of O(q·N).
+    * window but the only corpus-sized movement is ~32 B/row of keys —
+    * the embedding arrays never leave their scan partitions.
     */
   def annTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
@@ -77,40 +128,11 @@ object Similarity {
     val corpus = embeddings.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("embedding"),
         sqrt(normSqDecimal(col("embedding"))).as("c_norm"))
-    // Phase 1 — CHEAP double scoring of every (query, candidate) pair,
-    // then per-input-partition pruning: keep the double top-k plus every
-    // row within 1e-6 of the partition's k-th double sim. Double and
-    // exact-decimal cosines agree to ~1e-13, so any row in the true
-    // decimal top-k either ranks ≤ k by double, or sits ≤ 2e-13 below
-    // the k-th double sim — far inside the margin; pruning can never
-    // drop a true result. Decimal work then touches only O(q·k·P)
-    // survivors instead of the whole corpus.
-    val w = Window.partitionBy(col("q_id"), col("pid"))
-      .orderBy(col("simd").desc, col("vec_id"))
-    val scored = corpus.crossJoin(queries)
-      .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"),
-        col("q_norm"), col("c_norm"),
+    val scoredKeys = corpus.crossJoin(queries)
+      .select(col("q_id"), col("vec_id"),
         simOrZero(dotDouble(col("q_vec"), col("embedding")),
           col("q_norm") * col("c_norm")).as("simd"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("prn", row_number().over(w))
-      .withColumn("kth", nth_value(col("simd"), k).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("prn") <= k ||
-        col("simd") >= coalesce(col("kth") - lit(1e-6),
-          lit(Double.NegativeInfinity)))
-    // Phase 2 — exact-decimal rescoring + global ranking of the tiny
-    // survivor set; emitted sims are always the decimal-exact values.
-    scored
-      .select(col("q_id"), col("vec_id"),
-        simOrZero(dotDecimal(col("q_vec"), col("embedding")),
-          col("q_norm") * col("c_norm")).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank"),
-        round(col("sim"), 6).as("sim"))
+    twoPhaseTopK(scoredKeys, corpus, queries, k)
   }
 
   /** Near-duplicate embedding pairs above a cosine threshold, blocked by
@@ -437,43 +459,35 @@ object Similarity {
         col("cell"))
     // each query probes its nprobe best cells (query side is tiny) —
     // decimal csim ranking, ties to the smaller cell, mirroring
-    // annTopKFromLayout so stored-index and in-memory probes agree
-    val probes = withNorm.filter(col("vec_id") < nQueries)
+    // annTopKFromLayout so stored-index and in-memory probes agree.
+    // The rank window exchanges (q_id, c_label, csim) KEYS ONLY; the
+    // query vectors re-attach by broadcast after the nprobe filter, so
+    // no exchange in the whole query carries an array (PlanShapeSpec
+    // pins this for both ANN forms).
+    val queryVecs = withNorm.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
         col("nrm").as("q_norm"))
+    val probes = queryVecs
       .crossJoin(broadcast(cents))
-      .select(col("q_id"), col("q_vec"), col("q_norm"), col("c_label"),
+      .select(col("q_id"), col("c_label"),
         simOrZero(dotDecimal(col("q_vec"), col("cvec")),
           col("q_norm") * sqrt(normSqDecimal(col("cvec")))).as("csim"))
       .withColumn("crank", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("csim").desc, col("c_label"))))
       .filter(col("crank") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("q_norm"),
-        col("c_label").as("cell"))
-    // candidate scoring over the probed cells only — two-phase like annTopK
-    val w = Window.partitionBy(col("q_id"), col("pid"))
-      .orderBy(col("simd").desc, col("vec_id"))
-    corpus.join(broadcast(probes), Seq("cell"))
-      .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"),
-        col("q_norm"), col("nrm"),
+      .select(col("q_id"), col("c_label").as("cell"))
+      .join(broadcast(queryVecs), Seq("q_id"))
+    // candidate scoring over the probed cells only — the shared
+    // keys-only two-phase core ([[twoPhaseTopK]]); the probed subset's
+    // arrays stay in their scan partitions, exactly like annTopK's
+    val scoredKeys = corpus.join(broadcast(probes), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
         simOrZero(dotDouble(col("q_vec"), col("embedding")),
           col("q_norm") * col("nrm")).as("simd"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("prn", row_number().over(w))
-      .withColumn("kth", nth_value(col("simd"), k).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("prn") <= k ||
-        col("simd") >= coalesce(col("kth") - lit(1e-6),
-          lit(Double.NegativeInfinity)))
-      .select(col("q_id"), col("vec_id"),
-        simOrZero(dotDecimal(col("q_vec"), col("embedding")),
-          col("q_norm") * col("nrm")).as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank"),
-        round(col("sim"), 6).as("sim"))
+    twoPhaseTopK(scoredKeys,
+      corpus.select(col("vec_id"), col("embedding"),
+        col("nrm").as("c_norm")),
+      queryVecs, k)
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus (one

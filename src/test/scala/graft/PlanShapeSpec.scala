@@ -348,6 +348,28 @@ class PlanShapeSpec extends SparkSpec {
       s"props must be pruned from the z-ordered read schema:\n$plan")
   }
 
+  test("ann_topk / ann_topk_ivf: no shuffle ever carries an embedding " +
+    "array — phase-1 pruning exchanges keys only") {
+    // the formatted explain prints each Exchange block with its Input
+    // column list; at corpus scale an array column riding the q·N-row
+    // phase-1 exchange ships 2·dim·8 bytes per row (the r10 review
+    // finding) — pin that every Exchange input is scalar-only
+    for (n <- Seq("ann_topk", "ann_topk_ivf")) {
+      val plan = SparkEntry.queries(n)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      val blocks = plan.split("\\n\\n")
+        .filter(b => b.linesIterator.nextOption()
+          .exists(h => h.matches("\\(\\d+\\) Exchange.*")))
+      assert(blocks.nonEmpty, s"$n lost its exchanges?\n$plan")
+      blocks.foreach { b =>
+        assert(!b.contains("embedding#") && !b.contains("q_vec#") &&
+          !b.contains("cvec#"),
+          s"$n ships a vector array through an Exchange:\n$b")
+      }
+    }
+  }
+
   test("merge_corpus_day probes broadcast the delta: the corpus is " +
     "scanned but never shuffle-joined") {
     val plan = finalPlan(SparkEntry.queries("merge_corpus_day")(spark, dir))
