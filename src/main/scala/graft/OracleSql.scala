@@ -975,7 +975,9 @@ object OracleSql {
 
   /** Sliding-window chunking (mirrors TextAnalysis.chunkDocuments):
     * start positions every `size − overlap` tokens via range(0, n,
-    * stride), chunk = 1-based clamped list slice joined with spaces.
+    * stride), chunk = 1-based clamped list slice joined with spaces; a
+    * trailing start within the previous chunk's overlap region is
+    * dropped (its chunk would be fully contained in the previous one).
     */
   def chunkDocuments(size: Int, overlap: Int): String = {
     val stride = size - overlap
@@ -987,7 +989,8 @@ object OracleSql {
        |  CAST(start AS BIGINT) AS start_token,
        |  CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
        |  array_to_string(ct, ' ') AS chunk_text
-       |FROM (SELECT doc_id, start, t[start+1:start+$size] AS ct FROM s)""".stripMargin
+       |FROM (SELECT doc_id, start, t[start+1:start+$size] AS ct FROM s
+       |      WHERE start = 0 OR len(t) - start > $overlap)""".stripMargin
   }
 
   /** DSIR-lite importance weights (mirrors TextAnalysis.dsirWeights):

@@ -78,7 +78,15 @@ object DecimalDotProduct {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val p = JBigDecimal.valueOf(a.getDouble(i) * b.getDouble(i))
+      val prod = a.getDouble(i) * b.getDouble(i)
+      // a NaN/Infinite product (bad embedding row, or finite inputs
+      // overflowing to Infinity) has no decimal value: the lambda form
+      // this is bit-identical to casts it to DECIMAL as null (non-ANSI)
+      // and the null poisons the sum — return null, never throw
+      // NumberFormatException from BigDecimal.valueOf into the executor
+      if (java.lang.Double.isNaN(prod) || java.lang.Double.isInfinite(prod))
+        return null
+      val p = JBigDecimal.valueOf(prod)
         .setScale(18, java.math.RoundingMode.HALF_UP)
       acc = acc.add(p)
       i += 1

@@ -38,9 +38,16 @@ object GraftFunctions {
         "md5_base60", exprs => Md5Base60(exprs.head), "built-in")
     }
     // In-process route for the optimizer rule (the extensions config only
-    // applies at session build): idempotent append via contains-check.
+    // applies at session build): idempotent append via contains-check —
+    // against BOTH routes: a session built with GraftExtensions already
+    // carries the rule via injectOptimizerRule (visible in the
+    // optimizer's extended rules, NOT in extraOptimizations), and
+    // appending it again would run the rewrite twice per optimization.
     val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(graft.plans.BandedLevenshteinRule))
+    val alreadyInjected = spark.sessionState.optimizer
+      .extendedOperatorOptimizationRules
+      .contains(graft.plans.BandedLevenshteinRule)
+    if (!alreadyInjected && !extra.contains(graft.plans.BandedLevenshteinRule))
       spark.experimental.extraOptimizations =
         extra :+ graft.plans.BandedLevenshteinRule
   }

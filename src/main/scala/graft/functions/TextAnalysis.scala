@@ -118,8 +118,11 @@ object TextAnalysis {
     * versioning (no RNG, no sampleBy seed drift across runs).
     */
   def trainValSplit(docs: DataFrame, trainPct: Int = 90): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-      16, 10).cast("long") % 100
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // md5_base60 ≡ conv(substring(md5(s),1,15),16,10) fused (SimHash
+    // .scala) — value-identical, so the oracle keeps the chained form
+    val bucket =
+      call_function("md5_base60", col("doc_id").cast("string")) % 100
     docs.select(col("doc_id"), col("lang"),
       when(bucket < trainPct, "train").otherwise("val").as("split"))
   }
@@ -179,9 +182,9 @@ object TextAnalysis {
     */
   def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
       defaultPct: Int): DataFrame = {
-    val bucket = conv(substring(
-      md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 15),
-      16, 10).cast("long") % 100
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bucket = call_function("md5_base60",
+      concat(lit("strat:"), col("doc_id").cast("string"))) % 100
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
       case (acc, (lang, pct)) => when(col("lang") === lang, lit(pct)).otherwise(acc)
     }
@@ -342,9 +345,9 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, budgetTokens: Long = 512,
       nShards: Int = 4): DataFrame = {
-    val shard = conv(substring(
-      md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 15),
-      16, 10).cast("long") % nShards
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val shard = call_function("md5_base60",
+      concat(lit("pack:"), col("doc_id").cast("string"))) % nShards
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -767,6 +770,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("t"),
         posexplode(sequence(lit(0), size_(col("t")) - 1, lit(stride)))
           .as(Seq("chunk_idx", "start")))
+      // a trailing start inside the previous chunk's overlap region
+      // (n − start ≤ overlap) would emit a chunk whose every token the
+      // previous chunk already covers — a fully redundant retrieval
+      // unit. The condition is monotone in start, so only a tail suffix
+      // drops and chunk_idx stays consecutive.
+      .filter(col("start") === 0 ||
+        size_(col("t")) - col("start") > overlap)
       .select(col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
         col("start").cast("long").as("start_token"),

@@ -62,19 +62,26 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, path: String, colX: String, colY: String,
       files: Int, bits: Int = 16): Unit = {
+    // reserved-prefix internal names: a user column named "xlo" (or a
+    // prior "__z") must neither collide ambiguously at the join nor be
+    // silently replaced-and-dropped from the written data
+    require(!df.columns.exists(_.startsWith("__zorder_")),
+      "__zorder_ is reserved for layout computation")
     val bounds = df.agg(
-      min(col(colX)).cast("double").as("xlo"),
-      max(col(colX)).cast("double").as("xhi"),
-      min(col(colY)).cast("double").as("ylo"),
-      max(col(colY)).cast("double").as("yhi"))
+      min(col(colX)).cast("double").as("__zorder_xlo"),
+      max(col(colX)).cast("double").as("__zorder_xhi"),
+      min(col(colY)).cast("double").as("__zorder_ylo"),
+      max(col(colY)).cast("double").as("__zorder_yhi"))
     df.crossJoin(broadcast(bounds))
-      .withColumn("__z", interleaveBits(
-        rangeBucket(col(colX), col("xlo"), col("xhi"), bits),
-        rangeBucket(col(colY), col("ylo"), col("yhi"), bits), bits))
-      .drop("xlo", "xhi", "ylo", "yhi")
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+      .withColumn("__zorder_z", interleaveBits(
+        rangeBucket(col(colX), col("__zorder_xlo"), col("__zorder_xhi"),
+          bits),
+        rangeBucket(col(colY), col("__zorder_ylo"), col("__zorder_yhi"),
+          bits), bits))
+      .drop("__zorder_xlo", "__zorder_xhi", "__zorder_ylo", "__zorder_yhi")
+      .repartitionByRange(files, col("__zorder_z"))
+      .sortWithinPartitions("__zorder_z")
+      .drop("__zorder_z")
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -63,11 +63,24 @@ object EventStreams {
       try spark.read.parquet(probePath).schema("ts").dataType
       catch { case _: org.apache.spark.sql.AnalysisException =>
         TimestampType }
-    val raw = spark.readStream
+    // ingest ONLY what the probe saw — streaming the bare SF directory
+    // would ingest every OTHER table's parquet as all-null events-schema
+    // rows (and scan ~10× the bytes). FileStreamSource requires a
+    // DIRECTORY basePath ("Option 'basePath' must be a directory"), so:
+    //  - events.parquet is a single file (driver testdata): stream the
+    //    parent dir with a pathGlobFilter pinning the listing to it;
+    //  - events.parquet is a Spark-written table DIRECTORY: stream that
+    //    directory itself (glob on the leaf would miss its part files);
+    //  - neither (drop-folder of bare event files): stream the folder.
+    val reader = spark.readStream
       .schema(StructType(eventsRawSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = physicalTs) else f)))
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val raw =
+      if (eventsFile.isFile)
+        reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+      else if (eventsFile.isDirectory) reader.parquet(eventsFile.getPath)
+      else reader.parquet(dir)
     physicalTs match {
       case LongType => // ns-as-long generation: µs-aligned, div is lossless
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -321,8 +334,14 @@ object EventStreams {
           val out = scala.collection.mutable.ArrayBuffer.empty[StreamPosition]
           rows.toSeq.sortBy(_.ts.getTime).foreach { t =>
             val recent = (t.close :: st.recent).take(longN)
-            val s = recent.take(shortN).sum / math.min(recent.size, shortN)
-            val l = recent.sum / recent.size
+            // oldest-first accumulation: the batch reference's window avg
+            // adds frame rows in row order, and double addition is
+            // non-associative — summing the ring newest-first could flip
+            // a crossover decided in the last ULP even with perfectly
+            // in-order arrival
+            val s = recent.take(shortN).reverseIterator.sum /
+              math.min(recent.size, shortN)
+            val l = recent.reverseIterator.sum / recent.size
             if (st.seeded) {
               if (!st.inPos && st.prevShort <= st.prevLong && s > l &&
                   st.budget >= perTrade) {

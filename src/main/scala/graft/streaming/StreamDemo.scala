@@ -18,7 +18,12 @@ object StreamDemo {
       .writeStream.outputMode("append").format("memory")
       .queryName("candles_stream")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    // awaitTermination(timeout) returns false when the drain is STILL
+    // RUNNING — counting the memory sink then would silently understate
+    // the result this smoke exists to compare; fail loudly instead
+    val drained = q.awaitTermination(300000)
+    require(drained, "streaming drain did not finish within 300 s — " +
+      "memory-sink counts would be partial")
     val streamed = spark.table("candles_stream").count()
     val batch = graft.Tables.candles(spark, dir).count()
     println(s"""{"streamed_candles":$streamed,"batch_candles":$batch}""")

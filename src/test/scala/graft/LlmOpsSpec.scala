@@ -714,12 +714,26 @@ class LlmOpsSpec extends SparkSpec {
         r.getString(4)))
       .sortBy(t => (t._1, t._2)).toSeq
     // stride 3 → starts 0,3,6,9; overlap token shared between neighbors;
-    // last chunk truncates at the doc end; whitespace-only doc vanishes
+    // start=9 leaves only "j" (10−9 = 1 ≤ overlap), fully contained in
+    // the previous chunk "g h i j" → dropped; whitespace-only doc vanishes
     assert(got == Seq(
       (1L, 0L, 0L, 4L, "a b c d"),
       (1L, 1L, 3L, 4L, "d e f g"),
-      (1L, 2L, 6L, 4L, "g h i j"),
-      (1L, 3L, 9L, 1L, "j")))
+      (1L, 2L, 6L, 4L, "g h i j")))
+  }
+
+  test("chunkDocuments keeps a truncated tail that adds new tokens") {
+    // 11 tokens: start=9 leaves "j k" (11−9 = 2 > overlap 1) — token k is
+    // new, so the truncated tail chunk must survive the redundancy filter
+    val df = docs(1L -> "a b c d e f g h i j k")
+    val got = TextAnalysis.chunkDocuments(df, size = 4, overlap = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 0L, 4L, "a b c d"),
+      (1L, 3L, 4L, "d e f g"),
+      (2L, 6L, 4L, "g h i j"),
+      (3L, 9L, 2L, "j k")))
   }
 
   test("dsirWeights: target-like docs outweigh off-target; no-bigram doc " +
