@@ -112,6 +112,36 @@ class StreamingSpec extends SparkSpec {
     assert(again == want, "second drain over the reused run root diverged")
   }
 
+  test("eventsStream serves all three source layouts: single-file table, " +
+    "Spark-written table directory, bare drop-folder") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val n = batch.count()
+    def drained(dir: String, name: String): Long = {
+      runToMemory(EventStreams.eventsStream(spark, dir)
+        .select(col("event_id")), name, "append")
+      spark.table(name).count()
+    }
+    // 1. driver layout: dir/events.parquet is a single FILE — the stream
+    // must scope its listing to it (other tables' parquet in the same
+    // dir would otherwise surface as all-null events rows)
+    assert(drained(sfDir, "evsrc_file") == n)
+    // 2. Spark-written layout: dir/events.parquet is a DIRECTORY of part
+    // files (a leaf-name glob would list zero of them)
+    val asDir = java.nio.file.Files
+      .createTempDirectory("graft-evdir").toString
+    batch.repartition(3).write.mode("overwrite")
+      .parquet(s"$asDir/events.parquet")
+    assert(drained(asDir, "evsrc_dir") == n)
+    // 3. drop-folder: bare part files, no events.parquet entry at all
+    val drop = java.nio.file.Files
+      .createTempDirectory("graft-evdrop").toString
+    batch.repartition(2).write.mode("overwrite").parquet(drop)
+    // Spark leaves _SUCCESS etc. alongside; the stream must still read
+    // only parquet data files
+    assert(drained(drop, "evsrc_drop") == n)
+  }
+
   test("sliding window emits overlapping per-symbol aggregates") {
     val dir = "/root/testdata/sf0.001"
     runToMemory(
