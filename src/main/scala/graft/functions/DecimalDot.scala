@@ -13,13 +13,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `aggregate(zip_with(...))` lambda pipeline, which Spark evaluates
   * interpreted with per-element Decimal boxing (measured ~4× slower).
   *
-  * Arithmetic is BIT-IDENTICAL to the lambda form and to the DuckDB
-  * oracle's `list_sum(list_transform(...))` over DECIMAL(19,18): each
-  * product is the IEEE double a(i)·b(i), converted via
-  * `BigDecimal.valueOf` (Spark's own double→decimal cast semantics) and
-  * rounded HALF_UP to scale 18, then summed exactly and returned as the
-  * nearest double. Null inputs or length mismatch yield null, matching
-  * `zip_with`'s null padding poisoning the sum.
+  * Arithmetic is BIT-IDENTICAL to the lambda form and — for FINITE
+  * products — to the DuckDB oracle's `list_sum(list_transform(...))`
+  * over DECIMAL(19,18): each product is the IEEE double a(i)·b(i),
+  * converted via `BigDecimal.valueOf` (Spark's own double→decimal cast
+  * semantics) and rounded HALF_UP to scale 18, then summed exactly and
+  * returned as the nearest double. Null inputs or length mismatch yield
+  * null, matching `zip_with`'s null padding poisoning the sum. A
+  * NaN/Infinite product also yields null — that matches Spark's
+  * non-ANSI double→decimal cast (the lambda form's behavior), but NOT
+  * DuckDB, whose CAST raises on NaN: bad-embedding rows are a
+  * Spark-side-only concern and must be filtered before any
+  * oracle-parity comparison.
   */
 case class DecimalDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -749,7 +749,10 @@ object TextAnalysis {
   /** Sliding-window token chunking with overlap — the RAG/embedding-prep
     * step that turns documents into fixed-size retrieval units: chunks of
     * `size` tokens starting every `size − overlap` tokens, the last chunk
-    * truncated at the document end (standard text-splitter semantics).
+    * truncated at the document end — UNLESS that tail sits entirely
+    * inside the previous chunk's overlap region (`n − start ≤ overlap`),
+    * in which case it is dropped: every one of its tokens is already in
+    * the previous chunk, so it would be a fully redundant retrieval unit.
     * Docs with zero tokens yield zero chunks.
     *
     * Pure per-row array math: the token array materializes once per doc,

@@ -64,8 +64,10 @@ object ZOrder {
       files: Int, bits: Int = 16): Unit = {
     // reserved-prefix internal names: a user column named "xlo" (or a
     // prior "__z") must neither collide ambiguously at the join nor be
-    // silently replaced-and-dropped from the written data
-    require(!df.columns.exists(_.startsWith("__zorder_")),
+    // silently replaced-and-dropped from the written data. Checked
+    // case-insensitively: Spark resolution is case-insensitive by
+    // default, so "__ZORDER_XLO" would collide just the same.
+    require(!df.columns.exists(_.toLowerCase.startsWith("__zorder_")),
       "__zorder_ is reserved for layout computation")
     val bounds = df.agg(
       min(col(colX)).cast("double").as("__zorder_xlo"),

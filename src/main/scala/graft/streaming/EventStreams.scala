@@ -49,20 +49,35 @@ object EventStreams {
     * (the r8 ADVICE asymmetry).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // `dir` is either a full SF directory (probe the events table file —
+    // `dir` is either a full SF directory (probe the events table entry —
     // probing the whole dir would merge non-event table footers that
     // carry no `ts`) or a drop-folder of bare event files (probe it
-    // directly)
-    val eventsFile = new java.io.File(dir, "events.parquet")
-    val probePath = if (eventsFile.exists) eventsFile.getPath else dir
+    // directly). Layout routing goes through the Hadoop FileSystem of
+    // the path, NOT java.io.File: on hdfs://, s3a://, or file:-schemed
+    // paths a local File check answers false for both isFile and
+    // isDirectory and would silently fall into the bare-directory
+    // branch — exactly the cross-table ingestion this routing prevents.
+    val eventsEntry = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val fs = eventsEntry.getFileSystem(spark.sessionState.newHadoopConf())
+    val entryStatus =
+      try Some(fs.getFileStatus(eventsEntry))
+      catch { case _: java.io.FileNotFoundException => None }
+    val probePath =
+      if (entryStatus.isDefined) eventsEntry.toString else dir
     // an EMPTY drop folder (stream started before the producer's first
     // write — the standard ingestion race) has no footer to probe:
     // assume the current MICROS generation, matching the r8 fixed
-    // schema, so stream construction never fails on an empty source
+    // schema, so stream construction never fails on an empty source.
+    // IllegalArgumentException covers the other construction-time
+    // probe failure: a mixed directory whose merged footer lacks `ts`
+    // (schema("ts") throws it) — the stream still starts and any truly
+    // incompatible files fail at scan, same as the batch reader.
     val physicalTs =
       try spark.read.parquet(probePath).schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        TimestampType }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => TimestampType
+        case _: IllegalArgumentException => TimestampType
+      }
     // ingest ONLY what the probe saw — streaming the bare SF directory
     // would ingest every OTHER table's parquet as all-null events-schema
     // rows (and scan ~10× the bytes). FileStreamSource requires a
@@ -76,11 +91,12 @@ object EventStreams {
       .schema(StructType(eventsRawSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = physicalTs) else f)))
       .option("maxFilesPerTrigger", "1")
-    val raw =
-      if (eventsFile.isFile)
+    val raw = entryStatus match {
+      case Some(s) if s.isFile =>
         reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-      else if (eventsFile.isDirectory) reader.parquet(eventsFile.getPath)
-      else reader.parquet(dir)
+      case Some(_) => reader.parquet(eventsEntry.toString)
+      case None => reader.parquet(dir)
+    }
     physicalTs match {
       case LongType => // ns-as-long generation: µs-aligned, div is lossless
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
