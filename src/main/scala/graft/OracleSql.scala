@@ -373,6 +373,59 @@ object OracleSql {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  /** IVF ANN top-k over the GROWN index (mirrors Similarity
+    * .appendedCellLayoutFor + annTopKFromLayout): identical to
+    * [[annTopKIvf]] except the centroid codebook is trained on the BASE
+    * slice only (corpus ids ≢ `rem` mod `mod`) — the append contract is
+    * that delta vectors are assigned by the STORED codebook and the
+    * codebook never moves, so assignment of EVERY corpus vector (base
+    * at build, delta at append) is the one decimal argmax against that
+    * base-trained codebook, and the whole pipeline stays a
+    * deterministic function of the data.
+    */
+  def annTopKIvfAppend(nQ: Int, k: Int, nprobe: Int,
+      mod: Int, rem: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |eb AS (SELECT * FROM e
+       |       WHERE vec_id < $nQ OR vec_id % $mod <> $rem),
+       |x AS (SELECT label, unnest(range(0, len(v))) AS pos, unnest(v) AS val
+       |      FROM eb),
+       |cent AS (SELECT label AS c_label, pos,
+       |    round(CAST(sum(CAST(val AS DECIMAL(28,18))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS centroid
+       |  FROM x GROUP BY 1, 2),
+       |cvecs AS (SELECT c_label, list(centroid ORDER BY pos) AS cvec
+       |          FROM cent GROUP BY 1),
+       |corp AS (SELECT vec_id, v FROM e WHERE vec_id >= $nQ),
+       |assigned AS (SELECT vec_id, cell FROM (
+       |    SELECT c.vec_id, cv.c_label AS cell,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cosineOrZero("c.v", "cv.cvec")} DESC,
+       |          cv.c_label) AS rn
+       |    FROM corp c CROSS JOIN cvecs cv)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $nQ),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT q.q_id, cv.c_label AS cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosineOrZero("q.qv", "cv.cvec")} DESC,
+       |          cv.c_label) AS crn
+       |    FROM q CROSS JOIN cvecs cv)
+       |  WHERE crn <= $nprobe),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id, ${cosineOrZero("q.qv", "c.v")} AS sim
+       |  FROM corp c
+       |  JOIN assigned a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN q ON q.q_id = p.q_id)
+       |SELECT q_id, vec_id, rank, round(sim, 6) AS sim FROM (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** Brute-force cosine top-k: queries vec_id < nQ vs the rest. */
   def annTopK(nQ: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

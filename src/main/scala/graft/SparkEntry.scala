@@ -790,6 +790,16 @@ object SparkEntry {
     "ann_topk_ivf_layout" -> ((s, dir) =>
       Similarity.annTopKFromLayout(s, Similarity.cellLayoutFor(s, dir),
         8, 5, nprobe = 6)),
+    // the GROWN-index probe path: layout built on a 90% base slice,
+    // the held-out 10% ingested via appendToCellLayout against the
+    // STORED codebook (the daily-ingest lifecycle), then probed like
+    // any other layout. Deterministic end-to-end — every vector's cell
+    // is one decimal argmax against the base-trained codebook — so the
+    // oracle replays build + append + probe in SQL
+    // (OracleSql.annTopKIvfAppend)
+    "ann_topk_ivf_append" -> ((s, dir) =>
+      Similarity.annTopKFromLayout(s,
+        Similarity.appendedCellLayoutFor(s, dir), 8, 5, nprobe = 6)),
     // SemDeDup: k-means cells, intra-cell cosine prune, keep lowest id
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.table(s, dir, "embeddings"), 0.3)),
@@ -1796,6 +1806,7 @@ object SparkEntry {
     "ann_topk" -> OracleSql.annTopK(8, 5),
     "ann_topk_ivf" -> OracleSql.annTopKIvf(8, 5, 6),
     "ann_topk_ivf_layout" -> OracleSql.annTopKIvf(8, 5, 6),
+    "ann_topk_ivf_append" -> OracleSql.annTopKIvfAppend(8, 5, 6, 10, 3),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
     "embedding_lsh_neardup" -> OracleSql.srpLshNearDupPairs(32, 8, 0.3),
     "embedding_centroids" -> OracleSql.labelCentroids,

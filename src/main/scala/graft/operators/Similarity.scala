@@ -623,6 +623,37 @@ object Similarity {
       path
     })
 
+  /** Grown-index fixture for the declared append-path query: build the
+    * cell layout from the BASE slice of the corpus (every vector except
+    * corpus ids ≡ `rem` (mod `mod`) — queries stay in the base so the
+    * probe side reads them from the layout), then ingest the held-out
+    * delta through [[appendToCellLayout]] against the STORED codebook —
+    * the daily-ingest lifecycle (build once, append deltas, probe
+    * continuously), memoized per (JVM, corpus) like [[cellLayoutFor]].
+    * Probing this layout is deterministic end-to-end: base vectors were
+    * assigned at build by the base-trained codebook, delta vectors at
+    * append by the SAME stored codebook, so every corpus vector's cell
+    * is the one decimal argmax rule against one codebook — which is
+    * exactly what the shared SQL oracle replays
+    * (OracleSql.annTopKIvfAppend: the IVF oracle with its centroid CTE
+    * trained on the base slice only).
+    */
+  private val appendLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def appendedCellLayoutFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nQueries: Int = 8, mod: Int = 10, rem: Int = 3): String =
+    appendLayoutCache.computeIfAbsent(s"$dir#$nQueries#$mod#$rem", _ => {
+      val path = new java.io.File(
+        "spark-warehouse", s"ivf_append_${graft.Tables.dirKey(dir)}")
+        .getAbsolutePath
+      val all = graft.Tables.table(spark, dir, "embeddings")
+      val isDelta =
+        col("vec_id") >= nQueries && col("vec_id") % mod === rem
+      writeCellPartitioned(all.filter(!isDelta), path)
+      appendToCellLayout(spark, path, all.filter(isDelta))
+      path
+    })
+
   /** Probe-side ANN over a [[writeCellPartitioned]] layout: rank the
     * stored centroids per query (decimal-exact, tiny — |queries|·nlist
     * pairs), keep the top `nprobe` cells, and scan ONLY those cells'

@@ -337,4 +337,21 @@ class BucketingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(unbuilt))
   }
+
+  test("appendedCellLayoutFor (the declared ann_topk_ivf_append fixture) " +
+    "holds the full corpus with a genuinely non-empty appended delta") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val path = graft.operators.Similarity
+      .appendedCellLayoutFor(spark, sfDir)
+    val layout = spark.read.parquet(path)
+    assert(layout.count() == emb.count(),
+      "grown index must hold every corpus vector")
+    val deltaN = emb
+      .filter(col("vec_id") >= 8 && col("vec_id") % 10 === 3).count()
+    assert(deltaN > 0, "fixture must exercise a non-empty append delta")
+    // memoized: a second call must return the same path, not rebuild
+    assert(graft.operators.Similarity
+      .appendedCellLayoutFor(spark, sfDir) == path)
+  }
 }
