@@ -576,6 +576,15 @@ object SparkEntry {
     // stream-static join path, this covers windowed state
     "stream_candles" -> ((s, dir) =>
       streaming.EventStreams.streamCandles(s, dir)),
+    // the stream-STREAM interval-join path under the same gate: two
+    // readers over the time-ordered replay folder, joined on user
+    // within (sig_ts, sig_ts + 30 min], drained with
+    // Trigger.AvailableNow — inner join ⇒ output equals the batch join
+    // row-for-row, so the oracle is plain SQL over events; completes
+    // the streaming-path coverage (stream-static join, windowed state,
+    // join state)
+    "stream_followups" -> ((s, dir) =>
+      streaming.EventStreams.streamFollowups(s, dir)),
 
     // Fixed-point integer PageRank over the customer↔supplier trade
     // graph — iterative-rank workload with a bit-exact unrolled oracle
@@ -1248,6 +1257,20 @@ object SparkEntry {
     // stream ≡ batch: the drained streaming aggregation answers the
     // SAME SQL as the batch candle derivation
     "stream_candles" -> Tables.candlesSql,
+    // stream ≡ batch for the inner interval join: each matched pair
+    // emits exactly once, so the drained stream answers the plain
+    // batch join (cast: DuckDB's TIMESTAMP_NS view needs an explicit
+    // TIMESTAMP before interval arithmetic on some versions)
+    "stream_followups" ->
+      """SELECT s.user_id, s.event_id AS sig_event_id,
+        |  s.ts AS sig_ts, s.value AS sig_value,
+        |  e.event_id, e.ts, e.value
+        |FROM events s JOIN events e
+        |  ON s.user_id = e.user_id
+        |  AND e.ts > s.ts
+        |  AND CAST(e.ts AS TIMESTAMP) <=
+        |      CAST(s.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |WHERE s.value > 100.0""".stripMargin,
     "candles_5m" -> Tables.candlesAtSql(5),
     "candles_1d" -> Tables.candlesAtSql(1440),
 

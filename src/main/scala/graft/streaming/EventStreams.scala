@@ -644,4 +644,70 @@ object EventStreams {
         StructField("open", DoubleType), StructField("high", DoubleType),
         StructField("low", DoubleType), StructField("close", DoubleType),
         StructField("volume", DoubleType))))
+
+  /** Append-mode sibling of [[drainUpdateStream]] for stream-STREAM
+    * joins: an inner interval join emits each matched pair exactly once
+    * (join semantics, not aggregate re-emission), so the drained parquet
+    * needs no last-batch-wins dedup — the read-back IS the result.
+    * Same run-root lifecycle and state-partition sizing.
+    */
+  private def drainAppendStream(spark: SparkSession, stream: DataFrame,
+      runRoot: String, schema: StructType,
+      statePartitions: Int = 8): DataFrame = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$runRoot/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$runRoot/out")
+        }
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    if (!new java.io.File(s"$runRoot/out").exists)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.parquet(s"$runRoot/out")
+      .select(schema.map(f => col(f.name)): _*)
+  }
+
+  /** Declared-query form of the stream-STREAM interval join
+    * ([[signalFollowups]]): the events table replayed as time-ordered
+    * drop-folder slices (the [[streamCandles]] replay fixture, shared),
+    * read by TWO independent stream readers (stream self-joins require
+    * two sources), joined on user within the `(sig_ts, sig_ts + window]`
+    * interval, and drained through a real `StreamingQuery`. Inner join ⇒
+    * every matched pair emits exactly once and the drained output equals
+    * the batch join row-for-row (spec-proven in StreamingSpec) — so the
+    * query shares a plain batch-SQL oracle, putting the join-state
+    * execution path (buffering, interval matching, watermark eviction)
+    * under the driver's bit-exact gate; the merge and candle drains
+    * cover the stream-static and windowed-aggregation paths.
+    *
+    * Lateness (2 h) strictly exceeds the join window (30 min), so no
+    * signal's state is evicted while its followups can still arrive from
+    * a later time-ordered slice — eviction only ever frees state that
+    * can no longer match, which is the bounded-state contract that makes
+    * this join survive an unbounded stream.
+    */
+  def streamFollowups(spark: SparkSession, dir: String, slices: Int = 4,
+      threshold: Double = 100.0, windowMinutes: Int = 30,
+      lateness: String = "2 hours"): DataFrame = {
+    val drop = candleReplayFor(spark, dir, slices)
+    drainAppendStream(spark,
+      signalFollowups(
+        eventsStream(spark, drop), eventsStream(spark, drop),
+        threshold, windowMinutes, lateness),
+      freshRunRoot("stream-followups", s"$dir#$slices#$windowMinutes"),
+      schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("sig_event_id", LongType),
+        StructField("sig_ts", TimestampType),
+        StructField("sig_value", DoubleType),
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+  }
 }

@@ -262,6 +262,34 @@ class StreamingSpec extends SparkSpec {
     assert(mismatches.isEmpty)
   }
 
+  test("streamFollowups (the declared drain-then-read form) equals the " +
+    "batch interval join row-for-row, twice over the reused run root") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStreams.streamFollowups(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val ev = Tables.table(spark, dir, "events")
+    val want = ev.filter(col("value") > 100.0)
+      .select(col("user_id"), col("event_id").as("sig_event_id"),
+        col("ts").as("sig_ts"), col("value").as("sig_value")).as("s")
+      .join(ev.select(col("user_id"), col("event_id"), col("ts"),
+        col("value")).as("e"),
+        expr("s.user_id = e.user_id AND e.ts > s.sig_ts" +
+          " AND e.ts <= s.sig_ts + INTERVAL 30 MINUTES"))
+      .select(col("s.user_id"), col("sig_event_id"), col("sig_ts"),
+        col("sig_value"), col("e.event_id"), col("e.ts"), col("e.value"))
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "fixture must produce interval-join matches")
+    assert(got == want,
+      s"declared streaming join diverged: stream-only=${got -- want}, " +
+        s"batch-only=${want -- got}")
+    // second drain over the reused deterministic run root must rebuild
+    // and reproduce, not replay stale output (the consume-before-next-
+    // drain contract Bench/Verify run under)
+    assert(EventStreams.streamFollowups(spark, dir)
+      .collect().map(_.toSeq).toSet == want,
+      "second drain over the reused run root diverged")
+  }
+
   test("streaming candles recover from a checkpoint without duplicates") {
     // Kill-and-resume end-to-end over the ONE sink that can actually
     // recover (parquet; the memory sink starts empty on restart): run 1
