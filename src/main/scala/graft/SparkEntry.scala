@@ -585,6 +585,13 @@ object SparkEntry {
     // join state)
     "stream_followups" -> ((s, dir) =>
       streaming.EventStreams.streamFollowups(s, dir)),
+    // the flatMapGroupsWithState (arbitrary-stateful) path under the
+    // same gate: the candle series replayed in time order, folded
+    // through the cross-batch EMA recursion by a real StreamingQuery —
+    // in-order arrival applies the batch fold's exact double updates in
+    // the exact order, so it shares ema_close's recursive-CTE oracle
+    "stream_ema" -> ((s, dir) =>
+      streaming.EventStreams.streamEma(s, dir)),
 
     // Fixed-point integer PageRank over the customer↔supplier trade
     // graph — iterative-rank workload with a bit-exact unrolled oracle
@@ -820,6 +827,26 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared by `ema_close` (batch fold) and `stream_ema` (drained
+    * flatMapGroupsWithState recursion): both apply
+    * `alpha*close + beta*ema` seeded with the first close, per symbol in
+    * ts order, so one recursive CTE oracles both execution paths.
+    */
+  private val emaCloseSql: String =
+    s"""WITH RECURSIVE candles AS (${Tables.candlesSql}),
+       |num AS (
+       |  SELECT symbol, ts, close,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+       |  FROM candles),
+       |rec(symbol, ts, close, rn, ema) AS (
+       |  SELECT symbol, ts, close, rn, close FROM num WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.symbol, n.ts, n.close, n.rn,
+       |    (CAST(2.0 AS DOUBLE) / 15) * n.close +
+       |      (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 15) * r.ema
+       |  FROM rec r JOIN num n ON n.symbol = r.symbol AND n.rn = r.rn + 1)
+       |SELECT symbol, ts, close, round(ema, 6) AS ema FROM rec""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1955,20 +1982,11 @@ object SparkEntry {
 
     // recursive CTE replays the Spark fold's exact double arithmetic in
     // the exact order (alpha*close + beta*ema, seeded with close at rn=1)
-    "ema_close" ->
-      s"""WITH RECURSIVE candles AS (${Tables.candlesSql}),
-         |num AS (
-         |  SELECT symbol, ts, close,
-         |    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
-         |  FROM candles),
-         |rec(symbol, ts, close, rn, ema) AS (
-         |  SELECT symbol, ts, close, rn, close FROM num WHERE rn = 1
-         |  UNION ALL
-         |  SELECT n.symbol, n.ts, n.close, n.rn,
-         |    (CAST(2.0 AS DOUBLE) / 15) * n.close +
-         |      (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / 15) * r.ema
-         |  FROM rec r JOIN num n ON n.symbol = r.symbol AND n.rn = r.rn + 1)
-         |SELECT symbol, ts, close, round(ema, 6) AS ema FROM rec""".stripMargin,
+    "ema_close" -> emaCloseSql,
+    // stream ≡ batch: the drained flatMapGroupsWithState recursion
+    // applies the identical updates in the identical order, so it
+    // answers the SAME recursive CTE
+    "stream_ema" -> emaCloseSql,
 
     "pair_correlation" ->
       s"""WITH candles AS (${Tables.candlesSql}),

@@ -607,29 +607,40 @@ object EventStreams {
     * drain, read-back). The one min/max peek that sizes the slices is
     * part of that once-per-corpus build.
     */
+  /** Replay a frame into `n` time-contiguous single-file slices under
+    * `root/drop`, written SEQUENTIALLY so the one-file-per-batch file
+    * source consumes them in event-time order (the file source orders by
+    * modification time) and a watermark genuinely trails the data. The
+    * slice step covers [lo, hi] entirely: step ≥ (hi−lo)/n + 1 ⇒
+    * n·step > hi−lo, so no trailing row is lost to the half-open upper
+    * bound.
+    */
+  private def writeTimeSlices(df: DataFrame, root: String,
+      n: Int): String = {
+    val mm = df.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .head()
+    if (!mm.isNullAt(0)) {
+      val lo = mm.getTimestamp(0).getTime
+      val hi = mm.getTimestamp(1).getTime
+      val step = math.max(1L, (hi - lo) / n + 1)
+      for (i <- 0 until n) {
+        val a = lo + i * step
+        df.filter(col("ts") >= timestamp_millis(lit(a)) &&
+            col("ts") < timestamp_millis(lit(a + step)))
+          .coalesce(1)
+          .write.mode("append").parquet(s"$root/drop")
+      }
+    }
+    s"$root/drop"
+  }
+
   private val candleReplayCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
   private def candleReplayFor(spark: SparkSession, dir: String,
       slices: Int): String =
     candleReplayCache.computeIfAbsent((dir, slices), { case (d, n) =>
-      val events = graft.Tables.table(spark, d, "events")
-      val root = scratchDir("graft-stream-candles")
-      val mm = events.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-        .head()
-      if (!mm.isNullAt(0)) {
-        val lo = mm.getTimestamp(0).getTime
-        val hi = mm.getTimestamp(1).getTime
-        val step = math.max(1L, (hi - lo) / n + 1)
-        for (i <- 0 until n) {
-          val a = lo + i * step
-          events
-            .filter(col("ts") >= timestamp_millis(lit(a)) &&
-              col("ts") < timestamp_millis(lit(a + step)))
-            .coalesce(1)
-            .write.mode("append").parquet(s"$root/drop")
-        }
-      }
-      s"$root/drop"
+      writeTimeSlices(graft.Tables.table(spark, d, "events"),
+        scratchDir("graft-stream-candles"), n)
     })
 
   def streamCandles(spark: SparkSession, dir: String, slices: Int = 4,
@@ -709,5 +720,46 @@ object EventStreams {
         StructField("event_id", LongType),
         StructField("ts", TimestampType),
         StructField("value", DoubleType))))
+  }
+
+  /** Declared-query form of the `flatMapGroupsWithState` path
+    * ([[emaStream]]): the candle series replayed as time-ordered slices
+    * and folded through the cross-batch EMA recursion by a real
+    * `StreamingQuery`. In-order arrival ⇒ the carried state applies the
+    * identical double updates in the identical order as the batch fold
+    * ([[graft.operators.TradingOps.emaClose]]), so the drain shares
+    * `ema_close`'s recursive-CTE oracle bit-for-bit — putting the
+    * arbitrary-stateful streaming machinery (typed state encode/decode,
+    * cross-batch carry, per-batch group iteration) under the driver's
+    * gate; the other three drains cover stream-static joins, windowed
+    * aggregation, and join state. Append mode: each input row emits
+    * exactly once, so the [[drainAppendStream]] sink needs no dedup.
+    */
+  private val emaReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  def streamEma(spark: SparkSession, dir: String, slices: Int = 4,
+      n: Int = 14): DataFrame = {
+    import spark.implicits._
+    val drop = emaReplayCache.computeIfAbsent((dir, slices), { case (d, k) =>
+      writeTimeSlices(
+        graft.Tables.candles(spark, d)
+          .select(col("symbol"), col("ts"), col("close")),
+        scratchDir("graft-stream-ema"), k)
+    })
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("symbol", StringType),
+        StructField("ts", TimestampType),
+        StructField("close", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(drop)
+    drainAppendStream(spark,
+      emaStream(src.as[Tick], n).toDF()
+        .select(col("symbol"), col("ts"), col("close"),
+          round(col("ema"), 6).as("ema")),
+      freshRunRoot("stream-ema", s"$dir#$slices#$n"),
+      schema = StructType(Seq(StructField("symbol", StringType),
+        StructField("ts", TimestampType),
+        StructField("close", DoubleType),
+        StructField("ema", DoubleType))))
   }
 }

@@ -290,6 +290,20 @@ class StreamingSpec extends SparkSpec {
       "second drain over the reused run root diverged")
   }
 
+  test("streamEma (the declared drain-then-read form) equals the batch " +
+    "EMA fold bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStreams.streamEma(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.TradingOps
+      .emaClose(Tables.candles(spark, dir), 14)
+      .collect().map(_.toSeq).toSet
+    assert(want.size > 100, s"fixture too small: ${want.size} rows")
+    assert(got == want,
+      s"declared streaming EMA diverged: stream-only=${(got -- want).take(3)}, " +
+        s"batch-only=${(want -- got).take(3)}")
+  }
+
   test("streaming candles recover from a checkpoint without duplicates") {
     // Kill-and-resume end-to-end over the ONE sink that can actually
     // recover (parquet; the memory sink starts empty on restart): run 1
