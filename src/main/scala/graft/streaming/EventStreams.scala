@@ -155,6 +155,19 @@ object EventStreams {
     * (same gap-merge semantics; identical output schema). Sessions close
     * and emit (append mode) once the watermark passes their end; state per
     * open session is one merged accumulator, bounded by the watermark.
+    *
+    * Deliberately NOT a declared drained query (unlike the other four
+    * streaming paths): in append mode a session whose end lies within
+    * `lateness` of the final event never falls behind the watermark and
+    * never emits, so a bounded drain structurally under-counts trailing
+    * sessions vs the batch oracle; and the update-mode sink dedup the
+    * other drains use keys on a STABLE identity, which sessions lack —
+    * a partial session's key (user, session_start) mutates as later
+    * events merge windows, leaving stale partial rows no last-batch-wins
+    * rule can reconcile. The machinery it exercises is gated elsewhere:
+    * windowed aggregation state by `stream_candles`, and the gap-merge
+    * semantics by the batch `session_window_agg` oracle + the
+    * stream ≡ batch prefix assertion in StreamingSpec.
     */
   def sessionStream(events: DataFrame, gapMinutes: Int = 30,
       lateness: String = "2 hours"): DataFrame =
@@ -704,9 +717,15 @@ object EventStreams {
     * can no longer match, which is the bounded-state contract that makes
     * this join survive an unbounded stream.
     */
-  def streamFollowups(spark: SparkSession, dir: String, slices: Int = 4,
+  def streamFollowups(spark: SparkSession, dir: String, slices: Int = 2,
       threshold: Double = 100.0, windowMinutes: Int = 30,
       lateness: String = "2 hours"): DataFrame = {
+    // slices = 2 (not the candle drain's 4): each slice is consumed by
+    // BOTH readers (one file per trigger each), so micro-batch count —
+    // the drain's fixed overhead — scales with 2·slices; two slices
+    // already put matches ACROSS a batch boundary (signal buffered in
+    // join state until its followup arrives in the next batch), which
+    // is the cross-batch machinery this query exists to gate.
     val drop = candleReplayFor(spark, dir, slices)
     drainAppendStream(spark,
       signalFollowups(
