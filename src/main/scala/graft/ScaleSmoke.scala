@@ -356,9 +356,16 @@ object ScaleSmoke {
               .select(col("id").as("u"), (col("id") + 2L).as("v"))))
           .collect()(0).getLong(2)),
       // RAG chunking, shuffle-free: 25-token docs at size 8 / overlap 2
-      // (stride 6) → starts 0,6,12,18,24 → exactly 5 chunks per doc
-      stage("chunk_docs")(
-        graft.functions.TextAnalysis.chunkDocuments(docs, 8, 2).count()),
+      // (stride 6) → starts 0,6,12,18; start 24 leaves a 1-token tail
+      // inside the previous chunk's overlap (25−24 ≤ 2) and is dropped
+      // by the tail-redundancy filter → exactly 4 chunks per doc
+      stage("chunk_docs") {
+        val got = graft.functions.TextAnalysis
+          .chunkDocuments(docs, 8, 2).count()
+        require(got == 4L * nDocs,
+          s"chunk_docs expected ${4L * nDocs}, got $got")
+        got
+      },
       // quality-aware keeper: every planted pair keeps exactly ONE member
       // (the longer successor doc never exists — pairs are id/id+1 with
       // EQUAL quality, so the lowest id wins the tie) → kept count must

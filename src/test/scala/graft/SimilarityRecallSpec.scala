@@ -23,6 +23,30 @@ class SimilarityRecallSpec extends SparkSpec {
       f"IVF recall@5 degraded to $recall%.3f ($hit/${exact.size})")
   }
 
+  test("grown (appended) index retains recall@5 >= 0.8 at the declared " +
+    "nprobe — appending by the stored codebook does not silently degrade " +
+    "retrieval") {
+    // the append contract trades assignment quality for delta-sized
+    // ingest (the codebook never moves); this pins that at a 10% delta
+    // the declared probe depth still clears the same recall bar as the
+    // freshly-built index, backing the scaladoc's "recall at partial
+    // nprobe depends on assignment quality" claim with a number
+    val dir = "/root/testdata/sf0.1"
+    val emb = Tables.table(spark, dir, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.annTopK(emb, 8, 5))
+    val grown = pairs(Similarity.annTopKFromLayout(spark,
+      Similarity.appendedCellLayoutFor(spark, dir), 8, 5, nprobe = 6))
+    val rebuilt = pairs(Similarity.annTopKFromLayout(spark,
+      Similarity.cellLayoutFor(spark, dir), 8, 5, nprobe = 6))
+    val rGrown = (exact & grown).size.toDouble / exact.size
+    val rRebuilt = (exact & rebuilt).size.toDouble / exact.size
+    info(f"recall@5 nprobe=6: grown=$rGrown%.3f rebuilt=$rRebuilt%.3f")
+    assert(rGrown >= 0.8,
+      f"grown-index recall degraded to $rGrown%.3f (rebuilt: $rRebuilt%.3f)")
+  }
+
   test("srpLshNearDupPairs finds planted near-identical vectors, " +
       "prunes unrelated ones, and is partition-invariant") {
     import spark.implicits._
