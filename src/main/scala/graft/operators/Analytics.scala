@@ -376,6 +376,26 @@ object Analytics {
         (sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double") /
           count(lit(1))).as("avg_price"))
 
+  /** Register `df` under a per-call UNIQUE temp-view name, run `q` on
+    * the interpolated names, and drop the views (analysis is eager at
+    * `spark.sql`, so the returned plan holds resolved relations and the
+    * views can go immediately). Fixed generic names
+    * (createOrReplaceTempView("lineitem_v")) are session-global mutable
+    * state: two concurrent plan constructions on one session would race
+    * the replace-then-analyze window and silently cross-bind tables.
+    */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def withTempViews(spark: SparkSession,
+      dfs: Seq[(String, DataFrame)])(q: Seq[String] => String): DataFrame = {
+    val names = dfs.map { case (base, df) =>
+      val name = s"${base}_${viewSeq.incrementAndGet()}"
+      df.createOrReplaceTempView(name)
+      name
+    }
+    try spark.sql(q(names))
+    finally names.foreach(spark.catalog.dropTempView)
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape): revenue from lineitems
     * whose quantity is below 20% of their part's average quantity.
     * Catalyst decorrelates the subquery into an aggregate+join — the
@@ -383,20 +403,20 @@ object Analytics {
     * DECIMAL (order-independent) before the one double divide, so the
     * threshold compare is bit-identical to DuckDB's.
     */
-  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    table(spark, dir, "part").createOrReplaceTempView("part_v")
-    spark.sql(
-      """SELECT p_brand, count(*) AS n_small,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
-        |    AS revenue
-        |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
-        |WHERE l_quantity < (
-        |  SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(20,4)))
-        |                    AS DOUBLE) / count(*)
-        |  FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
-        |GROUP BY p_brand""".stripMargin)
-  }
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame =
+    withTempViews(spark, Seq(
+      "lineitem_v" -> table(spark, dir, "lineitem"),
+      "part_v" -> table(spark, dir, "part"))) { case Seq(li, pt) =>
+      s"""SELECT p_brand, count(*) AS n_small,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+         |    AS revenue
+         |FROM $li JOIN $pt ON p_partkey = l_partkey
+         |WHERE l_quantity < (
+         |  SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(20,4)))
+         |                    AS DOUBLE) / count(*)
+         |  FROM $li l2 WHERE l2.l_partkey = p_partkey)
+         |GROUP BY p_brand""".stripMargin
+    }
 
   /** Salted equi-join for skewed keys: the classic manual skew fix when
     * AQE's split isn't available (e.g. the skewed side feeds another
@@ -423,16 +443,16 @@ object Analytics {
     * same timestamp aggregate together, so the result is deterministic
     * under any tie order). DECIMAL accumulation inside the frame.
     */
-  def trailingSpend(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "orders").createOrReplaceTempView("orders_v")
-    spark.sql(
-      """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
-        |    PARTITION BY o_custkey ORDER BY o_orderdate
-        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE) AS spend_30d
-        |FROM orders_v""".stripMargin)
-  }
+  def trailingSpend(spark: SparkSession, dir: String): DataFrame =
+    withTempViews(spark, Seq(
+      "orders_v" -> table(spark, dir, "orders"))) { case Seq(ord) =>
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate
+         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS spend_30d
+         |FROM $ord""".stripMargin
+    }
 
   private val lineRevenue =
     (col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -522,22 +542,22 @@ object Analytics {
     * urgent orders. (The classic "no orders at all" form is vacuous here:
     * every customer in this data has orders.)
     */
-  def idleCustomerBalance(spark: SparkSession, dir: String): DataFrame = {
-    table(spark, dir, "customer").createOrReplaceTempView("q22_customer")
-    table(spark, dir, "orders").createOrReplaceTempView("q22_orders")
-    spark.sql(
-      """SELECT c_mktsegment, count(*) AS numcust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
-        |FROM q22_customer
-        |WHERE c_acctbal > (
-        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
-        |         / count(*)
-        |  FROM q22_customer WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM q22_orders
-        |                  WHERE o_custkey = c_custkey
-        |                    AND o_orderpriority = '1-URGENT')
-        |GROUP BY c_mktsegment""".stripMargin)
-  }
+  def idleCustomerBalance(spark: SparkSession, dir: String): DataFrame =
+    withTempViews(spark, Seq(
+      "q22_customer" -> table(spark, dir, "customer"),
+      "q22_orders" -> table(spark, dir, "orders"))) { case Seq(cust, ord) =>
+      s"""SELECT c_mktsegment, count(*) AS numcust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
+         |FROM $cust
+         |WHERE c_acctbal > (
+         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+         |         / count(*)
+         |  FROM $cust WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM $ord
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_mktsegment""".stripMargin
+    }
 
   /** TPC-H Q11 shape (partsupp-less adaptation): parts whose total
     * extended-price value exceeds a fixed fraction of the corpus total —
@@ -545,18 +565,18 @@ object Analytics {
     * scalar (one extra map-side-partial pass, broadcast as a literal).
     */
   def importantPartValues(spark: SparkSession, dir: String,
-      fraction: Double = 0.0005): DataFrame = {
-    table(spark, dir, "lineitem").createOrReplaceTempView("q11_lineitem")
-    spark.sql(
+      fraction: Double = 0.0005): DataFrame =
+    withTempViews(spark, Seq(
+      "q11_lineitem" -> table(spark, dir, "lineitem"))) { case Seq(li) =>
       s"""SELECT l_partkey, CAST(val AS DOUBLE) AS value FROM (
          |  SELECT l_partkey,
          |    sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS val
-         |  FROM q11_lineitem GROUP BY l_partkey)
+         |  FROM $li GROUP BY l_partkey)
          |WHERE CAST(val AS DOUBLE) > (
          |  SELECT CAST($fraction AS DOUBLE) *
          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
-         |  FROM q11_lineitem)""".stripMargin)
-  }
+         |  FROM $li)""".stripMargin
+    }
 
   /** TPC-H Q15 shape: the supplier(s) whose one-year revenue equals the
     * maximum — revenue aggregate reused for both the ranking and the

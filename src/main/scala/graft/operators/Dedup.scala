@@ -260,9 +260,19 @@ object Dedup {
       min(when(expr(s"seed % $rowsPerBand") === j, col("minhash")))
         .cast("string")
     }
+    // drop PARTIAL trailing bands (k % rowsPerBand ≠ 0): bucketsFromWide
+    // builds exactly k/rowsPerBand full bands, and a partial band here
+    // would (a) diverge from the wide form / persisted corpus state on
+    // the same parameters and (b) leave null slots that concat_ws
+    // silently skips, merging distinct band vectors into one bucket key.
+    // Within a FULL band, seeds b·r..b·r+r−1 hit each slot exactly once,
+    // so no nulls survive the filter.
     signatures
       .groupBy(col("doc_id"), expr(s"seed div $rowsPerBand").as("band"))
-      .agg(md5(concat_ws(",", slots: _*)).as("bucket"))
+      .agg(md5(concat_ws(",", slots: _*)).as("bucket"),
+        count(lit(1)).as("__nseeds"))
+      .filter(col("__nseeds") === rowsPerBand)
+      .drop("__nseeds")
   }
 
   /** Band buckets from the wide signature row — a pure PROJECTION

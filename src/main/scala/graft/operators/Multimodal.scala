@@ -120,9 +120,13 @@ object Multimodal {
         // ImageIO.read returns null only for UNRECOGNIZED formats; a
         // recognized-but-corrupt payload (PNG truncated mid-IDAT) makes
         // the format reader THROW — catch it so one bad blob drops one
-        // row, not the task (the drop contract the scaladoc promises)
+        // row, not the task (the drop contract the scaladoc promises).
+        // NonFatal, not just IOException: hostile headers drive format
+        // plugins into IllegalArgumentException / index errors too, and
+        // those must drop the row the same way (OOM/Errors still kill
+        // the task — NonFatal excludes them by design)
         val img = try ImageIO.read(new ByteArrayInputStream(m.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val w = img.getWidth
@@ -158,7 +162,7 @@ object Multimodal {
       rows.flatMap { m =>
         // same corrupt-payload drop contract as [[decodeImages]]
         val img = try ImageIO.read(new ByteArrayInputStream(m.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
         else {
           val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
@@ -248,10 +252,7 @@ object Multimodal {
         new ByteArrayInputStream(payload)))
     readers.iterator.flatMap { r =>
       try Some(r.getAudioInputStream(new ByteArrayInputStream(payload)))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
-      }
+      catch { case scala.util.control.NonFatal(_) => None }
     }.nextOption()
   }
 
@@ -332,10 +333,7 @@ object Multimodal {
             Some(AudioStats(m.media_id, fmt.getSampleRate.toInt, n.toLong,
               sumAbs, zc, hist.map(_ / math.max(n, 1).toDouble)))
           }
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
-        }
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
     }
   }
@@ -489,7 +487,7 @@ object Multimodal {
               val buf = new Array[Byte](len)
               in.readFully(buf)
               val img = try ImageIO.read(new ByteArrayInputStream(buf))
-                catch { case _: java.io.IOException => null }
+                catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) Nil
               else {
                 val w = img.getWidth; val h = img.getHeight
@@ -505,7 +503,7 @@ object Multimodal {
               }
             }
           }
-        } catch { case _: java.io.IOException => Nil }
+        } catch { case scala.util.control.NonFatal(_) => Nil }
       }
     }
   }

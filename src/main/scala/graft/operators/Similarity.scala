@@ -87,13 +87,34 @@ object Similarity {
       queryVecs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"), col("pid"))
       .orderBy(col("simd").desc, col("vec_id"))
-    val survivors = scoredKeys
+    val partitionPruned = scoredKeys
       .withColumn("pid", spark_partition_id())
       .withColumn("prn", row_number().over(w))
       .withColumn("kth", nth_value(col("simd"), k).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("prn") <= k ||
         col("simd") >= coalesce(col("kth") - lit(1e-6),
+          lit(Double.NegativeInfinity)))
+      .select(col("q_id"), col("vec_id"), col("simd"))
+    // second keys-only prune, GLOBAL per query: the per-partition stage
+    // leaves O(q·k·P) survivors — at 100 TB, P (input splits) is 10⁵-10⁶,
+    // which would put billions of rows under the broadcast below. One
+    // more window over the already-pruned keys (tiny exchange on q_id)
+    // cuts that to O(q·k) independent of P. Same margin argument as the
+    // first stage: a true decimal top-k row sits ≤ 2e-13 below the
+    // global double k-th — far inside 1e-6 — so this never drops one.
+    // The broadcast is then provably query-sized; the only corpus whose
+    // ties could still inflate it is one where ~everything scores within
+    // 1e-6 of the k-th sim (an all-duplicates corpus — which upstream
+    // dedup exists to remove).
+    val wg = Window.partitionBy(col("q_id"))
+      .orderBy(col("simd").desc, col("vec_id"))
+    val survivors = partitionPruned
+      .withColumn("grn", row_number().over(wg))
+      .withColumn("gkth", nth_value(col("simd"), k).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("grn") <= k ||
+        col("simd") >= coalesce(col("gkth") - lit(1e-6),
           lit(Double.NegativeInfinity)))
       .select(col("q_id"), col("vec_id"))
     broadcast(survivors)
@@ -151,6 +172,12 @@ object Similarity {
       col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
+      // zero-norm guard (same as semanticDedup): 0/0 = NaN, and Spark
+      // orders NaN above every double, so a degenerate all-zero vector
+      // would pass BOTH filters and emit sim = NaN while DuckDB's 0/0
+      // yields NULL and drops the row. A zero vector has no direction —
+      // never a duplicate of anything, on either engine.
+      .filter(col("norm_a") > 0 && col("norm_b") > 0)
       // two-stage scoring: cheap double dot prunes the pair stream with a
       // 1e-5 safety margin (double-vs-decimal divergence is ~1e-13, and
       // the final value is rounded at 1e-6), then the exact decimal
@@ -256,12 +283,16 @@ object Similarity {
       vec(col("embedding")).as("emb"),
       sqrt(normSqDecimal(col("embedding"))).as("nrm"))
     // same two-stage verify as nearDupPairs: cheap double prefilter with a
-    // 1e-5 margin, exact-decimal cosine decides
+    // 1e-5 margin, exact-decimal cosine decides. Zero-norm guard first:
+    // a zero vector's sign bits are all identical, so zero vectors
+    // COLLIDE IN EVERY BAND — without the guard their 0/0 = NaN cosine
+    // would pass both filters under Spark's NaN-greatest ordering.
     cand
       .join(withNorm.select(col("vec_id").as("vec_a"),
         col("emb").as("emb_a"), col("nrm").as("norm_a")), Seq("vec_a"))
       .join(withNorm.select(col("vec_id").as("vec_b"),
         col("emb").as("emb_b"), col("nrm").as("norm_b")), Seq("vec_b"))
+      .filter(col("norm_a") > 0 && col("norm_b") > 0)
       .filter(dotDouble(col("emb_a"), col("emb_b")) /
         (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
       .select(col("vec_a"), col("vec_b"),
@@ -643,8 +674,13 @@ object Similarity {
   def appendedCellLayoutFor(spark: org.apache.spark.sql.SparkSession,
       dir: String, nQueries: Int = 8, mod: Int = 10, rem: Int = 3): String =
     appendLayoutCache.computeIfAbsent(s"$dir#$nQueries#$mod#$rem", _ => {
+      // path carries the SAME parameters as the memo key: with only
+      // dirKey in the path, a second parameterization of one corpus
+      // would silently overwrite the first build while the first cache
+      // entry kept handing out the now-wrong directory
       val path = new java.io.File(
-        "spark-warehouse", s"ivf_append_${graft.Tables.dirKey(dir)}")
+        "spark-warehouse",
+        s"ivf_append_${graft.Tables.dirKey(dir)}_q${nQueries}_m${mod}_r$rem")
         .getAbsolutePath
       val all = graft.Tables.table(spark, dir, "embeddings")
       val isDelta =

@@ -86,11 +86,20 @@ object TimeSeriesOps {
     // the partition tail for every row because the lower bound moves.
     // Both windows share the key partitioning (one exchange); Nearest
     // pays the two sorts.
+    // __p as the final sort key makes duplicate right rows at one
+    // (key, ts) resolve DETERMINISTICALLY (the greatest payload struct
+    // wins): without it their relative order — and therefore the match
+    // every later left row sees — depends on input partition order.
+    // Left rows carry __p = null and sort entirely by (ts, side), so
+    // the tiebreak never reorders them relative to right rows.
+    // Constraint: payload fields must be orderable types (struct
+    // ordering); map-typed payload columns are not — alias them to a
+    // canonical orderable form before the join.
     val wB = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = Window.partitionBy(col(key))
-      .orderBy(col(ts).desc, col("__side"))
+      .orderBy(col(ts).desc, col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withMatch = dir match {
       case Direction.Backward =>

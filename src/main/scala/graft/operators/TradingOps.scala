@@ -146,10 +146,18 @@ object TradingOps {
 
   /** Gap-filled candle series: one row per (symbol, hour) over each
     * symbol's active span, carrying the last close forward through silent
-    * hours (LOCF) with zero volume — resampling semantics minute-data
-    * pipelines rely on. The hour spine is generated per symbol with
+    * hours (LOCF) with zero volume — the fill step minute-data pipelines
+    * run AFTER bucketing. The hour spine is generated per symbol with
     * `sequence` (no driver loop); the fill is one `last(ignoreNulls)`
     * window over the same symbol partitioning as every other operator.
+    *
+    * PRECONDITION: input candles must already sit on a common hourly
+    * grid (the [[graft.Tables.candles]] contract — `date_trunc('hour')`
+    * buckets). The spine is anchored at each symbol's min ts and joined
+    * by EQUALITY, so an off-grid row (e.g. a candle at :30 in an
+    * otherwise on-the-hour series) matches no spine slot and would be
+    * dropped, not resampled — bucket first ([[graft.Tables.candlesAt]]),
+    * then gap-fill. This operator fills gaps; it never re-buckets.
     */
   def gapFillCandles(candles: DataFrame): DataFrame = {
     val spine = candles.groupBy(col("symbol"))
