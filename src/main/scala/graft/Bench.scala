@@ -10,12 +10,22 @@ object Bench {
     // steady-state benchmarking (JMH-style warmup iterations): round-1
     // numbers charged ~5 s of one-time codegen to whichever query happened
     // to run first.
+    // Optional comma-separated allowlist for targeted local runs
+    // (SPARK_GRAFT_BENCH_ONLY=q1,q2); the driver never sets it. Applied
+    // to warmup too: a one-query dev run must not pay ~all queries'
+    // warmup drains/layout builds at sf0.001.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     val warmDir = "/root/testdata/sf0.001"
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-        SparkEntry.queries.foreach { case (_, fn) =>
+        selected.foreach { case (_, fn) =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
           // free each warmup query's localCheckpoint blocks immediately —
           // see Sessions.releaseCaches
@@ -32,21 +42,14 @@ object Bench {
     // identical code) — sustained container noise survived min-of-2; a
     // third sample makes the min estimator robust to one slow window.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
-    // Optional comma-separated allowlist for targeted local runs
-    // (SPARK_GRAFT_BENCH_ONLY=q1,q2); the driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
-    }
     // Order-sensitivity probe (SPARK_GRAFT_BENCH_REVERSE=1): run the
     // surface back-to-front. If late-order queries inflate in BOTH
     // directions, state accumulates with bench position, not query
     // identity — the diagnostic for block-manager pressure (SCALE.md).
     val ordered = if (sys.env.get("SPARK_GRAFT_BENCH_REVERSE").contains("1"))
       selected.toSeq.reverse else selected.toSeq
-    val results = ordered.map { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = ordered.flatMap { case (name, fn) =>
       // Free the previous query's localCheckpoint blocks, then a GC
       // breather so one query's garbage doesn't bill the next one's
       // timed region (8g heap; round-2 driver run showed a 10× outlier on
@@ -54,16 +57,25 @@ object Bench {
       // checkpoint-using query 1.2–3.1× slower from block accumulation).
       Sessions.releaseCaches(spark)
       System.gc()
+      var ok = true
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          // a failed run must NEVER masquerade as a (fast) measurement:
+          // recording time-to-throw would make the bench total IMPROVE
+          // when queries break. Mark and exclude; the name surfaces in
+          // the JSON's "failed" list and on stderr.
+          ok = false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // each run rebuilds the plan and re-checkpoints — drop this run's
         // blocks before the next one (async, outside the timed region)
         Sessions.releaseCaches(spark)
         dt
       }
-      name -> times.min
+      if (ok) Some(name -> times.min) else { failed += name; None }
     }.toMap
     // The driver records only the LAST 2000 chars of stdout and json-parses
     // the final line (BENCH_r01/r02: "parsed": null when the line overflowed
@@ -91,7 +103,10 @@ object Bench {
         (if (folded.isEmpty) Nil
          else Seq("\"_other\":" + f(folded.sum),
            "\"_other_n\":" + folded.size))
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","queries":${entries.mkString("{", ",", "}")},"sf":"$sfName"}"""
+      val failedPart = if (failed.isEmpty) ""
+        else failed.sorted.map("\"" + _ + "\"")
+          .mkString(""","failed":[""", ",", "]")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","queries":${entries.mkString("{", ",", "}")}$failedPart,"sf":"$sfName"}"""
     }
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     var keep = bySlowest.length

@@ -904,11 +904,16 @@ object OracleSql {
        |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
        |FROM enc GROUP BY doc_id""".stripMargin
 
+  /** TRY_CAST, not CAST: Spark's non-ANSI string→long cast yields NULL
+    * on a non-integral payload ("12.5", "abc") while DuckDB's strict
+    * CAST would abort the whole oracle query — TRY_CAST mirrors the
+    * Spark semantics exactly.
+    */
   val eventsPropsJson: String =
     """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
       |  count(k) AS n_with_k, max(k) AS max_k
       |FROM (SELECT event_type,
-      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 

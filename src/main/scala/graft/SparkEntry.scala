@@ -42,7 +42,7 @@ object SparkEntry {
     """WITH ordered AS (
       |  SELECT user_id, event_id, event_type, ts,
       |    lag(event_type) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS prev_type
+      |      ORDER BY ts NULLS FIRST, event_id) AS prev_type
       |  FROM events),
       |chg AS (
       |  SELECT user_id, event_id, event_type, ts FROM ordered
@@ -54,7 +54,14 @@ object SparkEntry {
       |  lead(ts) OVER w AS effective_to,
       |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM chg
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+      |  event_id)""".stripMargin
+  // NULLS FIRST on ASC event-time window orderings (here and the two
+  // sessionize oracles): Spark's ascending default is nulls-FIRST,
+  // DuckDB's is nulls-LAST — on a NULL-ts row the two engines would
+  // otherwise walk the partition in different orders and every
+  // lag/lead/version downstream would shift. Candle-family oracles are
+  // immune since candles exclude NULL ts at the source on both engines.
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1405,7 +1412,8 @@ object SparkEntry {
         |  CAST(sum(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT user_id, event_id, ts, "value",
-        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+        |      event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS session_id
         |  FROM (
@@ -1413,7 +1421,8 @@ object SparkEntry {
         |      CASE WHEN lag(ts) OVER w IS NULL
         |             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |           THEN 1 ELSE 0 END AS newf
-        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |    FROM events WINDOW w AS (PARTITION BY user_id
+        |      ORDER BY ts NULLS FIRST, event_id)))
         |GROUP BY user_id, session_id""".stripMargin,
 
     "session_window_agg" ->
@@ -1423,7 +1432,8 @@ object SparkEntry {
         |  CAST(sum(CAST("value" AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT user_id, ts, "value",
-        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+        |      event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS sid
         |  FROM (
@@ -1431,7 +1441,8 @@ object SparkEntry {
         |      CASE WHEN lag(ts) OVER w IS NULL
         |             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |           THEN 1 ELSE 0 END AS newf
-        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+        |    FROM events WINDOW w AS (PARTITION BY user_id
+        |      ORDER BY ts NULLS FIRST, event_id)))
         |GROUP BY user_id, sid""".stripMargin,
 
     "median_prices" ->

@@ -102,6 +102,14 @@ object Tables {
     */
   def candles(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
+      // a candle is defined over PRICED, TIMED events only — and the
+      // filter is also what keeps the two engines aligned on NULLs:
+      // Spark's min_by returns the (NULL) value at the extremal
+      // event_id while DuckDB's arg_min SKIPS null values, so a
+      // NULL-value row at the bucket's min event_id would silently
+      // diverge open/close; a NULL-ts group would survive batch but
+      // never pass a streaming watermark (stream ≡ batch would break)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
       .groupBy(
         col("event_type").as("symbol"),
         date_trunc("hour", col("ts")).as("ts"))
@@ -124,6 +132,8 @@ object Tables {
   def candlesAt(spark: SparkSession, sfDir: String, minutes: Int): DataFrame = {
     val bucketUs = minutes * 60000000L
     table(spark, sfDir, "events")
+      // same NULL discipline as [[candles]]
+      .filter(col("value").isNotNull && col("ts").isNotNull)
       .groupBy(
         col("event_type").as("symbol"),
         expr(s"timestamp_micros((unix_micros(ts) div $bucketUs) * $bucketUs)")
@@ -285,7 +295,9 @@ object Tables {
       |  arg_min("value", event_id) AS open, max("value") AS high,
       |  min("value") AS low, arg_max("value", event_id) AS close,
       |  CAST(count(*) AS DOUBLE) AS volume
-      |FROM events GROUP BY 1, 2""".stripMargin
+      |FROM events
+      |WHERE "value" IS NOT NULL AND ts IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
 
   /** DuckDB oracle for [[candlesAt]] — same floor-division bucketing on
     * epoch-microseconds (CAST first: the view's TIMESTAMP_NS needs an
@@ -299,6 +311,8 @@ object Tables {
        |  arg_min("value", event_id) AS open, max("value") AS high,
        |  min("value") AS low, arg_max("value", event_id) AS close,
        |  CAST(count(*) AS DOUBLE) AS volume
-       |FROM events GROUP BY 1, 2""".stripMargin
+       |FROM events
+       |WHERE "value" IS NOT NULL AND ts IS NOT NULL
+       |GROUP BY 1, 2""".stripMargin
   }
 }

@@ -48,7 +48,8 @@ object EventStreams {
     * directory failed at scan while the batch reader served it fine
     * (the r8 ADVICE asymmetry).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
     // `dir` is either a full SF directory (probe the events table entry —
     // probing the whole dir would merge non-event table footers that
     // carry no `ts`) or a drop-folder of bare event files (probe it
@@ -90,7 +91,7 @@ object EventStreams {
     val reader = spark.readStream
       .schema(StructType(eventsRawSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = physicalTs) else f)))
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
     val raw = entryStatus match {
       case Some(s) if s.isFile =>
         reader.option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -113,6 +114,10 @@ object EventStreams {
     */
   def candleStream(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events
+      // same NULL discipline as [[graft.Tables.candles]] (a NULL-ts row
+      // would be watermark-dropped here anyway — the explicit filter
+      // keeps the batch and stream definitions textually aligned)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", lateness)
       .groupBy(
         col("event_type").as("symbol"),
@@ -245,6 +250,16 @@ object EventStreams {
     * micro-batch are processed in event-time order; in-order arrival
     * reproduces the batch fold value-for-value (asserted stream≡batch in
     * StreamingSpec).
+    *
+    * Memory honesty (applies to every flatMapGroupsWithState op in this
+    * file — macd, SCD capture, backtest): the CARRIED state is O(1) per
+    * key, but `rows.toSeq.sortBy` buffers each (key, micro-batch) GROUP
+    * before sorting — transient memory is O(hottest key's rows in the
+    * batch). At production scale that is bounded by the trigger interval
+    * (seconds of one symbol's ticks), which is the knob to size; in the
+    * bounded drains each batch is a whole replay slice, fine at fixture
+    * scale but the first thing to shrink (more slices) if a drain ever
+    * sees a corpus-sized hot key.
     */
   def emaStream(ticks: Dataset[Tick], n: Int = 14): Dataset[EmaPoint] = {
     val spark = ticks.sparkSession
@@ -643,7 +658,21 @@ object EventStreams {
           .coalesce(1)
           .write.mode("append").parquet(s"$root/drop")
       }
+    } else {
+      // EMPTY source (or all-NULL ts): no slice write ever runs, but the
+      // drop folder must still EXIST — the memoized path feeds
+      // readStream, and a nonexistent directory fails stream
+      // construction, violating the drain contract that an empty source
+      // drains to the typed empty frame. An empty df written with
+      // overwrite creates the directory (with only metadata files),
+      // which the file source lists as zero data files — zero batches.
+      df.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$root/drop")
     }
+    // NULL-ts rows never match any slice predicate and are deliberately
+    // absent from the replay: every drained query either watermark-drops
+    // them (candles/ema) or null-rejects them in its join predicate
+    // (followups), and the batch candle oracle now excludes them too —
+    // the replay and the oracle agree on the NULL-free event universe.
     s"$root/drop"
   }
 
@@ -717,19 +746,23 @@ object EventStreams {
     * can no longer match, which is the bounded-state contract that makes
     * this join survive an unbounded stream.
     */
-  def streamFollowups(spark: SparkSession, dir: String, slices: Int = 2,
+  def streamFollowups(spark: SparkSession, dir: String, slices: Int = 4,
       threshold: Double = 100.0, windowMinutes: Int = 30,
       lateness: String = "2 hours"): DataFrame = {
-    // slices = 2 (not the candle drain's 4): each slice is consumed by
-    // BOTH readers (one file per trigger each), so micro-batch count —
-    // the drain's fixed overhead — scales with 2·slices; two slices
-    // already put matches ACROSS a batch boundary (signal buffered in
-    // join state until its followup arrives in the next batch), which
-    // is the cross-batch machinery this query exists to gate.
+    // GENUINELY shares streamCandles' 4-slice replay folder (same
+    // (dir, slices) fixture key — a different slice count would build a
+    // second full events copy in scratch), but consumes it 2 files per
+    // trigger: each slice feeds BOTH readers, so micro-batch count —
+    // the drain's fixed overhead — scales with 2·(slices/filesPerTrigger);
+    // two batches per reader still put matches ACROSS a batch boundary
+    // (signal buffered in join state until its followup arrives in the
+    // next batch), which is the cross-batch machinery this query gates.
     val drop = candleReplayFor(spark, dir, slices)
+    val perTrigger = math.max(1, slices / 2)
     drainAppendStream(spark,
       signalFollowups(
-        eventsStream(spark, drop), eventsStream(spark, drop),
+        eventsStream(spark, drop, perTrigger),
+        eventsStream(spark, drop, perTrigger),
         threshold, windowMinutes, lateness),
       freshRunRoot("stream-followups", s"$dir#$slices#$windowMinutes"),
       schema = StructType(Seq(StructField("user_id", LongType),
