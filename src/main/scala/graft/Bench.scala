@@ -42,12 +42,31 @@ object Bench {
     // identical code) — sustained container noise survived min-of-2; a
     // third sample makes the min estimator robust to one slow window.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
+    // Container-drift calibration (r10 verdict item 2): same-code bench
+    // totals spanned 72.9–113.4 s across windows on this host, so every
+    // round-over-round comparison starts by re-litigating drift. This
+    // probe is a FIXED synthetic workload — pure codegen'd hash CPU over
+    // spark.range plus exactly one shuffle — fully data-independent, so
+    // its time moves only with the container's momentary speed. Run
+    // min-of-2 BEFORE and AFTER the measured loop; both land in the JSON
+    // (cal_pre/cal_post) and tools/bench_compare.py normalizes per-query
+    // ratios by the cross-round calibration ratio.
+    def calibrate(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(512L * 1000L * 1000L)
+          .selectExpr("pmod(xxhash64(id), 4096) AS k",
+            "xxhash64(id, 1L) AS v")
+          .groupBy("k").sum("v").count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     // Order-sensitivity probe (SPARK_GRAFT_BENCH_REVERSE=1): run the
     // surface back-to-front. If late-order queries inflate in BOTH
     // directions, state accumulates with bench position, not query
     // identity — the diagnostic for block-manager pressure (SCALE.md).
     val ordered = if (sys.env.get("SPARK_GRAFT_BENCH_REVERSE").contains("1"))
       selected.toSeq.reverse else selected.toSeq
+    val calPre = calibrate()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.flatMap { case (name, fn) =>
       // Free the previous query's localCheckpoint blocks, then a GC
@@ -77,6 +96,7 @@ object Bench {
       }
       if (ok) Some(name -> times.min) else { failed += name; None }
     }.toMap
+    val calPost = calibrate()
     // The driver records only the LAST 2000 chars of stdout and json-parses
     // the final line (BENCH_r01/r02: "parsed": null when the line overflowed
     // that window). Keep the line compact: 10 ms per-query precision, and a
@@ -103,10 +123,13 @@ object Bench {
         (if (folded.isEmpty) Nil
          else Seq("\"_other\":" + f(folded.sum),
            "\"_other_n\":" + folded.size))
+      // a round with failures reports a SMALLER (better-looking) total —
+      // flag it as partial so no comparator ever reads it as the full
+      // surface's time (ADVICE r10)
       val failedPart = if (failed.isEmpty) ""
         else failed.sorted.map("\"" + _ + "\"")
-          .mkString(""","failed":[""", ",", "]")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","queries":${entries.mkString("{", ",", "}")}$failedPart,"sf":"$sfName"}"""
+          .mkString(""","partial":true,"failed":[""", ",", "]")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","cal_pre":${f(calPre)},"cal_post":${f(calPost)},"queries":${entries.mkString("{", ",", "}")}$failedPart,"sf":"$sfName"}"""
     }
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     var keep = bySlowest.length

@@ -265,12 +265,15 @@ object Dedup {
     // would (a) diverge from the wide form / persisted corpus state on
     // the same parameters and (b) leave null slots that concat_ws
     // silently skips, merging distinct band vectors into one bucket key.
-    // Within a FULL band, seeds b·r..b·r+r−1 hit each slot exactly once,
-    // so no nulls survive the filter.
+    // The guard counts NON-NULL minhash values, not rows: a NULL
+    // signature inside a nominally full band is exactly hazard (b) — a
+    // row count would pass it through and collapse distinct band
+    // vectors into one bucket. Within a full all-non-null band, seeds
+    // b·r..b·r+r−1 hit each slot exactly once.
     signatures
       .groupBy(col("doc_id"), expr(s"seed div $rowsPerBand").as("band"))
       .agg(md5(concat_ws(",", slots: _*)).as("bucket"),
-        count(lit(1)).as("__nseeds"))
+        count(col("minhash")).as("__nseeds"))
       .filter(col("__nseeds") === rowsPerBand)
       .drop("__nseeds")
   }

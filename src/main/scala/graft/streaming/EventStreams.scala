@@ -636,9 +636,17 @@ object EventStreams {
     * part of that once-per-corpus build.
     */
   /** Replay a frame into `n` time-contiguous single-file slices under
-    * `root/drop`, written SEQUENTIALLY so the one-file-per-batch file
-    * source consumes them in event-time order (the file source orders by
-    * modification time) and a watermark genuinely trails the data. The
+    * `root/drop`, consumed in event-time order so a watermark genuinely
+    * trails the data. The file source orders its listing by modification
+    * time — and sequential writes alone cannot guarantee that order on a
+    * filesystem with coarse mtime granularity (two slices written within
+    * the same clock tick tie, and a tie-broken reordering would violate
+    * the in-order-arrival premise the streamEma/backtest ≡ batch parity
+    * proofs stand on). So ordering is made EXPLICIT: each slice is
+    * written to a scratch dir, its single part file moved into the drop
+    * folder as `slice-%05d.parquet`, and its mtime pinned via
+    * `Files.setLastModifiedTime` to a fixed epoch + i minutes — strictly
+    * increasing by construction, independent of clock resolution. The
     * slice step covers [lo, hi] entirely: step ≥ (hi−lo)/n + 1 ⇒
     * n·step > hi−lo, so no trailing row is lost to the half-open upper
     * bound.
@@ -651,12 +659,30 @@ object EventStreams {
       val lo = mm.getTimestamp(0).getTime
       val hi = mm.getTimestamp(1).getTime
       val step = math.max(1L, (hi - lo) / n + 1)
+      new java.io.File(s"$root/drop").mkdirs()
       for (i <- 0 until n) {
         val a = lo + i * step
+        val tmp = s"$root/tmp-slice"
         df.filter(col("ts") >= timestamp_millis(lit(a)) &&
             col("ts") < timestamp_millis(lit(a + step)))
           .coalesce(1)
-          .write.mode("append").parquet(s"$root/drop")
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+        // a slice with zero rows still writes an (empty-row-group)
+        // part file under coalesce(1); move it anyway so slice index
+        // and batch order stay aligned with the time axis
+        part.foreach { f =>
+          val dst = java.nio.file.Paths.get(
+            s"$root/drop", f"slice-$i%05d.parquet")
+          java.nio.file.Files.move(f.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1600000000000L + i * 60000L))
+        }
+        rmTree(new java.io.File(tmp))
       }
     } else {
       // EMPTY source (or all-NULL ts): no slice write ever runs, but the
@@ -764,7 +790,12 @@ object EventStreams {
         eventsStream(spark, drop, perTrigger),
         eventsStream(spark, drop, perTrigger),
         threshold, windowMinutes, lateness),
-      freshRunRoot("stream-followups", s"$dir#$slices#$windowMinutes"),
+      // the key carries EVERY parameter that shapes the drained output
+      // (threshold and lateness included): a key that omitted one would
+      // let two parameterizations share — and wipe — one run root while
+      // a caller still held the first result's lazy reader
+      freshRunRoot("stream-followups",
+        s"$dir#$slices#$windowMinutes#$threshold#$lateness"),
       schema = StructType(Seq(StructField("user_id", LongType),
         StructField("sig_event_id", LongType),
         StructField("sig_ts", TimestampType),

@@ -6,11 +6,16 @@ hide behind a healthy-looking total or get waved off as container drift.
 Usage: python3 tools/bench_compare.py BENCH_rPREV.json BENCH_rCURR.json
 
 Parses the driver-recorded stdout tail of each bench artifact, joins the
-per-query times, and prints a markdown report: totals, the MEDIAN
-per-query ratio (the drift estimator — uniform container noise moves the
-median; real regressions sit far above it), and every query whose ratio
-exceeds 1.25x in either direction. Paste the output into SCALE.md at
-round close. Dev-only tool; the library itself never uses Python.
+per-query times, and prints a markdown report: totals (raw AND restricted
+to the common query set, so differing surfaces or partial runs never
+compare unequal things), the MEDIAN per-query ratio (the drift
+estimator), and every query whose ratio exceeds 1.25x in either
+direction. Since r11 the bench JSON carries a data-independent
+calibration probe (cal_pre/cal_post — pure CPU + one shuffle): when both
+artifacts have it, ratios are ALSO normalized by the cross-round
+calibration ratio, separating container drift from real plan
+regressions. Paste the output into SCALE.md at round close. Dev-only
+tool; the library itself never uses Python.
 """
 import json
 import re
@@ -32,12 +37,15 @@ def qmap(path):
     qs = dict(d["queries"])
     qs.pop("_other", None)
     qs.pop("_other_n", None)
-    return d.get("value"), qs
+    cal = None
+    if "cal_pre" in d and "cal_post" in d:
+        cal = (d["cal_pre"] + d["cal_post"]) / 2.0
+    return d.get("value"), qs, cal, bool(d.get("partial"))
 
 
 def main(prev_path, curr_path):
-    ptot, prev = qmap(prev_path)
-    ctot, curr = qmap(curr_path)
+    ptot, prev, pcal, ppart = qmap(prev_path)
+    ctot, curr, ccal, cpart = qmap(curr_path)
     common = sorted(set(prev) & set(curr))
     # Clamp BOTH sides to half the 10 ms per-query precision floor: an
     # unclamped prev of 0.0 would drop the query from the ratio map (a
@@ -48,10 +56,32 @@ def main(prev_path, curr_path):
     ratios = {k: max(curr[k], 0.005) / max(prev[k], 0.005) for k in common}
     med = statistics.median(ratios.values()) if ratios else float("nan")
     print(f"### Bench compare: {prev_path} -> {curr_path}\n")
-    print(f"- totals: {ptot} s -> {ctot} s "
-          f"({len(prev)} -> {len(curr)} shown queries)")
-    print(f"- median per-query ratio over {len(ratios)} common queries: "
-          f"**{med:.2f}** (the drift estimator; outliers below are real)")
+    flags = (" [PARTIAL prev]" if ppart else "") + \
+            (" [PARTIAL curr]" if cpart else "")
+    print(f"- totals (raw): {ptot} s -> {ctot} s "
+          f"({len(prev)} -> {len(curr)} shown queries){flags}")
+    # common-set totals: the only apples-to-apples headline when the two
+    # rounds declare different query sets (new queries, or a partial run
+    # that dropped failures from its total)
+    pc, cc = sum(prev[k] for k in common), sum(curr[k] for k in common)
+    print(f"- totals over the {len(common)} common queries: "
+          f"{pc:.2f} s -> {cc:.2f} s ({cc / pc:.2f}x)" if common else
+          "- no common queries")
+    drift = None
+    if pcal and ccal:
+        drift = ccal / pcal
+        print(f"- calibration probe: {pcal:.2f} s -> {ccal:.2f} s — "
+              f"container drift factor **{drift:.2f}** "
+              f"(ratios below {drift:.2f} are the container, not the code)")
+        cmed = statistics.median(r / drift for r in ratios.values()) \
+            if ratios else float("nan")
+        print(f"- median per-query ratio: **{med:.2f}** raw, "
+              f"**{cmed:.2f}** drift-corrected over {len(ratios)} "
+              "common queries")
+    else:
+        print(f"- median per-query ratio over {len(ratios)} common "
+              f"queries: **{med:.2f}** (the drift estimator; outliers "
+              "below are real)")
     added = sorted(set(curr) - set(prev))
     if added:
         tail = sum(curr[k] for k in added)
@@ -62,10 +92,17 @@ def main(prev_path, curr_path):
     if not out:
         print("\nNo per-query ratio outside [0.8, 1.25] - no outliers.")
         return
-    print("\n| query | prev s | curr s | ratio |")
-    print("|---|---|---|---|")
-    for r, k in sorted(out, reverse=True):
-        print(f"| {k} | {prev[k]:.2f} | {curr[k]:.2f} | {r:.2f}x |")
+    if drift:
+        print("\n| query | prev s | curr s | ratio | drift-corrected |")
+        print("|---|---|---|---|---|")
+        for r, k in sorted(out, reverse=True):
+            print(f"| {k} | {prev[k]:.2f} | {curr[k]:.2f} | {r:.2f}x "
+                  f"| {r / drift:.2f}x |")
+    else:
+        print("\n| query | prev s | curr s | ratio |")
+        print("|---|---|---|---|")
+        for r, k in sorted(out, reverse=True):
+            print(f"| {k} | {prev[k]:.2f} | {curr[k]:.2f} | {r:.2f}x |")
 
 
 if __name__ == "__main__":
