@@ -824,6 +824,60 @@ object Analytics {
     require(maxDist <= 2,
       s"the deletion-neighborhood generator enumerates <= 2 deletions " +
         s"(got maxDist=$maxDist)")
+    // NAME-GROUP COLLAPSE (the r10 absolute-cost attack): identical
+    // (brand, name) records traverse the candidate machinery as ONE
+    // representative, and the final pairs expand back from the group
+    // membership. On a closed-vocabulary catalog duplicate names are
+    // the norm (sf0.1: 20k parts, ~7k distinct names), and without the
+    // collapse every g-member duplicate group re-emits its C(g,2)
+    // pairs under ALL ~C(len,≤2) shared deletion variants — measured
+    // 6.8M emitted bucket pairs deduping to 252k (27× redundancy) and
+    // ~5.9 s at sf0.1; collapsed, bucket membership is per distinct
+    // name and the DP runs once per distinct-name pair. Exactness is
+    // untouched: edit distance is a function of the NAMES, so every
+    // member pair of a surviving (nameA, nameB) rep pair shares its
+    // distance, and identical-name pairs are dist 0 by definition —
+    // both expansions below reproduce exactly what the uncollapsed
+    // pipeline emitted (the oracle's candidate classes are also
+    // name-determined, so the final sets stay provably identical).
+    val groups = parts
+      .groupBy(col("p_brand"), col("p_name"))
+      .agg(sort_array(collect_set(col("p_partkey"))).as("ids"))
+      .localCheckpoint()
+    val reps = groups.select(col("p_brand"), col("p_name"),
+      col("ids")(0).as("p_partkey"))
+    val repPairs = fuzzyRepPairs(reps, maxDist, bands)
+    // rep id → full member list, for both sides of the expansion
+    val repIds = groups.select(col("ids")(0).as("rep"), col("ids"))
+    val acrossGroups = repPairs
+      .join(repIds.select(col("rep").as("part_a"), col("ids").as("ids_a")),
+        Seq("part_a"))
+      .join(repIds.select(col("rep").as("part_b"), col("ids").as("ids_b")),
+        Seq("part_b"))
+      .select(col("p_brand"),
+        explode(flatten(transform(col("ids_a"), a =>
+          transform(col("ids_b"), b => struct(least(a, b).as("pa"),
+            greatest(a, b).as("pb")))))).as("pr"),
+        col("dist"))
+      .select(col("p_brand"), col("pr.pa").as("part_a"),
+        col("pr.pb").as("part_b"), col("dist"))
+    // identical-name pairs: every 2-combination within a group, dist 0
+    val withinGroups = groups.filter(size(col("ids")) >= 2)
+      .select(col("p_brand"),
+        explode(flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            b => struct(a.as("pa"), b.as("pb")))))).as("pr"))
+      .select(col("p_brand"), col("pr.pa").as("part_a"),
+        col("pr.pb").as("part_b"), lit(0L).as("dist"))
+    acrossGroups.unionByName(withinGroups)
+  }
+
+  /** [[fuzzyMatchPairs]]' candidate+DP core over records with DISTINCT
+    * (brand, name) — one representative per name group. Returns
+    * `(p_brand, part_a, part_b, dist)` over representative ids.
+    */
+  private def fuzzyRepPairs(parts: DataFrame, maxDist: Int,
+      bands: Int): DataFrame = {
     val nTok = size(split(col("p_name"), " "))
     // banded path: ONLY records where the pigeonhole guarantee holds
     // (> maxDist tokens) — low-token records are covered exactly by the

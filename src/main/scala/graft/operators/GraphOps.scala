@@ -173,8 +173,13 @@ object GraphOps {
   /** The counting core over an arbitrary UNDIRECTED edge list given as
     * distinct `(u, v)` rows with u < v. Returns one row:
     * `(n_nodes, n_edges, n_triangles)`.
+    *
+    * `broadcastEdgeLimit` exists so GraphSpec can exercise BOTH closing-
+    * join strategies on one fixture (limit 0 forces the shuffled
+    * fallback); production callers take the default cap.
     */
-  def triangleCountEdges(edges0: DataFrame): DataFrame = {
+  def triangleCountEdges(edges0: DataFrame,
+      broadcastEdgeLimit: Long = BroadcastEdgeLimit): DataFrame = {
     // materialize the (possibly expensive) edge build ONCE — without
     // this, each of {degree agg, u-attach, v-attach} replays the full
     // upstream lineage (at sf0.1 the lineitem pair self-join + distinct,
@@ -222,7 +227,7 @@ object GraphOps {
     // with an empty set. The adjacency attaches broadcast when the
     // graph fits ([[BroadcastEdgeLimit]]); the fallback is two shuffled
     // node-keyed joins.
-    val (ru, rv) = if (nEdges <= BroadcastEdgeLimit)
+    val (ru, rv) = if (nEdges <= broadcastEdgeLimit)
       (broadcast(adjU), broadcast(adjV)) else (adjU, adjV)
     oriented.join(ru, Seq("src")).join(rv, Seq("dst"))
       .select(size(array_intersect(col("nu"), col("nv")))
