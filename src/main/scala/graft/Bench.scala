@@ -51,15 +51,25 @@ object Bench {
     // min-of-2 BEFORE and AFTER the measured loop; both land in the JSON
     // (cal_pre/cal_post) and tools/bench_compare.py normalizes per-query
     // ratios by the cross-round calibration ratio.
-    def calibrate(): Double =
-      (1 to 3).map { _ =>
+    // Probe size is a trade: big enough for a stable signal, small
+    // enough not to perturb the measured queries — a 512M-row probe
+    // measurably slowed the latency-sensitive streaming drains that
+    // follow it by ~15% (A/B-isolated against the r10 Bench in one
+    // container window), so it stays at 256M with an explicit
+    // cache-release + GC before the loop resumes.
+    def calibrate(): Double = {
+      val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        spark.range(512L * 1000L * 1000L)
+        spark.range(256L * 1000L * 1000L)
           .selectExpr("pmod(xxhash64(id), 4096) AS k",
             "xxhash64(id, 1L) AS v")
           .groupBy("k").sum("v").count()
         (System.nanoTime() - t0) / 1e9
       }.min
+      Sessions.releaseCaches(spark)
+      System.gc()
+      t
+    }
     // Order-sensitivity probe (SPARK_GRAFT_BENCH_REVERSE=1): run the
     // surface back-to-front. If late-order queries inflate in BOTH
     // directions, state accumulates with bench position, not query

@@ -511,11 +511,23 @@ object EventStreams {
     */
   private val runRootsRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Run roots prefer tmpfs (/dev/shm) when present: the checkpoint and
+    * state-store commits under a run root are many small synchronous
+    * writes per micro-batch, and on the local harness their disk fsync
+    * latency measures the filesystem, not the streaming machinery (a
+    * production checkpoint goes to object storage with its own
+    * durability path). Falls back to java.io.tmpdir.
+    */
+  private val runRootBase = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.getPath
+    else sys.props("java.io.tmpdir")
+  }
   private def freshRunRoot(name: String, key: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-$name-run-$digest")
+      runRootBase, s"graft-$name-run-$digest")
     rmTree(root)
     root.mkdirs()
     if (runRootsRegistered.add(root.getPath))
@@ -535,14 +547,17 @@ object EventStreams {
     * State-store partition count is a deployment knob sized to key
     * cardinality (frozen into the checkpoint at stream start): the
     * session's 32 is tuned for the batch shuffles, while these fixtures
-    * carry only thousands of keys, where 32 partitions just multiply
-    * per-batch state-commit overhead — size down for the drain, restore
-    * after (queries run sequentially in Bench/Verify; at production
-    * scale this is raised, not lowered).
+    * carry only thousands of keys, where every extra partition just
+    * multiplies per-batch state-commit overhead (the interval join
+    * opens FOUR stores per partition per batch). The r11 sweep over
+    * {2, 4, 8, 16} measured 4 as the local-fixture optimum — 2 starts
+    * losing batch parallelism, 8+ pays commit fan-out; at production
+    * scale this is raised, not lowered. Restored after the drain
+    * (queries run sequentially in Bench/Verify).
     */
   private def drainUpdateStream(spark: SparkSession, stream: DataFrame,
       runRoot: String, keyCols: Seq[String], schema: StructType,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
@@ -711,7 +726,7 @@ object EventStreams {
         scratchDir("graft-stream-candles"), n)
     })
 
-  def streamCandles(spark: SparkSession, dir: String, slices: Int = 4,
+  def streamCandles(spark: SparkSession, dir: String, slices: Int = 2,
       lateness: String = "2 hours"): DataFrame =
     drainUpdateStream(spark,
       candleStream(eventsStream(spark,
@@ -732,7 +747,7 @@ object EventStreams {
     */
   private def drainAppendStream(spark: SparkSession, stream: DataFrame,
       runRoot: String, schema: StructType,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
@@ -772,17 +787,18 @@ object EventStreams {
     * can no longer match, which is the bounded-state contract that makes
     * this join survive an unbounded stream.
     */
-  def streamFollowups(spark: SparkSession, dir: String, slices: Int = 4,
+  def streamFollowups(spark: SparkSession, dir: String, slices: Int = 2,
       threshold: Double = 100.0, windowMinutes: Int = 30,
       lateness: String = "2 hours"): DataFrame = {
-    // GENUINELY shares streamCandles' 4-slice replay folder (same
-    // (dir, slices) fixture key — a different slice count would build a
-    // second full events copy in scratch), but consumes it 2 files per
-    // trigger: each slice feeds BOTH readers, so micro-batch count —
-    // the drain's fixed overhead — scales with 2·(slices/filesPerTrigger);
-    // two batches per reader still put matches ACROSS a batch boundary
-    // (signal buffered in join state until its followup arrives in the
-    // next batch), which is the cross-batch machinery this query gates.
+    // GENUINELY shares streamCandles' replay folder (same (dir, slices)
+    // fixture key — a different slice count would build a second full
+    // events copy in scratch); each slice feeds BOTH readers, so
+    // micro-batch count — the drain's fixed overhead — scales with
+    // slices/filesPerTrigger. The default 2 slices at 1 file/trigger
+    // keep TWO batches per reader, which still puts matches ACROSS a
+    // batch boundary (signal buffered in join state until its followup
+    // arrives in the next batch) — the cross-batch machinery this
+    // query gates.
     val drop = candleReplayFor(spark, dir, slices)
     val perTrigger = math.max(1, slices / 2)
     drainAppendStream(spark,
@@ -820,7 +836,7 @@ object EventStreams {
     */
   private val emaReplayCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-  def streamEma(spark: SparkSession, dir: String, slices: Int = 4,
+  def streamEma(spark: SparkSession, dir: String, slices: Int = 2,
       n: Int = 14): DataFrame = {
     import spark.implicits._
     val drop = emaReplayCache.computeIfAbsent((dir, slices), { case (d, k) =>
