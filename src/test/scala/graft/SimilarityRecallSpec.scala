@@ -23,6 +23,61 @@ class SimilarityRecallSpec extends SparkSpec {
       f"IVF recall@5 degraded to $recall%.3f ($hit/${exact.size})")
   }
 
+  test("scale-correct geometry: recall@5 >= 0.8 scanning 3% of the " +
+    "corpus per query (nlist = sqrt(n), stored layout, numFiles witness)") {
+    // The sf0.1 fixture's 10-cell codebook probes ~60% of the corpus at
+    // nprobe=6 — fine for oracle determinism, useless as a recall claim.
+    // This is the claim that matters at 100 TB: at nlist ≈ √n geometry
+    // (the annTopKIvf scaladoc's scaling), a single-digit-percent scan
+    // still clears 0.8 recall on a realistically-overlapping clustered
+    // corpus. Scaled-down replica of the RecallSweep 1M measurement —
+    // same generator, same nlist/√n = 1, same nprobe/nlist = 3%.
+    val n = 40000L
+    val nlist = 200 // = √40000
+    val nprobe = 6  // 3% of cells
+    val corpus = RecallSweep.clusteredCorpus(spark, n, nlist)
+      .localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.annTopK(corpus, 8, 5))
+    assert(exact.size == 40)
+    val dir = java.nio.file.Files.createTempDirectory("recall_geom")
+      .toString
+    Similarity.writeCellPartitioned(corpus, dir)
+    val layout = spark.read.parquet(dir)
+    val allFiles = layout.inputFiles.length
+    val probe = Similarity.annTopKFromLayout(spark, dir, 8, 5, nprobe)
+    // execute PROBE itself (not a derived select) so its plan's metrics
+    // are populated for the witness below
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the scanned-fraction WITNESS: the candidate scan (the one with a
+    // partition filter) opened only the probed cells' files
+    val readFiles = RecallSweep.fileScans(probe.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(
+        _.references.exists(_.name == "cell")))
+      .map(_.metrics("numFiles").value)
+      // the plan tree can hold cloned, never-executed copies of the scan
+      // (metrics 0) next to the executed one — the executed instance is
+      // the max
+      .maxOption.filter(_ > 0)
+      .getOrElse(fail("no executed cell-pruned scan in probe"))
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"recall@5=$recall%.3f scanning $readFiles/$allFiles files " +
+      f"(per-query ${nprobe.toDouble / nlist}%.3f) " +
+      f"at nlist=$nlist nprobe=$nprobe")
+    // files live one per cell, so numFiles == |union of probed cells|:
+    // bounded by nQueries·nprobe (each query's scan is its own nprobe
+    // cells = nprobe/nlist = 3% of the corpus; the union is a batching
+    // artifact of answering 8 queries in one scan). A regression to
+    // full-index scanning would read all `allFiles`.
+    assert(readFiles <= 8 * nprobe,
+      s"probe read $readFiles/$allFiles files — more than the " +
+        s"${8 * nprobe} probed cells: pruning regressed")
+    assert(recall >= 0.8,
+      f"recall@5 $recall%.3f below 0.8 at scale-correct geometry")
+  }
+
   test("grown (appended) index retains recall@5 >= 0.8 at the declared " +
     "nprobe — appending by the stored codebook does not silently degrade " +
     "retrieval") {
