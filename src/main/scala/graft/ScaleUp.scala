@@ -26,7 +26,15 @@ import org.apache.spark.sql.functions._
   *    distances unchanged);
   *  - embeddings are sign-flipped per (copy, dim) — a diagonal ±1
   *    rotation preserves EVERY within-copy dot product and norm exactly
-  *    while decorrelating cross-copy cosines (dot(Sx, Sy) = dot(x, y));
+  *    while decorrelating cross-copy cosines (dot(Sx, Sy) = dot(x, y)) —
+  *    and (round 11) each copy's `label` space is offset like every
+  *    other entity key: new data brings NEW semantic clusters, so the
+  *    cell count grows with the corpus instead of cells growing without
+  *    bound. At factor 100 this lands the label codebook at 1000 cells
+  *    of ~constant size — the nlist ≈ √n geometry the IVF/SemDeDup docs
+  *    promise — and makes `semantic_dedup`'s Σcell² linear in corpus
+  *    (fixed labels would make it quadratic BY CONSTRUCTION of the test
+  *    data, measuring the replication artifact, not the operator);
   *  - events extend the time axis: copy i shifts ts by i·span (rounded
   *    to whole hours, so candle buckets stay aligned) with offset
   *    user/event ids — longer history × more users, the real shape of
@@ -38,6 +46,13 @@ object ScaleUp {
     val src = args(0)
     val dst = args(1)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // Optional 4th arg: comma-separated table subset (default: all) —
+    // a targeted sf10 build needn't write 60M lineitem rows when the
+    // families under test only read part/documents/embeddings.
+    val want: String => Boolean = args.lift(3) match {
+      case Some(list) => list.split(',').map(_.trim).toSet
+      case None => (_: String) => true
+    }
     val spark = Sessions.get("graft-scale-up")
     new java.io.File(dst).mkdirs()
 
@@ -52,7 +67,7 @@ object ScaleUp {
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
 
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df: => DataFrame): Unit = if (want(name)) {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name done")
     }
@@ -103,8 +118,19 @@ object ScaleUp {
 
     val vecs = spark.read.parquet(s"$src/embeddings.parquet")
     val vecStep = step(vecs, "vec_id")
+    // label namespace per copy: same rounding rule as entity keys (max
+    // label 9 → step 100). Growth-realistic cluster structure — see the
+    // scaladoc; within-copy assignments are exactly preserved (own-copy
+    // centroids are the same diagonal rotation as the copy's vectors,
+    // cross-copy centroid cosines decorrelate), so SemDeDup kept/cell
+    // counts must come out EXACTLY factor× the source values.
+    val labelStep =
+      ((vecs.agg(max(col("label").cast("long"))).head().getLong(0) / 100L)
+        + 1L) * 100L
     write("embeddings", copies(vecs) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * vecStep))
+        .withColumn("label",
+          (col("label") + lit(i * labelStep)).cast("int"))
         .withColumn("embedding", if (i == 0) col("embedding")
           else transform(col("embedding"), (x, d) =>
             (x * when(pmod(hash(d, lit(i)), lit(2)) === 0, lit(1.0f))
@@ -114,6 +140,7 @@ object ScaleUp {
     // Tables.table normalizes ts (NANOS-as-long / NTZ) to a session-TZ
     // TIMESTAMP — written back, that form round-trips through the same
     // normalization, so the scaled dir serves every consumer identically
+    if (want("events")) {
     val events = Tables.table(spark, src, "events")
     val evRange = events.agg(
       max(col("event_id")), max(col("user_id")),
@@ -128,6 +155,7 @@ object ScaleUp {
         .withColumn("ts",
           timestamp_micros(unix_micros(col("ts")) + lit(i * spanUs)))
     })
+    }
 
     spark.stop()
   }

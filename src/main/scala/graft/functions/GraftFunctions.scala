@@ -36,6 +36,9 @@ object GraftFunctions {
         "built-in")
       registry.createOrReplaceTempFunction(
         "md5_base60", exprs => Md5Base60(exprs.head), "built-in")
+      registry.createOrReplaceTempFunction(
+        "cell_survivors",
+        exprs => CellSurvivors(exprs(0), exprs(1), exprs(2)), "built-in")
     }
     // In-process route for the optimizer rule (the extensions config only
     // applies at session build): idempotent append via contains-check —
@@ -89,6 +92,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[Md5Base60].getName, "md5_base60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Base60(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("cell_survivors"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CellSurvivors].getName, "cell_survivors"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CellSurvivors(exprs(0), exprs(1), exprs(2))))
     // thresholded edit-distance predicates → banded Levenshtein
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
   }

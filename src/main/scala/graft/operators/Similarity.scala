@@ -390,18 +390,16 @@ object Similarity {
       .agg(collect_list(struct(col("c_label"), col("cvec"), col("c_norm")))
         .as("cells"))
     df.crossJoin(broadcast(codebook))
-      .withColumn("simds", transform(col("cells"), c =>
-        when(col(nrm) * c.getField("c_norm") > 0,
-          call_function("double_dot", col(v), c.getField("cvec")) /
-            (col(nrm) * c.getField("c_norm"))).otherwise(lit(0.0))))
-      .withColumn("mx", array_max(col("simds")))
-      .withColumn("surv", filter(
-        zip_with(col("cells"), col("simds"), (c, s) => struct(
-          c.getField("c_label").as("c_label"),
-          c.getField("cvec").as("cvec"),
-          c.getField("c_norm").as("c_norm"),
-          s.as("simd"))),
-        x => x.getField("simd") >= col("mx") - lit(1e-6)))
+      // One-pass primitive argmax+filter ([[graft.functions.CellSurvivors]]).
+      // The previous HOF pipeline (transform → array_max → filter) was
+      // correct but collapsed into a projection that re-evaluated the
+      // array_max-over-transform INSIDE the filter lambda: O(nlist²·d)
+      // interpreted work per row — harmless at the 10-cell toy codebook,
+      // ~10¹² ops for one 1M-vector assignment at the nlist ≈ √n
+      // geometry a real index uses. Bit-identical semantics (see the
+      // expression's scaladoc), O(nlist·d) per row.
+      .withColumn("surv", call_function("cell_survivors",
+        col(v), col(nrm), col("cells")))
       .withColumn("best", array_max(transform(col("surv"), x => struct(
         when(col(nrm) * x.getField("c_norm") > 0,
           call_function("decimal_dot", col(v), x.getField("cvec")) /
@@ -410,7 +408,7 @@ object Similarity {
         (-x.getField("c_label")).as("neg_label")))))
       .withColumn("cell", -col("best.neg_label"))
       .withColumn("cell_sim", col("best.sim"))
-      .drop("cells", "simds", "mx", "surv", "best")
+      .drop("cells", "surv", "best")
   }
 
   /** Full distributed Lloyd iteration: [[kmeansAssign]] (assign to nearest
