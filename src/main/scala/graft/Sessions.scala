@@ -14,7 +14,14 @@ object Sessions {
       .master(master)
       // Shuffle width = cores, not the 200 default — at cluster scale this
       // is a capacity-planning knob; AQE coalesces small partitions anyway.
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale-harness runs
+      // (ScaleUp's sf10 spot check): partitions must grow with data or
+      // per-partition aggregation state grows without bound — a fixed 32
+      // at 100× the driver SF is a local-mode ceiling no cluster
+      // deployment would configure. The driver contract itself never
+      // sets it, so driver benches keep shuffle width = cores.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       // InferFiltersFromGenerate clones the full generator expression into
       // a pre-Generate filter; for explode(expensive-higher-order-expr)
