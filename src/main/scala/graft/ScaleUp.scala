@@ -76,15 +76,21 @@ object ScaleUp {
     for (t <- Seq("region", "nation"))
       write(t, spark.read.parquet(s"$src/$t.parquet"))
 
-    val customer = spark.read.parquet(s"$src/customer.parquet")
-    val supplier = spark.read.parquet(s"$src/supplier.parquet")
-    val part = spark.read.parquet(s"$src/part.parquet")
-    val orders = spark.read.parquet(s"$src/orders.parquet")
-    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
-    val custStep = step(customer, "c_custkey")
-    val suppStep = step(supplier, "s_suppkey")
-    val partStep = step(part, "p_partkey")
-    val orderStep = step(orders, "o_orderkey")
+    // Every read AND step aggregation is lazy (r11 ADVICE): a targeted
+    // subset build (4th arg) must neither scan nor even require the
+    // existence of excluded tables. Cross-table key deps stay honest —
+    // building `orders` alone still forces custStep (its foreign keys
+    // need the offset), but a {part,documents,embeddings} build touches
+    // nothing else.
+    lazy val customer = spark.read.parquet(s"$src/customer.parquet")
+    lazy val supplier = spark.read.parquet(s"$src/supplier.parquet")
+    lazy val part = spark.read.parquet(s"$src/part.parquet")
+    lazy val orders = spark.read.parquet(s"$src/orders.parquet")
+    lazy val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    lazy val custStep = step(customer, "c_custkey")
+    lazy val suppStep = step(supplier, "s_suppkey")
+    lazy val partStep = step(part, "p_partkey")
+    lazy val orderStep = step(orders, "o_orderkey")
 
     write("customer", copies(customer) { (df, i) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(i * custStep))
@@ -107,8 +113,8 @@ object ScaleUp {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppStep))
     })
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docStep = step(docs, "doc_id")
+    lazy val docs = spark.read.parquet(s"$src/documents.parquet")
+    lazy val docStep = step(docs, "doc_id")
     write("documents", copies(docs) { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * docStep))
         .withColumn("text", if (i == 0) col("text")
@@ -116,15 +122,15 @@ object ScaleUp {
             t => concat(t, lit(s"${i}q")))))
     })
 
-    val vecs = spark.read.parquet(s"$src/embeddings.parquet")
-    val vecStep = step(vecs, "vec_id")
+    lazy val vecs = spark.read.parquet(s"$src/embeddings.parquet")
+    lazy val vecStep = step(vecs, "vec_id")
     // label namespace per copy: same rounding rule as entity keys (max
     // label 9 → step 100). Growth-realistic cluster structure — see the
     // scaladoc; within-copy assignments are exactly preserved (own-copy
     // centroids are the same diagonal rotation as the copy's vectors,
     // cross-copy centroid cosines decorrelate), so SemDeDup kept/cell
     // counts must come out EXACTLY factor× the source values.
-    val labelStep =
+    lazy val labelStep =
       ((vecs.agg(max(col("label").cast("long"))).head().getLong(0) / 100L)
         + 1L) * 100L
     write("embeddings", copies(vecs) { (df, i) =>

@@ -154,7 +154,11 @@ case class CellSurvivors(vec: Expression, nrm: Expression, cells: Expression)
         } else {
           val st = arr.getStruct(i, 3)
           out += new GenericInternalRow(Array[Any](
-            if (st.isNullAt(0)) null else st.get(0, labelType),
+            // copyValue: a buffer-backed label (e.g. UTF8String) read off
+            // an UnsafeRow aliases a reused buffer — int labels are safe
+            // raw, string labels are not (r11 ADVICE)
+            if (st.isNullAt(0)) null
+            else InternalRow.copyValue(st.get(0, labelType)),
             if (st.isNullAt(1)) null else st.getArray(1).copy(),
             if (st.isNullAt(2)) null else st.getDouble(2),
             sims(i)))

@@ -840,7 +840,13 @@ object Analytics {
     // both expansions below reproduce exactly what the uncollapsed
     // pipeline emitted (the oracle's candidate classes are also
     // name-determined, so the final sets stay provably identical).
+    // null names/brands never pair in the uncollapsed pipeline (a null
+    // band key never join-matches; levenshtein(null, _) is null, dropped
+    // by dist >= 0) — but groupBy KEEPS the null group, so without this
+    // filter withinGroups would invent dist-0 pairs for duplicate
+    // null-name records the original never emitted (r11 ADVICE)
     val groups = parts
+      .filter(col("p_brand").isNotNull && col("p_name").isNotNull)
       .groupBy(col("p_brand"), col("p_name"))
       .agg(sort_array(collect_set(col("p_partkey"))).as("ids"))
       .localCheckpoint()

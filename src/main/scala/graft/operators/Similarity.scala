@@ -715,6 +715,12 @@ object Similarity {
     * Exactness property (unit-tested): with `nprobe` = nlist the result
     * is IDENTICAL to brute-force [[annTopK]] — the approximation lives
     * only in which cells are probed, never in the scoring.
+    *
+    * Contract note: CONSTRUCTING the returned DataFrame runs two bounded
+    * Spark jobs eagerly (the probe-frame `localCheckpoint` and the
+    * codebook-sized `collect` that plans the static cell filter) — this
+    * is the coordinator planning step, priced at |queries|·nprobe rows,
+    * not a lazy plan-only call.
     */
   def annTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, nQueries: Int = 8, k: Int = 5,
@@ -759,10 +765,15 @@ object Similarity {
     // checkpointed one has no selective predicate for DPP to harvest.
     // Every production IVF engine plans probes exactly here, on the
     // query coordinator. The per-query cell routing stays in the join.
+    // generic read (r11 ADVICE): no IntegerType assumption on the
+    // layout's label — a long/string cell label collects as-is, a null
+    // label (un-routable by construction) is skipped, and the INSET
+    // filter below compares in the column's native type
     val probedCells = probed.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .collect().iterator.map(_.get(0)).filter(_ != null)
+      .toArray.sortBy(String.valueOf(_))
     val scored = layout
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probedCells: _*))
       .filter(col("vec_id") >= nQueries)
       .select(col("cell"), col("vec_id"), vec(col("embedding")).as("v"),
         sqrt(normSqDecimal(col("embedding"))).as("v_norm"))

@@ -64,11 +64,13 @@ def main(prev_path, curr_path):
     # rounds declare different query sets (new queries, or a partial run
     # that dropped failures from its total)
     pc, cc = sum(prev[k] for k in common), sum(curr[k] for k in common)
+    # same precision-floor clamp as the per-query ratios: an all-0.0 prev
+    # total (possible on tiny runs) must not divide by zero (r11 ADVICE)
     print(f"- totals over the {len(common)} common queries: "
-          f"{pc:.2f} s -> {cc:.2f} s ({cc / pc:.2f}x)" if common else
-          "- no common queries")
+          f"{pc:.2f} s -> {cc:.2f} s ({cc / max(pc, 0.005):.2f}x)"
+          if common else "- no common queries")
     drift = None
-    if pcal and ccal:
+    if pcal is not None and ccal is not None and pcal > 0:
         drift = ccal / pcal
         print(f"- calibration probe: {pcal:.2f} s -> {ccal:.2f} s — "
               f"container drift factor **{drift:.2f}** "
