@@ -165,6 +165,73 @@ object PerfProbe {
     }
   }
 
+  /** `dedup_clusters_lss` triage (r11 verdict item 2): the query went
+    * 3.19 → 5.60 s across rounds on trivially-changed code. Times the
+    * full query best-of-3, then each stage alone — pair build, and per
+    * LSS iteration the star-round materialization vs the TWO
+    * convergence actions (count + except) — so "checkpoint block
+    * pressure" vs "second convergence job" stops being a guess. The
+    * star operators are local replicas of [[Dedup.connectedComponents]]'
+    * internals (probe-only duplication; the shipped code is the source
+    * of truth and PropertiesSpec pins their equivalence transitively
+    * through the shared oracle).
+    */
+  def lssStages(spark: org.apache.spark.sql.SparkSession,
+                sfDir: String): Unit = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    docs.count()
+    for (i <- 1 to 3)
+      time(s"dedup_clusters_lss full #$i") {
+        Dedup.nearDupClustersLSS(docs, 3, 0.5, maxDf = 50).count()
+      }
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("hi"),
+          least(col("u"), col("v")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      canon(sym.filter(col("v") > col("u")).join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      canon(e.join(m, Seq("hi")).select(col("lo").as("u"), col("m").as("v"))
+        .union(m.select(col("hi").as("u"), col("m").as("v"))))
+    }
+    val pairs0 = Dedup.jaccardPairs(docs, 3, 0.5, 50)
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = time("jaccardPairs + ckpt") { pairs0.localCheckpoint() }
+    var edges = time("canon + ckpt") {
+      canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .localCheckpoint()
+    }
+    var n = edges.count()
+    println(s"[probe] n_edges = $n")
+    val defaultPar = spark.sparkContext.defaultParallelism
+    val parts = math.max(1, math.min(defaultPar, (n / 100000L).toInt + 1))
+    println(s"[probe] star width = $parts")
+    edges = time("repartition + ckpt") {
+      edges.repartition(parts, col("hi")).localCheckpoint()
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 15) {
+      val next = time(f"iter $iter star rounds + ckpt") {
+        smallStar(largeStar(edges)).localCheckpoint()
+      }
+      val nn = time(f"iter $iter count") { next.count() }
+      converged = nn == n &&
+        time(f"iter $iter except.isEmpty") { next.except(edges).isEmpty }
+      edges = next
+      n = nn
+      iter += 1
+    }
+    println(s"[probe] converged after $iter iters, n_edges = $n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-probe")
@@ -173,6 +240,7 @@ object PerfProbe {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     if (args.contains("triangle")) { triangleStages(spark, sfDir); spark.stop(); return }
     if (args.contains("asof")) { asofDeep(spark); spark.stop(); return }
+    if (args.contains("lss")) { lssStages(spark, sfDir); spark.stop(); return }
     val docs = Tables.table(spark, sfDir, "documents")
     docs.count()
 
