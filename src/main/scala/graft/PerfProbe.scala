@@ -165,6 +165,60 @@ object PerfProbe {
     }
   }
 
+  /** Shipped-path triangle stages ONLY (no retired r7 forms — those are
+    * deliberately heavier and would dominate a scaled run): pinpoints
+    * which materialization boundary of [[graft.operators.GraphOps
+    * .triangleCountEdges]] fails or dominates at the ScaleUp sf10
+    * geometry (the r12 OOM triage).
+    */
+  def triangleShipped(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String): Unit = {
+    val edges0 = Tables.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("u"), y.as("v")))))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+    val edges = time("edge build + ckpt") { edges0.localCheckpoint() }
+    println(s"[probe] n_edges = ${time("edges.count") { edges.count() }}")
+    val deg = time("degree agg + ckpt") {
+      edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+    }
+    println(s"[probe] n_nodes = ${deg.count()}")
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val oriented = time("orient + ckpt") {
+      withDeg.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint()
+    }
+    val adj = time("adjacency collect_list + ckpt") {
+      oriented.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("nbrs"))
+        .localCheckpoint()
+    }
+    println(s"[probe] n_adj = ${adj.count()}")
+    val adjU = adj.select(col("src"), col("nbrs").as("nu"))
+    val adjV = adj.select(col("src").as("dst"), col("nbrs").as("nv"))
+    val tri = time("closing joins (shuffled) + agg") {
+      oriented.join(adjU, Seq("src")).join(adjV, Seq("dst"))
+        .select(size(array_intersect(col("nu"), col("nv")))
+          .cast("long").as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    }
+    println(s"[probe] n_triangles = $tri")
+  }
+
   /** `dedup_clusters_lss` triage (r11 verdict item 2): the query went
     * 3.19 → 5.60 s across rounds on trivially-changed code. Times the
     * full query best-of-3, then each stage alone — pair build, and per
@@ -239,6 +293,7 @@ object PerfProbe {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     if (args.contains("triangle")) { triangleStages(spark, sfDir); spark.stop(); return }
+    if (args.contains("tri2")) { triangleShipped(spark, sfDir); spark.stop(); return }
     if (args.contains("asof")) { asofDeep(spark); spark.stop(); return }
     if (args.contains("lss")) { lssStages(spark, sfDir); spark.stop(); return }
     val docs = Tables.table(spark, sfDir, "documents")
