@@ -173,15 +173,13 @@ object PerfProbe {
     */
   def triangleShipped(spark: org.apache.spark.sql.SparkSession,
                       sfDir: String): Unit = {
-    val edges0 = Tables.table(spark, sfDir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("u"), y.as("v")))))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct()
-    val edges = time("edge build + ckpt") { edges0.localCheckpoint() }
+    val edges0 = operators.GraphOps.coPurchaseEdges(spark, sfDir)
+    import org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // mirror the shipped r13 levels: edge-sized materializations
+    // DISK_ONLY (the OOM fix), node-sized deg default
+    val edges = time("edge build + ckpt") {
+      edges0.localCheckpoint(true, DISK_ONLY)
+    }
     println(s"[probe] n_edges = ${time("edges.count") { edges.count() }}")
     val deg = time("degree agg + ckpt") {
       edges.select(col("u").as("node"))
@@ -200,12 +198,12 @@ object PerfProbe {
           struct(col("u").as("src"), col("v").as("dst")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .localCheckpoint()
+        .localCheckpoint(true, DISK_ONLY)
     }
     val adj = time("adjacency collect_list + ckpt") {
       oriented.groupBy(col("src"))
         .agg(collect_list(col("dst")).as("nbrs"))
-        .localCheckpoint()
+        .localCheckpoint(true, DISK_ONLY)
     }
     println(s"[probe] n_adj = ${adj.count()}")
     val adjU = adj.select(col("src"), col("nbrs").as("nu"))
@@ -217,6 +215,34 @@ object PerfProbe {
         .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     }
     println(s"[probe] n_triangles = $tri")
+    val wtri = time("closing WEDGE join + agg") {
+      oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+        .join(edges, Seq("u", "v"))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    println(s"[probe] n_triangles (wedge) = $wtri")
+  }
+
+  /** Head-to-head of the two above-cap closing strategies as SHIPPED
+    * end-to-end operators (each run pays its own edge build; caches
+    * released between runs) — the r13 evidence that fixes the
+    * `wedgeClose` default. Run with SPARK_GRAFT_SF_DIR at the factor-100
+    * geometry.
+    */
+  def triangleStrategies(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String): Unit = {
+    for (w <- Seq(false, true)) {
+      val r = time(s"triangleCountEdges end-to-end wedgeClose=$w") {
+        operators.GraphOps.triangleCountEdges(
+          operators.GraphOps.coPurchaseEdges(spark, sfDir), 0L, w)
+          .collect()(0)
+      }
+      println(s"[probe] wedge=$w -> ${r.toSeq}")
+      Sessions.releaseCaches(spark)
+      System.gc()
+    }
   }
 
   /** `dedup_clusters_lss` triage (r11 verdict item 2): the query went
@@ -294,6 +320,7 @@ object PerfProbe {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     if (args.contains("triangle")) { triangleStages(spark, sfDir); spark.stop(); return }
     if (args.contains("tri2")) { triangleShipped(spark, sfDir); spark.stop(); return }
+    if (args.contains("tri3")) { triangleStrategies(spark, sfDir); spark.stop(); return }
     if (args.contains("asof")) { asofDeep(spark); spark.stop(); return }
     if (args.contains("lss")) { lssStages(spark, sfDir); spark.stop(); return }
     val docs = Tables.table(spark, sfDir, "documents")

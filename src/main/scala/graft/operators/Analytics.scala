@@ -840,11 +840,17 @@ object Analytics {
     // both expansions below reproduce exactly what the uncollapsed
     // pipeline emitted (the oracle's candidate classes are also
     // name-determined, so the final sets stay provably identical).
-    // null names/brands never pair in the uncollapsed pipeline (a null
-    // band key never join-matches; levenshtein(null, _) is null, dropped
-    // by dist >= 0) — but groupBy KEEPS the null group, so without this
-    // filter withinGroups would invent dist-0 pairs for duplicate
-    // null-name records the original never emitted (r11 ADVICE)
+    // null NAMES never pair in any path (a null band key never
+    // join-matches; levenshtein(null, _) is null, dropped by dist >= 0)
+    // — but groupBy KEEPS the null group, so without this filter
+    // withinGroups would invent dist-0 pairs for duplicate null-name
+    // records (r11 ADVICE). The null-BRAND filter aligns with the
+    // ORACLE's brand-equality join semantics (its SQL equijoin on
+    // p_brand drops nulls); it is NOT implied by the pipeline itself —
+    // the deletion path buckets candidates via groupBy(p_brand, vh),
+    // which keeps a null-brand group, so the uncollapsed pipeline alone
+    // could emit dist-0 pairs for duplicate-name null-brand low-token
+    // records (comment corrected per r12 ADVICE).
     val groups = parts
       .filter(col("p_brand").isNotNull && col("p_name").isNotNull)
       .groupBy(col("p_brand"), col("p_name"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -76,10 +77,18 @@ object GraphOps {
     // the attach join both read the stored partitions instead of
     // replaying the upstream build; the attached list is materialized
     // because every unrolled iteration re-reads it.
-    val edges = edgeList.localCheckpoint()
+    // Edge-sized materializations are DISK_ONLY (see the triangle OOM
+    // post-mortem on [[triangleCountEdges]]): the build stage's hash
+    // aggregates and the checkpoint's block materialization run in the
+    // SAME tasks, and a MEMORY_AND_DISK checkpoint's unroll buffers
+    // compete with the aggregate's pages in one unified pool. Node-sized
+    // tables (deg) keep the default level — they are ~|V| rows and never
+    // contend.
+    val edges = edgeList.localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
+    val withDeg = edges.join(deg, Seq("src"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // deg is one row per node BY CONSTRUCTION (groupBy output) — the
     // node set reads it directly; the former
     // withDeg.select(src).distinct() paid an EDGE-sized exchange for a
@@ -146,8 +155,17 @@ object GraphOps {
     * node-sized degree table (Σdeg = 2·|E| exactly). All counts are
     * exact BIGINTs.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val edges = table(spark, dir, "lineitem")
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCountEdges(coPurchaseEdges(spark, dir))
+
+  /** The co-purchase edge list (id-canonical distinct `(u, v)`, u < v):
+    * parts linked by appearing on the same order. One exchange (the
+    * per-order `collect_set`) + the partial-combined distinct; exposed so
+    * the probes and GraphSpec exercise [[triangleCountEdges]] on exactly
+    * the shipped build instead of re-deriving it.
+    */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(flatten(transform(col("ps"), (x, i) =>
@@ -155,18 +173,17 @@ object GraphOps {
           y => struct(x.as("u"), y.as("v")))))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
-    triangleCountEdges(edges)
-  }
 
-  /** Above this many total edges the adjacency-array attach falls back
-    * from broadcast to shuffled joins. The adjacency table carries one
+  /** Above this many total edges the closing strategy falls back from
+    * the broadcast adjacency attach. The adjacency table carries one
     * array entry per oriented edge (≈8 B each + node row overhead →
     * ≲64 MB at the cap); under it, both attaches broadcast and the
     * whole count pipelines in one stage over the materialized edge
-    * list. Beyond the cap (a 100 TB-scale graph) the two shuffled
-    * node-keyed joins — the same exchanges the degree attach pays — are
-    * the only correct choice and are kept verbatim; AQE skew-splits
-    * them like any other node-keyed join.
+    * list. Beyond the cap (a 100 TB-scale graph) the attaches become
+    * shuffled node-keyed joins (or, with `wedgeClose`, the relational
+    * wedge form) — AQE skew-splits them like any other node-keyed join,
+    * and every materialization switches to DISK_ONLY (see the
+    * [[triangleCountEdges]] post-mortem).
     */
   private val BroadcastEdgeLimit = 4000000L
 
@@ -175,16 +192,46 @@ object GraphOps {
     * `(n_nodes, n_edges, n_triangles)`.
     *
     * `broadcastEdgeLimit` exists so GraphSpec can exercise BOTH closing-
-    * join strategies on one fixture (limit 0 forces the shuffled
-    * fallback); production callers take the default cap.
+    * join strategies on one fixture (limit 0 forces the above-cap
+    * fallback); production callers take the default cap. `wedgeClose`
+    * selects the above-cap strategy: false (default) keeps the
+    * adjacency-array intersection with shuffled attaches; true uses the
+    * pure relational wedge form (oriented ⋈ oriented on src, closing
+    * inner join against the id-canonical edge list) — no array
+    * aggregation at all, every operator sort-merge + spillable. Both
+    * exchange Θ(Σ outdeg²) data above the cap (the intersection path
+    * re-shuffles the attached N⁺(u) arrays on dst for the second
+    * attach; the wedge path shuffles the wedge rows themselves) — but
+    * NOT at the same constant: measured head-to-head at factor 100
+    * (SCALE.md r13), the intersection default completes in 198 s while
+    * the wedge form exhausted ~50 GB of spill and died in the closing
+    * join's external sort — the wedge path pays per-ROW shuffle-write
+    * + sort cost for every one of the ~4.1 G wedges where the
+    * intersection path carries the same data as array payloads on m
+    * edge rows. `wedgeClose` is kept as the no-arrays fallback (and
+    * correctness-pinned in GraphSpec), not as a recommendation.
+    *
+    * MEMORY POST-MORTEM (r12, factor-100 sweep): with the former
+    * MEMORY_AND_DISK `localCheckpoint`s this pipeline OOM'd outright at
+    * 120 M edges in an 8 g driver — `[AGGREGATE_OUT_OF_MEMORY]` in the
+    * edge build's distinct() hash aggregate, because the checkpoint's
+    * MemoryStore unroll buffers (216 MiB per block, 32 concurrent
+    * tasks) and the aggregate's hash-map pages drain the SAME unified
+    * pool in the SAME tasks; the retry that survived spent ~15 min
+    * spilling. Edge-sized materializations are therefore DISK_ONLY —
+    * blocks stream straight to disk, the aggregate keeps the whole
+    * execution pool, and re-reads hit the OS page cache at toy scale
+    * (sf0.1 delta: noise). Node-sized tables (deg) keep the default
+    * level.
     */
   def triangleCountEdges(edges0: DataFrame,
-      broadcastEdgeLimit: Long = BroadcastEdgeLimit): DataFrame = {
+      broadcastEdgeLimit: Long = BroadcastEdgeLimit,
+      wedgeClose: Boolean = false): DataFrame = {
     // materialize the (possibly expensive) edge build ONCE — without
     // this, each of {degree agg, u-attach, v-attach} replays the full
     // upstream lineage (at sf0.1 the lineitem pair self-join + distinct,
     // three times over: the single biggest cost in the round-7 bench)
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.localCheckpoint(true, StorageLevel.DISK_ONLY)
     // deg is node-sized and consumed three times (two attach joins +
     // the fused summary aggregate) — materialize it too
     val deg = edges.select(col("u").as("node"))
@@ -203,37 +250,62 @@ object GraphOps {
     val counts = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges")).head()
     val (nNodes, nEdges) = (counts.getLong(0), counts.getLong(1))
+    val big = nEdges > broadcastEdgeLimit
     // orient low-rank → high-rank, rank = (deg, id)
     val withDeg = edges
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-    val oriented = withDeg.select(
+    val orientedPlan = withDeg.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("src"), col("v").as("dst")))
         .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    // node-sized out-adjacency arrays (each O(√m) long by orientation),
-    // materialized because both attaches below read it
-    val adj = oriented.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"))
-      .localCheckpoint()
-    val adjU = adj.select(col("src"), col("nbrs").as("nu"))
-    val adjV = adj.select(col("src").as("dst"), col("nbrs").as("nv"))
-    // per oriented edge (u,v): |N⁺(u) ∩ N⁺(v)| common out-neighbors.
-    // Inner joins: v may have no out-edges (rank-maximal) — such edges
-    // close no triangle, and dropping them is exactly the intersection
-    // with an empty set. The adjacency attaches broadcast when the
-    // graph fits ([[BroadcastEdgeLimit]]); the fallback is two shuffled
-    // node-keyed joins.
-    val (ru, rv) = if (nEdges <= broadcastEdgeLimit)
-      (broadcast(adjU), broadcast(adjV)) else (adjU, adjV)
-    oriented.join(ru, Seq("src")).join(rv, Seq("dst"))
-      .select(size(array_intersect(col("nu"), col("nv")))
-        .cast("long").as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
-      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
-        col("n_triangles"))
+    // edge-sized: DISK_ONLY above the cap (see the post-mortem in the
+    // scaladoc); the default level under it, where the whole graph is a
+    // few MB and memory pressure cannot exist
+    val oriented = if (big)
+      orientedPlan.localCheckpoint(true, StorageLevel.DISK_ONLY)
+    else orientedPlan.localCheckpoint()
+    val nTriangles: DataFrame = if (big && wedgeClose) {
+      // relational wedge form: per apex a, each ordered pair of its
+      // out-neighbors (b, c) with b < c by id is a wedge; it closes a
+      // triangle iff {b, c} is an edge — and `edges` IS the id-canonical
+      // (u < v) undirected list, so one inner join on both keys tests
+      // membership exactly once per wedge. Counted once per triangle at
+      // its min-RANK apex (uniqueness comes from the orientation of
+      // a→b, a→c; the id-order on (b, c) merely canonicalizes the pair
+      // to match `edges`). Every operator here is sort-merge + hash-agg
+      // with spill; nothing holds O(√m) arrays.
+      val w = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+      w.join(edges, Seq("u", "v"))
+        .agg(count(lit(1)).as("n_triangles"))
+    } else {
+      // node-sized out-adjacency arrays (each O(√m) long by
+      // orientation), materialized because both attaches below read it;
+      // array-carrying and therefore DISK_ONLY above the cap
+      val adjPlan = oriented.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("nbrs"))
+      val adj = if (big) adjPlan.localCheckpoint(true, StorageLevel.DISK_ONLY)
+        else adjPlan.localCheckpoint()
+      val adjU = adj.select(col("src"), col("nbrs").as("nu"))
+      val adjV = adj.select(col("src").as("dst"), col("nbrs").as("nv"))
+      // per oriented edge (u,v): |N⁺(u) ∩ N⁺(v)| common out-neighbors.
+      // Inner joins: v may have no out-edges (rank-maximal) — such edges
+      // close no triangle, and dropping them is exactly the intersection
+      // with an empty set. The adjacency attaches broadcast when the
+      // graph fits ([[BroadcastEdgeLimit]]); the fallback is two shuffled
+      // node-keyed joins.
+      val (ru, rv) = if (big) (adjU, adjV)
+        else (broadcast(adjU), broadcast(adjV))
+      oriented.join(ru, Seq("src")).join(rv, Seq("dst"))
+        .select(size(array_intersect(col("nu"), col("nv")))
+          .cast("long").as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    }
+    nTriangles.select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+      col("n_triangles"))
   }
 }

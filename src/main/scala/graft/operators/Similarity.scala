@@ -768,7 +768,11 @@ object Similarity {
     // generic read (r11 ADVICE): no IntegerType assumption on the
     // layout's label — a long/string cell label collects as-is, a null
     // label (un-routable by construction) is skipped, and the INSET
-    // filter below compares in the column's native type
+    // filter below compares in the column's native type. The sort is
+    // ONLY for a deterministic literal list in the plan text (stable
+    // .explain diffs / PlanShapeSpec): String.valueOf order is
+    // lexicographic, not numeric ("10" < "2") — isin semantics don't
+    // care about order, so that is fine by design (r12 ADVICE note)
     val probedCells = probed.select(col("cell")).distinct()
       .collect().iterator.map(_.get(0)).filter(_ != null)
       .toArray.sortBy(String.valueOf(_))

@@ -78,6 +78,13 @@ class GraphSpec extends SparkSpec {
       assert(bc.toSeq == sh.toSeq,
         s"broadcast (${bc.toSeq}) and shuffled (${sh.toSeq}) closing " +
           "joins must count identically")
+      // third strategy: the above-cap relational wedge form (no
+      // adjacency arrays at all) must agree on the same graphs
+      val wg = GraphOps.triangleCountEdges(g, broadcastEdgeLimit = 0L,
+        wedgeClose = true).collect()(0)
+      assert(bc.toSeq == wg.toSeq,
+        s"broadcast (${bc.toSeq}) and wedge (${wg.toSeq}) closing " +
+          "strategies must count identically")
     }
     // and the real co-purchase graph at sf0.001 through the forced
     // shuffled path equals the default (broadcast at this size) path
@@ -93,6 +100,9 @@ class GraphSpec extends SparkSpec {
       .distinct()
     val forcedShuffle = GraphOps.triangleCountEdges(edges, 0L).collect()(0)
     assert(defaultPath.toSeq == forcedShuffle.toSeq)
+    val forcedWedge = GraphOps.triangleCountEdges(edges, 0L, wedgeClose = true)
+      .collect()(0)
+    assert(defaultPath.toSeq == forcedWedge.toSeq)
   }
 
   test("triangle count is invariant to partitioning and matches at sf0.001") {

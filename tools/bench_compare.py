@@ -70,8 +70,12 @@ def main(prev_path, curr_path):
           f"{pc:.2f} s -> {cc:.2f} s ({cc / max(pc, 0.005):.2f}x)"
           if common else "- no common queries")
     drift = None
-    if pcal is not None and ccal is not None and pcal > 0:
-        drift = ccal / pcal
+    if pcal is not None and ccal is not None:
+        # same precision-floor clamp on BOTH sides as the per-query
+        # ratios: a 0.0 calibration value on either end (possible on
+        # tiny runs) must neither zero the drift factor nor divide by
+        # zero in the drift-corrected lines (r12 ADVICE)
+        drift = max(ccal, 0.005) / max(pcal, 0.005)
         print(f"- calibration probe: {pcal:.2f} s -> {ccal:.2f} s — "
               f"container drift factor **{drift:.2f}** "
               f"(ratios below {drift:.2f} are the container, not the code)")
