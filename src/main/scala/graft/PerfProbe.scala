@@ -288,7 +288,12 @@ object PerfProbe {
       canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
         .localCheckpoint()
     }
-    var n = edges.count()
+    var (n, s0) = {
+      val r = edges.agg(count(lit(1)),
+        sum(col("hi").cast("decimal(38,0)") +
+          col("lo").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
     println(s"[probe] n_edges = $n")
     val defaultPar = spark.sparkContext.defaultParallelism
     val parts = math.max(1, math.min(defaultPar, (n / 100000L).toInt + 1))
@@ -296,17 +301,33 @@ object PerfProbe {
     edges = time("repartition + ckpt") {
       edges.repartition(parts, col("hi")).localCheckpoint()
     }
+    // r13: the shipped loop replaced the count + except anti-join with
+    // ONE Φ = (count, Σ hi+lo) aggregate (proof in
+    // Dedup.connectedComponents); the probe now times that action, and
+    // keeps an except timing alongside for the comparison record
+    var s: java.math.BigDecimal = s0
     var converged = false
     var iter = 0
     while (!converged && iter < 15) {
       val next = time(f"iter $iter star rounds + ckpt") {
         smallStar(largeStar(edges)).localCheckpoint()
       }
-      val nn = time(f"iter $iter count") { next.count() }
+      val (nn, sn) = time(f"iter $iter metrics agg") {
+        val r = next.agg(count(lit(1)),
+          sum(col("hi").cast("decimal(38,0)") +
+            col("lo").cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val exceptEmpty = time(f"iter $iter except.isEmpty (comparison)") {
+        next.except(edges).isEmpty
+      }
       converged = nn == n &&
-        time(f"iter $iter except.isEmpty") { next.except(edges).isEmpty }
+        (nn == 0L || (sn != null && s != null && sn.compareTo(s) == 0))
+      if (converged != (nn == n && exceptEmpty))
+        println(s"[probe] WARNING: metric and except disagree at iter $iter")
       edges = next
       n = nn
+      s = sn
       iter += 1
     }
     println(s"[probe] converged after $iter iters, n_edges = $n")

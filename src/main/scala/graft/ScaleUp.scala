@@ -21,20 +21,28 @@ import org.apache.spark.sql.functions._
   *    orders/customers/parts would;
   *  - document tokens get a per-copy suffix (new docs are NEW text, not
   *    re-crawls — shingle sets across copies are disjoint);
-  *  - part names get a 3-digit per-copy prefix on the last token (>2
-  *    edits between copies: no cross-copy fuzzy matches, within-copy
-  *    distances unchanged);
+  *  - part names get a repetition-coded digit prefix on the last token
+  *    (two blocks of 3 repeated digits — pairwise edit distance ≥ 3
+  *    between ALL copy pairs up to factor 100, proof at the write site;
+  *    the r12 single-number prefix broke at factor > 10 via
+  *    transposed-digit pairs like 12/21) — no cross-copy fuzzy matches,
+  *    within-copy distances unchanged;
   *  - embeddings are sign-flipped per (copy, dim) — a diagonal ±1
   *    rotation preserves EVERY within-copy dot product and norm exactly
-  *    while decorrelating cross-copy cosines (dot(Sx, Sy) = dot(x, y)) —
-  *    and (round 11) each copy's `label` space is offset like every
-  *    other entity key: new data brings NEW semantic clusters, so the
-  *    cell count grows with the corpus instead of cells growing without
-  *    bound. At factor 100 this lands the label codebook at 1000 cells
-  *    of ~constant size — the nlist ≈ √n geometry the IVF/SemDeDup docs
-  *    promise — and makes `semantic_dedup`'s Σcell² linear in corpus
-  *    (fixed labels would make it quadratic BY CONSTRUCTION of the test
-  *    data, measuring the replication artifact, not the operator);
+  *    (the signs cancel per TERM, so even the decimal-exact sums are
+  *    bit-identical) while decorrelating cross-copy cosines — and
+  *    (round 11) each copy's `label` space is offset like every other
+  *    entity key, so the label codebook grows to the nlist ≈ √n
+  *    geometry. CAVEAT (measured r13): decorrelation does NOT make
+  *    GLOBAL cell assignment copy-local — the max cosine against
+  *    (factor−1)·labels foreign centroids is extreme-value ~σ√(2 ln k)
+  *    ≈ 0.39 at factor 100 (σ = 1/√64), far above this corpus's own-
+  *    centroid signal (~0.07 mean), so argmax assignment crosses copies
+  *    for ~98% of vectors. That is a property of the DATA's weak
+  *    cluster structure, not a replication defect — within-copy
+  *    geometry is still EXACT, which is what ScaleRatios checks
+  *    (per-copy restriction of semantic_dedup must reproduce the
+  *    source bit-for-bit);
   *  - events extend the time axis: copy i shifts ts by i·span (rounded
   *    to whole hours, so candle buckets stay aligned) with offset
   *    user/event ids — longer history × more users, the real shape of
@@ -98,10 +106,34 @@ object ScaleUp {
     write("supplier", copies(supplier) { (df, i) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppStep))
     })
+    // Per-copy name prefix: every cross-copy name pair must stay at edit
+    // distance > 2 (fuzzy_join_parts' maxDist) or copies fuzzy-match
+    // each other and Σblock² stops being linear. The r12 scheme
+    // ($i$i$i) silently broke at factor > 10: multi-digit copy ids make
+    // prefixes like 12→"121212" vs 21→"212121", which are edit distance
+    // 2 apart (36 such transposed-digit pairs under factor 100 — caught
+    // by the r13 ScaleRatios run: 31.76 M fuzzy pairs instead of the
+    // exact 22.05 M). Fix: two REPETITION blocks, digit(i/10)×3 ++
+    // digit(i%10)×3. Proof of pairwise distance ≥ 3 for any factor ≤
+    // 100: base names are letter-only, so any edit path from
+    // prefixA+name to prefixB+name changes the DIGIT subsequence by at
+    // most one symbol per edit, hence ED ≥ ED(prefixA, prefixB); for
+    // two distinct (d1, d2) codes the 6-char block strings have LCS ≤ 3
+    // (a repeated block can only align whole), so ED ≥ 3; vs copy 0
+    // (no prefix) the digit subsequence alone costs 6. Within-copy
+    // distances are untouched (common-prefix invariance of
+    // Levenshtein).
+    def namePrefix(i: Int): String = {
+      require(i < 100,
+        s"part-name prefix code covers at most 100 copies (copy $i)")
+      val (d1, d2) = (i / 10, i % 10)
+      s"$d1$d1$d1$d2$d2$d2"
+    }
     write("part", copies(part) { (df, i) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(i * partStep))
         .withColumn("p_name", if (i == 0) col("p_name")
-          else regexp_replace(col("p_name"), "(\\S+)$", s"$i$i$i$$1"))
+          else regexp_replace(col("p_name"), "(\\S+)$",
+            s"${namePrefix(i)}$$1"))
     })
     write("orders", copies(orders) { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStep))

@@ -559,26 +559,50 @@ object Dedup {
       canon(e.join(m, Seq("hi")).select(col("lo").as("u"), col("m").as("v"))
         .union(m.select(col("hi").as("u"), col("m").as("v"))))
     }
+    // Convergence potential Φ(E) = (|E|, Σ_{(hi,lo)∈E} hi + lo), one
+    // metrics-sized aggregate per round. Φ-equality IS set-equality
+    // here — proof (r13; replaces the former per-round count + FULL
+    // ANTI-JOIN `except(edges).isEmpty`, an edge-sized shuffle):
+    // pre-distinct, largeStar maps each canonical edge (hi, lo) to
+    // exactly one output (hi, m(lo)) with m(lo) = min(Γ(lo) ∪ {lo}) ≤
+    // lo, and smallStar maps each hi-group {(hi, u) : u ∈ S} to
+    // {(u, m) : u ∈ S \ {m}} ∪ {(hi, m)} with m = min(S) — pairing
+    // (u, m) against input (hi, u) (sum delta m − hi < 0) and (hi, m)
+    // against itself. So in BOTH ops every output edge pairs 1:1 with
+    // one input edge of endpoint-sum ≥ its own, outputs stay canonical
+    // (the min is always strictly below the kept endpoint, so canon's
+    // hi≠lo filter never fires), and distinct() can only DROP rows.
+    // Hence |next| ≤ |mid| ≤ |prev| always; |next| = |prev| forces both
+    // pairings bijective, and Σ-equality then forces every per-edge
+    // delta to zero — both ops were the identity, next = prev. Sums are
+    // exact DECIMAL(38,0) (a wrapped BIGINT Σ could alias two distinct
+    // sets); a null (overflow) sum — impossible below ~10³⁸ total —
+    // reads as NOT converged rather than silently stopping early.
+    def metrics(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("hi").cast("decimal(38,0)") +
+          col("lo").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
     val cols = pairs.columns
     var edges = canon(pairs.select(col(cols(0)).as("u"), col(cols(1)).as("v")))
       .localCheckpoint()
     // Edge-graph-sized width, same rationale as [[nearDupClusters]]: star
     // rounds run over the pair graph, not the corpus.
     val defaultPar = pairs.sparkSession.sparkContext.defaultParallelism
-    var n = edges.count()
+    var (n, s) = metrics(edges)
     val parts = math.max(1, math.min(defaultPar, (n / 100000L).toInt + 1))
     edges = edges.repartition(parts, col("hi")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // Both sides are distinct canonical sets, so |next| = |prev| plus
-      // next ⊆ prev ⇒ equality. At 100 TB the same test is two metrics of
-      // the round's jobs (a count and an anti-join count), not a collect.
-      val nn = next.count()
-      converged = nn == n && next.except(edges).isEmpty
+      val (nn, sn) = metrics(next)
+      converged = nn == n &&
+        (nn == 0L || (sn != null && s != null && sn.compareTo(s) == 0))
       edges = next
       n = nn
+      s = sn
       iter += 1
     }
     edges

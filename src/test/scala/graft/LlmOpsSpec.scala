@@ -256,6 +256,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(nonRoots.map(_._2).forall(lo => !his.contains(lo)))
   }
 
+  test("connectedComponents Φ-convergence never stops early: random " +
+      "graphs match union-find") {
+    // The r13 convergence test compares (|E|, Σ hi+lo) between rounds
+    // instead of running an anti-join (proof in connectedComponents).
+    // The failure mode a bug there would produce is PREMATURE
+    // convergence — a non-fixpoint edge set colliding with its
+    // predecessor's potential — so hammer it with seeded random graphs
+    // (dense, sparse, and multi-component) against local union-find.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 8) {
+      val nNodes = 5 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(60)
+      val edges: Seq[(Long, Long)] = (1 to nEdges).flatMap { _ =>
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a == b) None else Some(a -> b)
+      }
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).filter { case (x, r) => x != r }.toMap
+        val got = Dedup.connectedComponents(edges.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial (${edges.size} edges): " +
+          s"got $got want $want")
+      }
+    }
+  }
+
   test("nearDupClustersLSS agrees with nearDupClusters") {
     val d = docs(
       0L -> "a b c d e f g h i j",
