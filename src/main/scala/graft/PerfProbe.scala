@@ -342,6 +342,24 @@ object PerfProbe {
     if (args.contains("triangle")) { triangleStages(spark, sfDir); spark.stop(); return }
     if (args.contains("tri2")) { triangleShipped(spark, sfDir); spark.stop(); return }
     if (args.contains("tri3")) { triangleStrategies(spark, sfDir); spark.stop(); return }
+    if (args.contains("srp")) {
+      // scale-geometry SRP-LSH (r13): bandBits grown to ~log2(n) with
+      // planes in proportion — the parameterization the scaladoc
+      // prescribes for large corpora, vs the declared toy geometry
+      // (32, 8) that died on candidate spill at factor 100
+      val emb = Tables.table(spark, sfDir, "embeddings")
+      println(s"[probe] n_vectors = ${emb.count()}")
+      val n = time("srp (64 planes, 16-bit bands) pairs") {
+        operators.Similarity.srpLshNearDupPairs(emb, 64, 16, 0.3).count()
+      }
+      println(s"[probe] n_pairs = $n")
+      Sessions.releaseCaches(spark)
+      val n2 = time("srp (32, 8, cap 64) pairs") {
+        operators.Similarity.srpLshNearDupPairs(emb, 32, 8, 0.3, 64).count()
+      }
+      println(s"[probe] n_pairs capped-toy = $n2")
+      spark.stop(); return
+    }
     if (args.contains("asof")) { asofDeep(spark); spark.stop(); return }
     if (args.contains("lss")) { lssStages(spark, sfDir); spark.stop(); return }
     val docs = Tables.table(spark, sfDir, "documents")

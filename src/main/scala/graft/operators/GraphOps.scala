@@ -87,6 +87,18 @@ object GraphOps {
     val edges = edgeList.localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // DELIBERATELY NOT pre-partitioned/pre-sorted on `src` (r13): a
+    // repartition(src).sortWithinPartitions(src) before this checkpoint
+    // would let every iteration's sort-merge join skip the edge-side
+    // exchange+sort — but LogicalRDD's preserved partitioning PINS the
+    // iteration joins at the build-time width and sits BELOW no
+    // exchange, so AQE can neither re-split skew nor widen it; measured
+    // at factor 100 / width 32 it turned the completing 294 s plain
+    // form into a task heap OOM. The scaling lever that actually works
+    // is shuffle width ∝ data (the documented
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS knob): 294 s at width 32 →
+    // 111.6 s at width 320 = 7.0× vs the 10× smaller build — linear
+    // (SCALE.md r13).
     val withDeg = edges.join(deg, Seq("src"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // deg is one row per node BY CONSTRUCTION (groupBy output) — the

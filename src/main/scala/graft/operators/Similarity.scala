@@ -212,6 +212,10 @@ object Similarity {
     * 1 − θ/π, so high-sim pairs (true near-dups) are found with high
     * probability while low-sim pairs mostly aren't candidates; the
     * verification step makes precision exact regardless.
+    * `maxBucketSize` (default unlimited = exact declared semantics)
+    * drops non-discriminative mega-buckets — see the candidate-stage
+    * comment for the factor-100 failure mode it guards and the
+    * bandBits-must-grow-with-log(n) rule that goes with it.
     *
     * The hyperplane codebook is ONE broadcast row (|planes| ±1-vectors);
     * signatures are a map-side array expression over the corpus scan. The
@@ -220,7 +224,8 @@ object Similarity {
     * driver action at plan-build time).
     */
   def srpLshNearDupPairs(embeddings: DataFrame, planes: Int = 32,
-      bandBits: Int = 8, minSim: Double = 0.3): DataFrame = {
+      bandBits: Int = 8, minSim: Double = 0.3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(planes % bandBits == 0,
       s"planes ($planes) must be a multiple of bandBits ($bandBits)")
     val bands = planes / bandBits
@@ -274,11 +279,31 @@ object Similarity {
           slice(col("bits"), col("band") * lit(bandBits) + lit(1),
             lit(bandBits)),
           b => b.cast("string")), "").as("key"))
-    val cand = banded.select(col("band"), col("key"), col("vec_id").as("vec_a"))
-      .join(banded.select(col("band"), col("key"), col("vec_id").as("vec_b")),
-        Seq("band", "key"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+    // Candidate pairs via grouped bucket members + in-row 2-combination
+    // expansion (the [[graft.operators.Dedup.minhashLshPairs]] form):
+    // the signature pipeline runs ONCE instead of per self-join side,
+    // and — the part that matters at 100 TB — buckets past
+    // `maxBucketSize` can be DROPPED. A fixed `bandBits` makes the
+    // RANDOM collision rate per pair a constant 2^-bandBits, so
+    // candidate volume grows QUADRATICALLY in corpus size once
+    // n ≫ 2^bandBits: the r13 factor-100 sweep killed the 8-bit toy
+    // geometry on disk (200 k vectors → ~780-member average buckets →
+    // Σbucket² ≈ 10⁹ candidate rows → ~70 GB of verification spill,
+    // SPILL_OUT_OF_MEMORY). Oversized buckets are non-discriminative
+    // by construction (a bucket holding ≫ n·2^-bandBits vectors is
+    // signal-free collision mass); dropping them is standard LSH
+    // practice, and true near-dup pairs keep their other bands. The
+    // default keeps exact semantics for the declared small-SF query;
+    // at scale, set maxBucketSize AND grow bandBits ~ log₂(n) with
+    // planes in proportion (measured at factor 100 in SCALE.md).
+    val members = banded.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucketSize)
+    val cand = members
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b")).distinct()
     val withNorm = embeddings.select(col("vec_id"),
       vec(col("embedding")).as("emb"),
       sqrt(normSqDecimal(col("embedding"))).as("nrm"))
