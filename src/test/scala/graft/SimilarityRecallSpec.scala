@@ -128,6 +128,33 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("srpLshNearDupPairs maxBucketSize drops mega-buckets only: " +
+      "capped output is the uncapped output minus big-bucket pairs") {
+    import spark.implicits._
+    // 5 exact copies of u (one 5-member bucket per band) + 3 exact
+    // copies of w (3-member buckets), u ⊥ w so cross pairs never verify
+    val u = Array.tabulate(64)(d => if (d == 0) 1.0f else 0.0f)
+    val w = Array.tabulate(64)(d => if (d == 1) 1.0f else 0.0f)
+    val emb = ((0L until 5L).map(i => (i, u.clone(), 0)) ++
+      (10L until 13L).map(i => (i, w.clone(), 0)))
+      .toDF("vec_id", "embedding", "label")
+    def pairs(cap: Int) =
+      Similarity.srpLshNearDupPairs(emb, 32, 8, 0.9, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    // identical vectors share every band signature -> all C(5,2)+C(3,2)
+    // true pairs are candidates and verify at sim 1.0
+    assert(uncapped.size == 13, s"uncapped: $uncapped")
+    // cap 4: every u-carrying bucket has >= 5 members and is dropped;
+    // pure-w buckets (3 members) survive -> exactly the 3 w pairs
+    val capped = pairs(4)
+    assert(capped == Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"capped(4): $capped")
+    assert(capped.subsetOf(uncapped))
+    // cap 1 drops every pair-capable bucket
+    assert(pairs(1).isEmpty)
+  }
+
   test("kmeansLloyd corrects mislabeled vectors and reaches a fixpoint") {
     import spark.implicits._
     // two tight clusters around orthogonal directions; two vectors start
