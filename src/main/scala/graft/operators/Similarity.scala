@@ -265,6 +265,13 @@ object Similarity {
             % 2 === 0, lit(1.0)).otherwise(lit(-1.0))).as("hvec"))
       .agg(array_sort(collect_list(struct(col("plane"), col("hvec"))))
         .as("planes"))
+    // Signatures are MATERIALIZED (DISK_ONLY, the GraphOps lesson): the
+    // projection is ~planes·dim decimal multiplies per vector — far
+    // more expensive to recompute per self-join side than the
+    // (vec_id, band, key) rows are to store (measured at factor 100:
+    // recompute-per-side 59 s vs 34 s materialized) — and the
+    // LogicalRDD's ACTUAL size keeps the candidate join's estimates
+    // honest for the planner.
     val banded = embeddings
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .crossJoin(broadcast(hplanes))
@@ -279,12 +286,12 @@ object Similarity {
           slice(col("bits"), col("band") * lit(bandBits) + lit(1),
             lit(bandBits)),
           b => b.cast("string")), "").as("key"))
-    // Candidate pairs via grouped bucket members + in-row 2-combination
-    // expansion (the [[graft.operators.Dedup.minhashLshPairs]] form):
-    // the signature pipeline runs ONCE instead of per self-join side,
-    // and — the part that matters at 100 TB — buckets past
-    // `maxBucketSize` can be DROPPED. A fixed `bandBits` makes the
-    // RANDOM collision rate per pair a constant 2^-bandBits, so
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // Mega-bucket guard BEFORE the candidate self-join: buckets past
+    // `maxBucketSize` (and singletons, which can pair with nothing) are
+    // dropped via a bucket-size semi-filter. A fixed `bandBits` makes
+    // the RANDOM collision rate per pair a constant 2^-bandBits, so
     // candidate volume grows QUADRATICALLY in corpus size once
     // n ≫ 2^bandBits: the r13 factor-100 sweep killed the 8-bit toy
     // geometry on disk (200 k vectors → ~780-member average buckets →
@@ -296,14 +303,27 @@ object Similarity {
     // default keeps exact semantics for the declared small-SF query;
     // at scale, set maxBucketSize AND grow bandBits ~ log₂(n) with
     // planes in proportion (measured at factor 100 in SCALE.md).
-    val members = banded.groupBy(col("band"), col("key"))
-      .agg(array_sort(collect_list(col("vec_id"))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucketSize)
-    val cand = members
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
-      .select(col("p.vec_a"), col("p.vec_b")).distinct()
+    //
+    // Deliberately a SELF-JOIN, not the grouped collect_list +
+    // 2-combination explode form minhashLshPairs uses: an explode's
+    // output cardinality is opaque to the planner, so the grouped form
+    // made the (potentially Σbucket²-sized) candidate frame LOOK
+    // bucket-count-sized — at factor 100 the planner then chose it as
+    // a BroadcastHashJoin build side and died on
+    // spark.driver.maxResultSize before the verification even started.
+    // Join output estimates stay honest, so the big side is never
+    // broadcast (the r13 full-surface sf10 run is the regression
+    // evidence).
+    val okBuckets = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .select(col("band"), col("key"))
+    val keyed = banded.join(okBuckets, Seq("band", "key"))
+    val cand = keyed.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+      .join(keyed.select(col("band"), col("key"), col("vec_id").as("vec_b")),
+        Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
     val withNorm = embeddings.select(col("vec_id"),
       vec(col("embedding")).as("emb"),
       sqrt(normSqDecimal(col("embedding"))).as("nrm"))
