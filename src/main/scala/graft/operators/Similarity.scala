@@ -314,11 +314,16 @@ object Similarity {
     // Join output estimates stay honest, so the big side is never
     // broadcast (the r13 full-surface sf10 run is the regression
     // evidence).
-    val okBuckets = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
-      .select(col("band"), col("key"))
-    val keyed = banded.join(okBuckets, Seq("band", "key"))
+    // the size-filter join only exists when a cap is set — at the
+    // unlimited default it would filter nothing (singletons already
+    // self-join to nothing) while costing an aggregate + join per run
+    val keyed = if (maxBucketSize == Int.MaxValue) banded
+    else banded.join(
+      banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+        .select(col("band"), col("key")),
+      Seq("band", "key"))
     val cand = keyed.select(col("band"), col("key"), col("vec_id").as("vec_a"))
       .join(keyed.select(col("band"), col("key"), col("vec_id").as("vec_b")),
         Seq("band", "key"))
