@@ -215,14 +215,51 @@ object OracleSql {
     s"""CASE WHEN ${normSq(a)} > 0 AND ${normSq(b)} > 0
        |  THEN ${cosine(a, b)} ELSE 0.0 END""".stripMargin
 
+  /** Augmented corpus for the scale-geometry SRP query: every 5th
+    * vector gains a deterministically perturbed copy (even dims
+    * ×1.0625, odd ×0.9375 — exact binary fractions, so the double math
+    * is bit-identical cross-engine) under the collision-free id
+    * -vec_id-1. The synthetic corpus has no natural pairs above 0.7
+    * cosine, so a correct 16-bit-band LSH finds nothing in it; the
+    * planted ~0.998-sim copies give the scale geometry a real recall
+    * surface for the oracle to check (mirrors the Spark side in
+    * SparkEntry's embedding_lsh_neardup_scaled).
+    */
+  val srpPlantedCorpusSql: String =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |UNION ALL
+      |SELECT -vec_id - 1,
+      |  list_transform(range(0, len(embedding)), d ->
+      |    CAST(embedding[d+1] AS DOUBLE) *
+      |    (CASE WHEN d % 2 = 0 THEN CAST(1.0625 AS DOUBLE)
+      |          ELSE CAST(0.9375 AS DOUBLE) END))
+      |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+
   /** SRP-LSH near-dup pairs (mirrors Similarity.srpLshNearDupPairs):
     * identical md5-parity ±1 hyperplanes, DECIMAL(19,18) projection sums,
     * band-signature equi-join, exact-decimal cosine verification — the
     * oracle mirrors CANDIDATE GENERATION, not just the final threshold.
+    * `maxBucketSize` mirrors the Spark side's mega-bucket guard: when
+    * set, only buckets with 2..maxBucketSize members generate candidate
+    * pairs (the unlimited default emits the identical plan as before —
+    * singletons pair with nothing either way). `corpusSql` overrides the
+    * corpus CTE body (must yield vec_id, v DOUBLE[]) so augmented-corpus
+    * variants (the planted-near-dup scale-geometry query) share one
+    * mirror.
     */
-  def srpLshNearDupPairs(planes: Int, bandBits: Int, minSim: Double): String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings),
+  def srpLshNearDupPairs(planes: Int, bandBits: Int, minSim: Double,
+      maxBucketSize: Int = Int.MaxValue,
+      corpusSql: String =
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      : String = {
+    val qualCte = if (maxBucketSize == Int.MaxValue) ""
+    else s"""qual AS (
+       |  SELECT band, key FROM bands GROUP BY 1, 2
+       |  HAVING count(*) > 1 AND count(*) <= $maxBucketSize),
+       |""".stripMargin
+    val qualJoin = if (maxBucketSize == Int.MaxValue) ""
+    else "\n  JOIN qual q ON a.band = q.band AND a.key = q.key"
+    s"""WITH e AS ($corpusSql),
        |sig AS (
        |  SELECT vec_id, j,
        |    CASE WHEN CAST(list_sum(list_transform(range(0, len(v)),
@@ -235,16 +272,17 @@ object OracleSql {
        |  SELECT vec_id, j // $bandBits AS band,
        |    string_agg(CAST(bit AS VARCHAR), '' ORDER BY j) AS key
        |  FROM sig GROUP BY 1, 2),
-       |cand AS (
+       |${qualCte}cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id$qualJoin)
        |SELECT vec_a, vec_b, sim FROM (
        |  SELECT c.vec_a, c.vec_b, round(${cosine("ea.v", "eb.v")}, 6) AS sim
        |  FROM cand c
        |  JOIN e ea ON ea.vec_id = c.vec_a
        |  JOIN e eb ON eb.vec_id = c.vec_b)
        |WHERE sim >= $minSim""".stripMargin
+  }
 
   /** Per-label centroid components (mirrors Similarity.labelCentroids):
     * zipped unnest for 0-based positions, DECIMAL(28,18) component sums.

@@ -787,6 +787,32 @@ object SparkEntry {
     "embedding_lsh_neardup" -> ((s, dir) =>
       Similarity.srpLshNearDupPairs(Tables.table(s, dir, "embeddings"),
         32, 8, 0.3)),
+    // the SCALE geometry for the same operator: bandBits grown ~log2(n)
+    // (64 planes / 16-bit bands) plus the mega-bucket guard — the
+    // parameter set measured linear at factor 100 (SCALE.md r13: 34.1 s
+    // at sf10 where the toy (32, 8) banding dies on quadratic candidate
+    // volume). Declared as its own oracle-checked query so the
+    // copy-paste-able scale path sits under the bit-exact gate, not just
+    // in SCALE.md's tables. The synthetic corpus has NO natural pairs
+    // above 0.7 cosine (measured), so a correct 16-bit-band run over it
+    // alone returns empty — every 5th vector gains a deterministically
+    // perturbed copy (even dims ×1.0625, odd ×0.9375: exact binary
+    // fractions, double math bit-identical cross-engine; sim ≈ 0.998)
+    // under the collision-free id -vec_id-1, giving the geometry a real
+    // recall surface (~1 pair per 5 source vectors) that the oracle
+    // mirrors exactly.
+    "embedding_lsh_neardup_scaled" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val planted = emb.filter(col("vec_id") % 5 === 0)
+        .select((-col("vec_id") - 1).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), (x, d) =>
+            x * when(d % 2 === 0, lit(1.0625)).otherwise(lit(0.9375)))
+            .as("embedding"))
+      Similarity.srpLshNearDupPairs(base.unionByName(planted),
+        64, 16, 0.9, maxBucketSize = 1024)
+    }),
     // per-label mean vectors (K-means/IVF training primitive)
     "embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.table(s, dir, "embeddings"))),
@@ -1870,6 +1896,9 @@ object SparkEntry {
     "ann_topk_ivf_append" -> OracleSql.annTopKIvfAppend(8, 5, 6, 10, 3),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
     "embedding_lsh_neardup" -> OracleSql.srpLshNearDupPairs(32, 8, 0.3),
+    "embedding_lsh_neardup_scaled" ->
+      OracleSql.srpLshNearDupPairs(64, 16, 0.9, maxBucketSize = 1024,
+        corpusSql = OracleSql.srpPlantedCorpusSql),
     "embedding_centroids" -> OracleSql.labelCentroids,
     "kmeans_assign" -> OracleSql.kmeansAssign,
     "kmeans_clusters" -> OracleSql.kmeansLloyd2,

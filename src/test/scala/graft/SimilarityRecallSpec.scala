@@ -155,6 +155,36 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(pairs(1).isEmpty)
   }
 
+  test("declared embedding_lsh_neardup_scaled: every emitted pair is a " +
+      "planted (-5k-1, 5k) copy and planted recall is high at (64,16)") {
+    // The scale-geometry query plants a ~0.998-sim perturbed copy of
+    // every 5th vector (the natural corpus has no pairs above 0.7, so
+    // without planting a correct 16-bit-band run returns empty). Pin:
+    // (a) precision — nothing but planted pairs clears minSim 0.9;
+    // (b) recall — per-pair band-collision probability at this geometry
+    // is ~0.994 (p_plane ≈ 1 − 0.0625/π, ^16, 4 bands), so ≥ 80% of
+    // planted pairs must surface. Deterministic hyperplanes: this is a
+    // fixed number per fixture, the bound just leaves slack if the
+    // fixture is regenerated.
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("embedding_lsh_neardup_scaled")(
+      spark, dir).collect()
+    val nPlanted = Tables.table(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0)
+      .count()
+    assert(nPlanted >= 10, s"fixture too small: $nPlanted planted")
+    rows.foreach { r =>
+      val (a, b, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(b % 5 == 0 && a == -b - 1,
+        s"non-planted pair surfaced: ($a, $b, $sim)")
+      assert(sim >= 0.99, s"planted pair below expected sim: ($a, $b, $sim)")
+    }
+    val recall = rows.length.toDouble / nPlanted
+    info(f"planted recall at (64,16): $recall%.3f (${rows.length}/$nPlanted)")
+    assert(recall >= 0.8,
+      f"planted recall degraded to $recall%.3f (${rows.length}/$nPlanted)")
+  }
+
   test("kmeansLloyd corrects mislabeled vectors and reaches a fixpoint") {
     import spark.implicits._
     // two tight clusters around orthogonal directions; two vectors start
