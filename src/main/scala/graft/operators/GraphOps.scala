@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -56,12 +56,37 @@ object GraphOps {
       col("rk").as("rank"))
   }
 
+  /** Per-partition edge-row budget for the PageRank iteration shuffles.
+    * The r13 factor-100 sweep measured the cliff directly: 200 M
+    * symmetric edges through 32 fixed partitions spill-thrashed to
+    * 294 s (18.6×), while width 320 — ≈625 k edge rows per partition —
+    * ran 111.6 s = 7.0×, linear (SCALE.md r13). The divisor bakes that
+    * measured operating point in: width = ⌈|E| / 625 k⌉, floored at the
+    * session shuffle width so small graphs keep their existing plans.
+    */
+  private val PageRankRowsPerPartition = 625000L
+
   /** The iteration core over an arbitrary SYMMETRIC `(src, dst)` edge
     * list (every node must have out-degree ≥ 1 — guaranteed by
     * symmetrization). Returns `(node, rk)` fixed-point ranks.
+    *
+    * Shuffle width scales with the graph WITHOUT an env knob: |E| is
+    * read off the node-sized checkpointed degree table in one
+    * metrics-sized driver action (Σdeg exactly — the same
+    * driver-coordinated adaptivity as [[triangleCountEdges]]'s strategy
+    * peek), and when ⌈|E| / [[PageRankRowsPerPartition]]⌉ exceeds the
+    * session shuffle width the three per-iteration edge-sized exchanges
+    * (both join inputs and the dst aggregate) are widened to it via
+    * explicit hash repartitions. Below that threshold NO repartition
+    * node is inserted at all — the plan is byte-identical to the
+    * pre-rule one, AQE keeps full control (coalescing + skew-split),
+    * and the toy-SF bench cannot move. `rowsPerPartition` is a
+    * parameter only so GraphSpec can force the widened path on a toy
+    * graph and pin result-invariance across both forms.
     */
   def pageRankEdges(edgeList: DataFrame, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      rowsPerPartition: Long = PageRankRowsPerPartition): DataFrame = {
     // Degrees via PARTIAL AGGREGATION + join, not a window. The groupBy
     // map-side-combines a node's count inside each input partition (the
     // exchange carries one row per partition per node, not the raw
@@ -101,6 +126,27 @@ object GraphOps {
     // (SCALE.md r13).
     val withDeg = edges.join(deg, Seq("src"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    // |E| = Σdeg exactly — a metrics-sized aggregate over the node-sized
+    // checkpointed degree table (deg itself was just materialized, so
+    // this re-reads stored blocks, not lineage). Decides iteration
+    // shuffle width the same way triangleCountEdges' peek decides its
+    // closing strategy.
+    val nEdges = deg.agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
+    val confWidth = edgeList.sparkSession.sessionState.conf.numShufflePartitions
+    val width = math.max(confWidth,
+      math.ceil(nEdges.toDouble / rowsPerPartition).toInt)
+    // Widening inserts REPARTITION-origin exchanges only ABOVE the
+    // session width: the hash layout at a given width is identical to
+    // what EnsureRequirements would produce, the subtree is iteration-
+    // invariant so ReuseExchange computes the edge side once — and at or
+    // below the session width the function is the identity, keeping the
+    // small-graph plan untouched (full AQE coalesce + skew-split, bench
+    // bit-identical). This is NOT the r13 pre-partition trap: the
+    // exchanges stay in the plan at an |E|-proportional width instead of
+    // being frozen into the checkpoint at build width.
+    def widen(df: DataFrame, k: Column): DataFrame =
+      if (width > confWidth) df.repartition(width, k) else df
+    val iterEdges = widen(withDeg, col("src"))
     // deg is one row per node BY CONSTRUCTION (groupBy output) — the
     // node set reads it directly; the former
     // withDeg.select(src).distinct() paid an EDGE-sized exchange for a
@@ -108,8 +154,9 @@ object GraphOps {
     val nodes = deg.select(col("src"))
     // 1/N folds into the plan as a ONE-ROW broadcast scalar instead of a
     // driver-side count(): init = scale div n and base = (1-d)·init are
-    // BIGINT floor divisions, identical to the former Scala longs, and
-    // the query stays fully lazy — no action executes at plan-build.
+    // BIGINT floor divisions, identical to the former Scala longs — the
+    // rank recurrence itself stays declarative (the only plan-build
+    // actions are the checkpoints and the metrics-sized width peek).
     // The consts subplan appears once per iteration, but every copy is
     // the identical metrics-sized aggregate over the checkpointed
     // node-sized deg table.
@@ -119,8 +166,9 @@ object GraphOps {
     var rank = nodes.crossJoin(consts)
       .select(col("src").as("node"), col("init").as("rk"))
     for (_ <- 1 to iters) {
-      rank = withDeg.join(rank, col("src") === col("node"))
-        .select(col("dst"), expr("rk div deg").as("c"))
+      rank = widen(iterEdges.join(widen(rank, col("node")),
+          col("src") === col("node"))
+        .select(col("dst"), expr("rk div deg").as("c")), col("dst"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .crossJoin(consts)

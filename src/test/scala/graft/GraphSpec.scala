@@ -22,6 +22,44 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("auto-widened iteration shuffles produce bit-identical ranks " +
+      "and actually widen the exchanges") {
+    // rowsPerPartition=1 forces width = max(conf, |E|) on the toy graph —
+    // the path a 200M-edge build takes — and the integer fixed-point
+    // contract means the widened plan must reproduce the default plan's
+    // ranks exactly. Also witness the width actually applied: the plan
+    // must carry a user-origin repartition at |E| partitions (the
+    // default-path plan carries none).
+    val dir = "/root/testdata/sf0.001"
+    val fwd = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val default = GraphOps.pageRankEdges(edges, 3).collect().toSet
+    val widened = GraphOps.pageRankEdges(edges, 3, rowsPerPartition = 1)
+    assert(widened.collect().toSet == default,
+      "widened iteration shuffles changed fixed-point ranks")
+    val nEdges = edges.count()
+    val conf = spark.sessionState.conf.numShufflePartitions
+    assert(nEdges > conf, s"fixture too small to force widening: $nEdges")
+    // witness on the OPTIMIZED LOGICAL plan: the adaptive physical plan
+    // wraps its stages in a leaf-like AdaptiveSparkPlanExec that a
+    // TreeNode.collect cannot see through
+    def repartitionWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression => r.optNumPartitions
+      }.flatten
+    val widths = repartitionWidths(widened)
+    assert(widths.nonEmpty && widths.forall(_ == nEdges.toInt),
+      s"expected |E|=$nEdges-wide repartitions, saw $widths")
+    assert(repartitionWidths(GraphOps.pageRankEdges(edges, 3)).isEmpty,
+      "default path must not carry user-origin repartitions")
+  }
+
   test("rank mass stays within the fixed-point budget and above the base floor") {
     val dir = "/root/testdata/sf0.001"
     val rows = GraphOps.pageRank(spark, dir)
