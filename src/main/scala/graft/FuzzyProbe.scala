@@ -39,6 +39,24 @@ object FuzzyProbe {
     }
     println(f"[fuzzy] declared query best-of-$runs ${ts.map(_._1).min}%.2f s " +
       s"rows=${ts.head._2}")
+    // Optional 3rd arg: comma-separated maxBlockSize caps (0 = the
+    // unlimited default) — runs the DECLARED qgram scope (Brand#13)
+    // through fuzzyMatchPairsQgram at each cap, printing time + emitted
+    // pairs, so the mega-block guard's time/recall trade stays
+    // measurable per round at any SF (SCALE.md factor-100 tables).
+    args.lift(2).foreach { caps =>
+      val recs = Tables.table(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      caps.split(',').map(_.trim.toInt).foreach { cap =>
+        Sessions.releaseCaches(spark)
+        val t0 = System.nanoTime()
+        val n = operators.Analytics.fuzzyMatchPairsQgram(recs, 2, 3,
+          if (cap <= 0) Int.MaxValue else cap).count()
+        println(f"[fuzzy] qgram cap=$cap%d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s pairs=$n%d")
+      }
+    }
     spark.stop()
   }
 }

@@ -94,12 +94,18 @@ object ScaleRatios {
         val source = fn(spark, src).collect()
           .map(r => r.getLong(0) -> ((r.getAs[Number](1).longValue(),
             r.getLong(2)))).toMap
+        // two INDEPENDENT checks (r13 ADVICE: folding the size delta
+        // into the mismatch count cancels arithmetically — k surplus
+        // restricted rows with zero per-row mismatches reported OK):
+        // the sizes must agree, AND every source row must reappear
+        // shifted, each failing on its own
+        check(name, s"copy-$c row count", source.size,
+          restricted.size.toLong, source.size)
         val mismatched = source.count { case (id, (cell, kept)) =>
           !restricted.get(id + c * vecStep)
             .contains((cell + c * labelStep, kept))
-        } + (restricted.size - source.size).abs
-        check(name, s"copy-$c bit-exact rows", source.size,
-          restricted.size.toLong - mismatched, source.size)
+        }
+        check(name, s"copy-$c mismatched rows", 0L, mismatched.toLong, 0L)
         Sessions.releaseCaches(spark)
       } else {
         val sa = fn(spark, src).localCheckpoint()

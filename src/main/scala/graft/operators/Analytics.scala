@@ -1013,9 +1013,27 @@ object Analytics {
     * catalog form on such data belongs to [[fuzzyMatchPairs]]'
     * token bands). Returns `(part_a, part_b, dist)` with
     * `dist ≤ maxDist`, each pair once.
+    *
+    * `maxBlockSize` (default unlimited = exact declared semantics
+    * unchanged) is the same insurance
+    * [[graft.operators.Similarity.srpLshNearDupPairs]] carries as
+    * `maxBucketSize`: prefix blocks past the cap are dropped before the
+    * candidate self-join. A block is keyed on ONE gram, so a block of b
+    * records costs ~b² candidate rows; on closed-vocabulary catalogs
+    * block sizes grow with the near-identical-name family size and
+    * Σblock² goes quadratic (measured at factor 100: 229 s vs the
+    * banded form's 21 s on identical data — SCALE.md r12→13). A gram
+    * whose block exceeds the cap is corpus-common, i.e. carries little
+    * blocking signal; a pair sharing any RARER prefix gram keeps its
+    * candidacy, and the low-gram fallback below is length-keyed (not
+    * gram-keyed), so short records keep exact recall regardless of the
+    * cap. With a cap set, recall is no longer the exact prefix-filter
+    * guarantee — a pair whose ONLY shared prefix gram is a mega-block
+    * gram is lost. When that loss matters (family-structured names),
+    * the banded [[fuzzyMatchPairs]] is the right tool, not a bigger cap.
     */
   def fuzzyMatchPairsQgram(recs: DataFrame, maxDist: Int,
-      q: Int = 3): DataFrame = {
+      q: Int = 3, maxBlockSize: Int = Int.MaxValue): DataFrame = {
     val pad = "#" * (q - 1)
     val prefixLen = maxDist * q + 1
     val grams = recs
@@ -1033,9 +1051,21 @@ object Analytics {
     val ranked = grams.join(df, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .localCheckpoint()
-    val prefix = ranked.filter(col("rn") <= prefixLen)
+    val prefixAll = ranked.filter(col("rn") <= prefixLen)
       .select(col("gram"), col("id"), col("name"),
         length(col("name")).as("len"))
+    // mega-block guard BEFORE the candidate self-join (only built when a
+    // cap is set — at the unlimited default it would filter nothing
+    // while costing an aggregate + join per run; singleton blocks
+    // already self-join to nothing). Same placement rule as SRP's
+    // bucket guard: the size filter must precede pair generation, or
+    // the Σblock² rows exist before anything can drop them.
+    val prefix = if (maxBlockSize == Int.MaxValue) prefixAll
+    else prefixAll.join(
+      prefixAll.groupBy(col("gram")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= maxBlockSize)
+        .select(col("gram")),
+      Seq("gram"))
     val a = prefix.toDF("gram", "part_a", "name_a", "len_a")
     val b = prefix.toDF("gram", "part_b", "name_b", "len_b")
     val prefixCands = a.join(b, a("gram") === b("gram") &&

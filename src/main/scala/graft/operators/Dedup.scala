@@ -568,10 +568,15 @@ object Dedup {
     // lo, and smallStar maps each hi-group {(hi, u) : u ∈ S} to
     // {(u, m) : u ∈ S \ {m}} ∪ {(hi, m)} with m = min(S) — pairing
     // (u, m) against input (hi, u) (sum delta m − hi < 0) and (hi, m)
-    // against itself. So in BOTH ops every output edge pairs 1:1 with
-    // one input edge of endpoint-sum ≥ its own, outputs stay canonical
-    // (the min is always strictly below the kept endpoint, so canon's
-    // hi≠lo filter never fires), and distinct() can only DROP rows.
+    // against itself. (smallStar's raw union also emits one (m, m)
+    // self-row per group — the (hi, m) input edge joining its own group
+    // min — which canon's hi≠lo filter drops BY DESIGN; the 1:1 pairing
+    // above is over the |S| SURVIVING rows, so per-group counts are
+    // still non-increasing. In largeStar the min side is always
+    // strictly below the kept endpoint, so the filter never fires
+    // there.) So in BOTH ops every surviving output edge pairs 1:1 with
+    // one input edge of endpoint-sum ≥ its own, outputs stay canonical,
+    // and distinct() can only DROP rows.
     // Hence |next| ≤ |mid| ≤ |prev| always; |next| = |prev| forces both
     // pairings bijective, and Σ-equality then forces every per-edge
     // delta to zero — both ops were the identity, next = prev. Sums are

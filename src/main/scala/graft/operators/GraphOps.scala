@@ -330,17 +330,24 @@ object GraphOps {
     val nTriangles: DataFrame = if (big && wedgeClose) {
       // relational wedge form: per apex a, each ordered pair of its
       // out-neighbors (b, c) with b < c by id is a wedge; it closes a
-      // triangle iff {b, c} is an edge — and `edges` IS the id-canonical
-      // (u < v) undirected list, so one inner join on both keys tests
-      // membership exactly once per wedge. Counted once per triangle at
-      // its min-RANK apex (uniqueness comes from the orientation of
-      // a→b, a→c; the id-order on (b, c) merely canonicalizes the pair
-      // to match `edges`). Every operator here is sort-merge + hash-agg
+      // triangle iff {b, c} is an edge. The membership side is
+      // id-canonicalized IN the branch (least/greatest — a no-op
+      // projection on already-canonical u < v rows), because unlike the
+      // adjacency path, whose rank orientation re-derives direction per
+      // row, a verbatim join against `edges` would silently miss any
+      // row a caller supplied in (hi, lo) orientation (r13 ADVICE).
+      // One inner join on both keys then tests membership exactly once
+      // per wedge. Counted once per triangle at its min-RANK apex
+      // (uniqueness comes from the orientation of a→b, a→c; the
+      // id-order on (b, c) merely canonicalizes the pair to match the
+      // membership side). Every operator here is sort-merge + hash-agg
       // with spill; nothing holds O(√m) arrays.
       val w = oriented.as("e1").join(oriented.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
-      w.join(edges, Seq("u", "v"))
+      val canonical = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      w.join(canonical, Seq("u", "v"))
         .agg(count(lit(1)).as("n_triangles"))
     } else {
       // node-sized out-adjacency arrays (each O(√m) long by

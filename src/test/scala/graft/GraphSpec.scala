@@ -107,7 +107,14 @@ class GraphSpec extends SparkSpec {
       // hub wheel: hub 0 + 6-cycle rim — skewed degree, 6 rim triangles
       edgeFrame((1L to 6L).map(i => 0L -> i) ++
         (1L to 6L).map(i => math.min(i, i % 6 + 1) ->
-          math.max(i, i % 6 + 1)): _*))
+          math.max(i, i % 6 + 1)): _*),
+      // K4 with every row REVERSED (hi, lo): per-row orientation is a
+      // caller's choice, not part of the undirected contract — the
+      // wedge strategy's membership join must canonicalize, not assume
+      // u < v (r13 ADVICE: all prior fixtures were canonical, so the
+      // three-way equality could never catch that divergence)
+      edgeFrame(2L -> 1L, 3L -> 1L, 4L -> 1L, 3L -> 2L, 4L -> 2L,
+        4L -> 3L))
     graphs.foreach { g =>
       val bc = GraphOps.triangleCountEdges(g, broadcastEdgeLimit = Long.MaxValue)
         .collect()(0)

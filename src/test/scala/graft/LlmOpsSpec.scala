@@ -578,6 +578,39 @@ class LlmOpsSpec extends SparkSpec {
       s"low-gram fallback must recover the short pair: $shortPairs")
   }
 
+  test("fuzzyMatchPairsQgram maxBlockSize drops mega-blocks only: " +
+    "rare-gram and fallback pairs survive, a roomy cap is a no-op") {
+    // a 12-member near-identical family: every pair is a true match at
+    // distance 1, and the members' shared grams form df=12 mega-blocks —
+    // the closed-vocabulary degeneration in miniature (each member also
+    // carries 3 unique grams, but those blocks are singletons and pair
+    // with nothing)
+    val fam = ('a' to 'l').zipWithIndex.map { case (c, i) =>
+      (i.toLong, s"commonfamilyname $c") }
+    // a diverse pair at distance 2: every shared gram has df=2
+    val rare = Seq((100L, "qqqrstuvw"), (101L, "qqqrstuvwxy"))
+    // a short pair served by the length-keyed low-gram fallback, which
+    // the gram-keyed cap must never touch
+    val short = Seq((200L, "ab"), (201L, "cd"))
+    val recs = (fam ++ rare ++ short).toDF("id", "name")
+    def pairs(cap: Int) =
+      Analytics.fuzzyMatchPairsQgram(recs, 2, 3, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val famPairs = (for { i <- 0 until 12; j <- (i + 1) until 12 }
+      yield (i.toLong, j.toLong)).toSet
+    assert(uncapped == famPairs + ((100L, 101L)) + ((200L, 201L)),
+      s"uncapped: $uncapped")
+    // cap 11 (< family size): the family's mega-blocks drop and with
+    // them the 66 family pairs — exactly the documented recall trade;
+    // the rare-gram pair (blocks of 2) and the fallback pair survive
+    val capped = pairs(11)
+    assert(capped == Set((100L, 101L), (200L, 201L)), s"capped: $capped")
+    assert(capped.subsetOf(uncapped))
+    // a cap at least the largest block restores exact semantics
+    assert(pairs(12) == uncapped)
+  }
+
   test("corpusDiff classifies added, removed, changed; unchanged emit " +
     "nothing") {
     val oldC = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
