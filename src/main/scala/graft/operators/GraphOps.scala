@@ -63,8 +63,14 @@ object GraphOps {
     * ran 111.6 s = 7.0×, linear (SCALE.md r13). The divisor bakes that
     * measured operating point in: width = ⌈|E| / 625 k⌉, floored at the
     * session shuffle width so small graphs keep their existing plans.
+    * Shared by [[triangleCountEdges]] since r14: its full-surface sf10
+    * run hit the same cliff ([UNABLE_TO_ACQUIRE_MEMORY] in an
+    * edge-sized hash aggregate at fixed width 32 — stochastic, the
+    * isolated run passed) that pagerank hit deterministically, and the
+    * cure is the same |E|-proportional width on every edge-sized
+    * exchange.
     */
-  private val PageRankRowsPerPartition = 625000L
+  private val EdgeRowsPerPartition = 625000L
 
   /** The iteration core over an arbitrary SYMMETRIC `(src, dst)` edge
     * list (every node must have out-degree ≥ 1 — guaranteed by
@@ -74,7 +80,7 @@ object GraphOps {
     * read off the node-sized checkpointed degree table in one
     * metrics-sized driver action (Σdeg exactly — the same
     * driver-coordinated adaptivity as [[triangleCountEdges]]'s strategy
-    * peek), and when ⌈|E| / [[PageRankRowsPerPartition]]⌉ exceeds the
+    * peek), and when ⌈|E| / [[EdgeRowsPerPartition]]⌉ exceeds the
     * session shuffle width the three per-iteration edge-sized exchanges
     * (both join inputs and the dst aggregate) are widened to it via
     * explicit hash repartitions. Below that threshold NO repartition
@@ -86,7 +92,7 @@ object GraphOps {
     */
   def pageRankEdges(edgeList: DataFrame, iters: Int,
       scale: Long = 1000000000000L,
-      rowsPerPartition: Long = PageRankRowsPerPartition): DataFrame = {
+      rowsPerPartition: Long = EdgeRowsPerPartition): DataFrame = {
     // Degrees via PARTIAL AGGREGATION + join, not a window. The groupBy
     // map-side-combines a node's count inside each input partition (the
     // exchange carries one row per partition per node, not the raw
@@ -223,16 +229,33 @@ object GraphOps {
     * per-order `collect_set`) + the partial-combined distinct; exposed so
     * the probes and GraphSpec exercise [[triangleCountEdges]] on exactly
     * the shipped build instead of re-deriving it.
+    *
+    * The build runs BEFORE [[triangleCountEdges]]' Σdeg peek can exist,
+    * so its width rule peeks the input instead: |lineitem| is a
+    * footer-cheap count, and the expanded pair volume is ~2–3× of it on
+    * this data (Σ C(k,2) with k = lines/order ≤ 7; 60 M rows → 120 M
+    * edges at sf10), so the pair distinct — the exchange that actually
+    * starved at fixed width 32 in the r14 full-surface run — widens to
+    * ⌈2·|lineitem| / [[EdgeRowsPerPartition]]⌉ when that exceeds the
+    * session width, and the order groupBy widens with it. Identity at
+    * toy SF, same contract as every other width rule here.
     */
-  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val confWidth = spark.sessionState.conf.numShufflePartitions
+    val width = math.max(confWidth,
+      math.ceil(2.0 * li.count() / EdgeRowsPerPartition).toInt)
+    def widen(df: DataFrame, k: Column*): DataFrame =
+      if (width > confWidth) df.repartition(width, k: _*) else df
+    widen(widen(li, col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps"))),
           y => struct(x.as("u"), y.as("v")))))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .select(col("e.u").as("u"), col("e.v").as("v")), col("u"), col("v"))
       .distinct()
+  }
 
   /** Above this many total edges the closing strategy falls back from
     * the broadcast adjacency attach. The adjacency table carries one
@@ -253,7 +276,13 @@ object GraphOps {
     *
     * `broadcastEdgeLimit` exists so GraphSpec can exercise BOTH closing-
     * join strategies on one fixture (limit 0 forces the above-cap
-    * fallback); production callers take the default cap. `wedgeClose`
+    * fallback); production callers take the default cap.
+    * `rowsPerPartition` (default [[EdgeRowsPerPartition]]) drives the
+    * same |E|-proportional exchange-width rule as [[pageRankEdges]],
+    * applied to every edge-sized exchange downstream of the Σdeg peek
+    * (degree attaches, adjacency aggregate, attach joins, wedge
+    * joins); identity at-or-below the session width, parameterized
+    * only so GraphSpec can force the widened plan on a toy graph. `wedgeClose`
     * selects the above-cap strategy: false (default) keeps the
     * adjacency-array intersection with shuffled attaches; true uses the
     * pure relational wedge form (oriented ⋈ oriented on src, closing
@@ -286,7 +315,8 @@ object GraphOps {
     */
   def triangleCountEdges(edges0: DataFrame,
       broadcastEdgeLimit: Long = BroadcastEdgeLimit,
-      wedgeClose: Boolean = false): DataFrame = {
+      wedgeClose: Boolean = false,
+      rowsPerPartition: Long = EdgeRowsPerPartition): DataFrame = {
     // materialize the (possibly expensive) edge build ONCE — without
     // this, each of {degree agg, u-attach, v-attach} replays the full
     // upstream lineage (at sf0.1 the lineitem pair self-join + distinct,
@@ -311,11 +341,28 @@ object GraphOps {
       coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges")).head()
     val (nNodes, nEdges) = (counts.getLong(0), counts.getLong(1))
     val big = nEdges > broadcastEdgeLimit
+    // |E|-proportional width for every edge-sized exchange BELOW this
+    // point (the [[pageRankEdges]] rule, extended here in r14): the
+    // adjacency collect_list and the attach joins each hold
+    // ~|E|/width rows of per-task state, and at fixed width 32 the
+    // full-surface sf10 run died stochastically on
+    // [UNABLE_TO_ACQUIRE_MEMORY] in an edge-sized hash aggregate
+    // (isolated runs passed — the margin at 120 M edges / 32
+    // partitions was one container window's worth of luck, which is
+    // not a scale design). Identity at-or-below the session width:
+    // small graphs keep byte-identical plans and full AQE control.
+    val confWidth =
+      edges0.sparkSession.sessionState.conf.numShufflePartitions
+    val width = math.max(confWidth,
+      math.ceil(nEdges.toDouble / rowsPerPartition).toInt)
+    def widen(df: DataFrame, k: Column*): DataFrame =
+      if (width > confWidth) df.repartition(width, k: _*) else df
     // orient low-rank → high-rank, rank = (deg, id)
-    val withDeg = edges
+    val withDeg = widen(edges, col("u"))
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+    val withDeg2 = widen(withDeg, col("v"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-    val orientedPlan = withDeg.select(
+    val orientedPlan = withDeg2.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")),
         struct(col("u").as("src"), col("v").as("dst")))
@@ -342,18 +389,19 @@ object GraphOps {
       // id-order on (b, c) merely canonicalizes the pair to match the
       // membership side). Every operator here is sort-merge + hash-agg
       // with spill; nothing holds O(√m) arrays.
-      val w = oriented.as("e1").join(oriented.as("e2"),
+      val orientedW = widen(oriented, col("src"))
+      val w = orientedW.as("e1").join(orientedW.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
       val canonical = edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      w.join(canonical, Seq("u", "v"))
+      widen(w, col("u"), col("v")).join(canonical, Seq("u", "v"))
         .agg(count(lit(1)).as("n_triangles"))
     } else {
       // node-sized out-adjacency arrays (each O(√m) long by
       // orientation), materialized because both attaches below read it;
       // array-carrying and therefore DISK_ONLY above the cap
-      val adjPlan = oriented.groupBy(col("src"))
+      val adjPlan = widen(oriented, col("src")).groupBy(col("src"))
         .agg(collect_list(col("dst")).as("nbrs"))
       val adj = if (big) adjPlan.localCheckpoint(true, StorageLevel.DISK_ONLY)
         else adjPlan.localCheckpoint()
@@ -364,10 +412,14 @@ object GraphOps {
       // close no triangle, and dropping them is exactly the intersection
       // with an empty set. The adjacency attaches broadcast when the
       // graph fits ([[BroadcastEdgeLimit]]); the fallback is two shuffled
-      // node-keyed joins.
+      // node-keyed joins at the |E|-proportional width (the second
+      // attach re-shuffles the array-carrying rows on dst — the
+      // heaviest exchange in the query, which is exactly where a fixed
+      // width starves first).
       val (ru, rv) = if (big) (adjU, adjV)
         else (broadcast(adjU), broadcast(adjV))
-      oriented.join(ru, Seq("src")).join(rv, Seq("dst"))
+      widen(widen(oriented, col("src")).join(ru, Seq("src")), col("dst"))
+        .join(rv, Seq("dst"))
         .select(size(array_intersect(col("nu"), col("nv")))
           .cast("long").as("c"))
         .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))

@@ -60,6 +60,45 @@ class GraphSpec extends SparkSpec {
       "default path must not carry user-origin repartitions")
   }
 
+  test("auto-widened triangle exchanges count identically on both " +
+      "closing strategies and actually widen") {
+    // the same |E|-proportional width rule as pagerank, extended to
+    // triangleCountEdges in r14 after the full-surface sf10 run starved
+    // an edge-sized hash aggregate at fixed width 32; rowsPerPartition=1
+    // forces width = |E| on the toy co-purchase graph for BOTH closing
+    // strategies, and the exact-count contract means the widened plans
+    // must reproduce the default counts bit-for-bit
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.coPurchaseEdges(spark, dir)
+      .localCheckpoint()
+    val default = GraphOps.triangleCountEdges(edges).collect()(0).toSeq
+    val wideAdj = GraphOps.triangleCountEdges(edges, 0L,
+      wedgeClose = false, rowsPerPartition = 1)
+    val wideWedge = GraphOps.triangleCountEdges(edges, 0L,
+      wedgeClose = true, rowsPerPartition = 1)
+    assert(wideAdj.collect()(0).toSeq == default,
+      "widened adjacency strategy diverged from the default counts")
+    assert(wideWedge.collect()(0).toSeq == default,
+      "widened wedge strategy diverged from the default counts")
+    val nEdges = default(1).asInstanceOf[Long].toInt
+    val conf = spark.sessionState.conf.numShufflePartitions
+    assert(nEdges > conf, s"fixture too small to force widening: $nEdges")
+    def repartitionWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression => r.optNumPartitions
+      }.flatten
+    // the returned frame's own plan carries the closing-join widening
+    // (upstream widened exchanges are already executed into the
+    // checkpoints and invisible here — same witness scope as the
+    // pagerank test)
+    val widths = repartitionWidths(wideAdj)
+    assert(widths.nonEmpty && widths.forall(_ == nEdges),
+      s"expected |E|=$nEdges-wide repartitions, saw $widths")
+    assert(repartitionWidths(GraphOps.triangleCountEdges(edges)).isEmpty,
+      "default path must not carry user-origin repartitions")
+  }
+
   test("rank mass stays within the fixed-point budget and above the base floor") {
     val dir = "/root/testdata/sf0.001"
     val rows = GraphOps.pageRank(spark, dir)
