@@ -783,10 +783,19 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.table(s, dir, "embeddings"), 0.3)),
     // label-FREE near-dup via signed-random-projection LSH — the scale
     // path when no blocking key exists; oracle mirrors candidate
-    // generation (md5-parity hyperplanes), not just the threshold
+    // generation (md5-parity hyperplanes), not just the threshold.
+    // Toy (32, 8) banding WITH the mega-bucket guard (cap 64, mirrored
+    // in the oracle): at sf0.01 buckets average ~8 members so the cap
+    // never fires and the oracle yield is the full LSH output; past
+    // n ≫ 2^bandBits the guard drops the signal-free collision mass so
+    // the query completes with guard-degraded recall instead of dying
+    // on quadratic candidate volume (the r13 factor-100 failure mode —
+    // 14.3 s at sf10 vs a ~70 GB spill death uncapped). Recall at that
+    // scale is the NEIGHBORING scale-geometry query's job: grow
+    // bandBits ~ log₂(n), as embedding_lsh_neardup_scaled declares.
     "embedding_lsh_neardup" -> ((s, dir) =>
       Similarity.srpLshNearDupPairs(Tables.table(s, dir, "embeddings"),
-        32, 8, 0.3)),
+        32, 8, 0.3, maxBucketSize = 64)),
     // the SCALE geometry for the same operator: bandBits grown ~log2(n)
     // (64 planes / 16-bit bands) plus the mega-bucket guard — the
     // parameter set measured linear at factor 100 (SCALE.md r13: 34.1 s
@@ -1895,7 +1904,8 @@ object SparkEntry {
     "ann_topk_ivf_layout" -> OracleSql.annTopKIvf(8, 5, 6),
     "ann_topk_ivf_append" -> OracleSql.annTopKIvfAppend(8, 5, 6, 10, 3),
     "embedding_neardup" -> OracleSql.embeddingNearDup(0.3),
-    "embedding_lsh_neardup" -> OracleSql.srpLshNearDupPairs(32, 8, 0.3),
+    "embedding_lsh_neardup" ->
+      OracleSql.srpLshNearDupPairs(32, 8, 0.3, maxBucketSize = 64),
     "embedding_lsh_neardup_scaled" ->
       OracleSql.srpLshNearDupPairs(64, 16, 0.9, maxBucketSize = 1024,
         corpusSql = OracleSql.srpPlantedCorpusSql),
