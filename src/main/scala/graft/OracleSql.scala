@@ -284,6 +284,63 @@ object OracleSql {
        |WHERE sim >= $minSim""".stripMargin
   }
 
+  /** Q-gram prefix-filter fuzzy pairs over one brand's catalog (mirrors
+    * Analytics.fuzzyMatchPairsQgram at q=3, maxDist=2 on the declared
+    * Brand#13 scope): identical '#'-padding, distinct grams, rarity-
+    * ordered prefix with the (df, gram) tiebreak, rn ≤ k·q+1 = 7,
+    * length-banded candidate self-join, low-gram (≤ 6 distinct grams)
+    * length fallback, final Levenshtein ≤ 2. `maxBlockSize` mirrors the
+    * Spark side's mega-block guard: when set, only prefix blocks with
+    * 2..maxBlockSize members generate prefix candidates (singleton
+    * blocks pair with nothing either way, and the low-gram fallback is
+    * length-keyed, so it is untouched by the cap — identical to the
+    * Spark placement).
+    */
+  def fuzzyQgramParts(maxBlockSize: Int = Int.MaxValue): String = {
+    val blkCte = if (maxBlockSize == Int.MaxValue) ""
+    else s"""blk AS (
+       |  SELECT gram FROM pfx GROUP BY gram
+       |  HAVING count(*) > 1 AND count(*) <= $maxBlockSize),
+       |""".stripMargin
+    val blkJoin = if (maxBlockSize == Int.MaxValue) ""
+    else "\n      JOIN blk k ON a.gram = k.gram"
+    s"""WITH r AS (
+       |  SELECT p_partkey AS id, p_name AS name,
+       |    '##' || p_name || '##' AS p FROM part
+       |  WHERE p_brand = 'Brand#13'),
+       |g AS (
+       |  SELECT DISTINCT id, name, t.gram FROM r,
+       |    unnest(list_transform(range(1, CAST(len(p) AS BIGINT) - 1),
+       |      i -> substr(p, CAST(i AS BIGINT), 3))) AS t(gram)),
+       |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+       |pfx AS (
+       |  SELECT gram, id, name FROM (
+       |    SELECT g.gram, g.id, g.name,
+       |      row_number() OVER (PARTITION BY g.id
+       |        ORDER BY df.df, g.gram) AS rn
+       |    FROM g JOIN df USING (gram))
+       |  WHERE rn <= 7),
+       |${blkCte}lows AS (
+       |  SELECT id, name FROM g GROUP BY id, name
+       |  HAVING count(*) <= 6),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS part_a, b.id AS part_b,
+       |    a.name AS name_a, b.name AS name_b
+       |  FROM pfx a JOIN pfx b
+       |    ON a.gram = b.gram AND a.id < b.id
+       |      AND abs(len(a.name) - len(b.name)) <= 2$blkJoin
+       |  UNION
+       |  SELECT DISTINCT least(l.id, r.id), greatest(l.id, r.id),
+       |    CASE WHEN l.id < r.id THEN l.name ELSE r.name END,
+       |    CASE WHEN l.id < r.id THEN r.name ELSE l.name END
+       |  FROM lows l JOIN r
+       |    ON l.id <> r.id AND abs(len(l.name) - len(r.name)) <= 2)
+       |SELECT part_a, part_b,
+       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+       |FROM cand
+       |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
+  }
+
   /** Per-label centroid components (mirrors Similarity.labelCentroids):
     * zipped unnest for 0-based positions, DECIMAL(28,18) component sums.
     */

@@ -61,6 +61,23 @@ object ScaleUp {
       case Some(list) => list.split(',').map(_.trim).toSet
       case None => (_: String) => true
     }
+    // Optional 5th arg "sqrtlabels": grow the embedding LABEL space
+    // ∝ √factor instead of ∝ factor. The default per-copy-disjoint
+    // namespaces keep within-copy geometry exact (ScaleRatios'
+    // bit-for-bit per-copy invariants need that), but they make the
+    // codebook grow ∝ n — so the factor-100/300 exponents for the
+    // kmeans/IVF family measure CODEBOOK growth (O(n·nlist·d) with
+    // nlist ∝ n → n²), not the operators. The real-index geometry is
+    // nlist ≈ √n (RecallSweep's 1M-vector measurement, SCALE.md r11);
+    // under sqrtlabels ⌈√factor⌉ copies share each namespace
+    // (namespace = copy mod ⌈√factor⌉), so nlist tracks √n and the
+    // family's cost law is measured at the geometry a real deployment
+    // would run. Trade-off, documented not hidden: vectors in one
+    // namespace span differently-rotated copies, so shared-label
+    // centroids are cross-copy mixtures — per-copy restriction
+    // invariants do NOT hold in this mode; it exists for the cost-law
+    // probes only (r14 verdict item 3).
+    val sqrtLabels = args.lift(4).contains("sqrtlabels")
     val spark = Sessions.get("graft-scale-up")
     new java.io.File(dst).mkdirs()
 
@@ -165,10 +182,12 @@ object ScaleUp {
     lazy val labelStep =
       ((vecs.agg(max(col("label").cast("long"))).head().getLong(0) / 100L)
         + 1L) * 100L
+    lazy val nLabelGroups = math.ceil(math.sqrt(factor.toDouble)).toInt
     write("embeddings", copies(vecs) { (df, i) =>
+      val labelNs = if (sqrtLabels) i % nLabelGroups else i
       df.withColumn("vec_id", col("vec_id") + lit(i * vecStep))
         .withColumn("label",
-          (col("label") + lit(i * labelStep)).cast("int"))
+          (col("label") + lit(labelNs * labelStep)).cast("int"))
         .withColumn("embedding", if (i == 0) col("embedding")
           else transform(col("embedding"), (x, d) =>
             (x * when(pmod(hash(d, lit(i)), lit(2)) === 0, lit(1.0f))

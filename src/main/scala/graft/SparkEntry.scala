@@ -117,6 +117,24 @@ object SparkEntry {
           .filter(col("p_brand") === "Brand#13")
           .select(col("p_partkey").as("id"), col("p_name").as("name")),
         2, 3)),
+    // the SCALE geometry for the same operator: prefix blocks capped at
+    // maxBlockSize=1000 — the parameter measured r14 at 98.8% recall /
+    // 3.0× per decade on sf10 where the uncapped prefix filter
+    // degenerates ~18×/decade on TPC-H's closed name vocabulary
+    // (205.9 s vs 20.5 s, SCALE.md). Declared under its own bit-exact
+    // oracle (the cap mirrored in SQL) so the copy-paste-able scale
+    // form sits under the driver gate — same precedent as
+    // embedding_lsh_neardup_scaled for SRP's bucket cap. At sf0.01/0.1
+    // no Brand#13 prefix block reaches 1000 members, so capped output
+    // equals the exact query's (pinned by SimilarityRecallSpec, which
+    // fails loudly if data growth ever makes the cap fire at a
+    // declared SF).
+    "fuzzy_join_parts_qgram_scaled" -> ((s, dir) =>
+      Analytics.fuzzyMatchPairsQgram(
+        Tables.table(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey").as("id"), col("p_name").as("name")),
+        2, 3, maxBlockSize = 1000)),
     "window_range_frame" -> ((s, dir) => Analytics.trailingSpend(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
     "q9_nation_profit" -> ((s, dir) => Analytics.nationProfitByYear(s, dir)),
@@ -1145,42 +1163,9 @@ object SparkEntry {
         |FROM cand
         |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
 
-    "fuzzy_join_parts_qgram" ->
-      """WITH r AS (
-        |  SELECT p_partkey AS id, p_name AS name,
-        |    '##' || p_name || '##' AS p FROM part
-        |  WHERE p_brand = 'Brand#13'),
-        |g AS (
-        |  SELECT DISTINCT id, name, t.gram FROM r,
-        |    unnest(list_transform(range(1, CAST(len(p) AS BIGINT) - 1),
-        |      i -> substr(p, CAST(i AS BIGINT), 3))) AS t(gram)),
-        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
-        |pfx AS (
-        |  SELECT gram, id, name FROM (
-        |    SELECT g.gram, g.id, g.name,
-        |      row_number() OVER (PARTITION BY g.id
-        |        ORDER BY df.df, g.gram) AS rn
-        |    FROM g JOIN df USING (gram))
-        |  WHERE rn <= 7),
-        |lows AS (
-        |  SELECT id, name FROM g GROUP BY id, name
-        |  HAVING count(*) <= 6),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS part_a, b.id AS part_b,
-        |    a.name AS name_a, b.name AS name_b
-        |  FROM pfx a JOIN pfx b
-        |    ON a.gram = b.gram AND a.id < b.id
-        |      AND abs(len(a.name) - len(b.name)) <= 2
-        |  UNION
-        |  SELECT DISTINCT least(l.id, r.id), greatest(l.id, r.id),
-        |    CASE WHEN l.id < r.id THEN l.name ELSE r.name END,
-        |    CASE WHEN l.id < r.id THEN r.name ELSE l.name END
-        |  FROM lows l JOIN r
-        |    ON l.id <> r.id AND abs(len(l.name) - len(r.name)) <= 2)
-        |SELECT part_a, part_b,
-        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-        |FROM cand
-        |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
+    "fuzzy_join_parts_qgram" -> OracleSql.fuzzyQgramParts(),
+    "fuzzy_join_parts_qgram_scaled" ->
+      OracleSql.fuzzyQgramParts(maxBlockSize = 1000),
 
     "q15_top_supplier" ->
       """WITH rev AS (

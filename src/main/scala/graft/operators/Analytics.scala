@@ -1031,9 +1031,28 @@ object Analytics {
     * guarantee — a pair whose ONLY shared prefix gram is a mega-block
     * gram is lost. When that loss matters (family-structured names),
     * the banded [[fuzzyMatchPairs]] is the right tool, not a bigger cap.
+    *
+    * The cap must GROW with corpus size, like SRP's bandBits: a gram's
+    * df grows ~linearly on a closed vocabulary, so a fixed cap that is
+    * lossless at one scale is fatal a decade up — measured r14
+    * (SCALE.md): cap 256 keeps 100% of pairs at sf1 but 1.3% at sf10,
+    * while cap 1000 holds 98.8% at sf10 at 3.0×/decade cost (vs the
+    * uncapped ~18×/decade). Size it ~10–20× the expected true-family
+    * block and re-derive per decade of growth. The measured-safe sf10
+    * geometry (cap 1000) is itself driver-gated as the declared
+    * `fuzzy_join_parts_qgram_scaled` query.
+    *
+    * Valid cap range: `maxBlockSize ≥ 2` (enforced). A cap of 1 would
+    * make the guard's `bsz > 1 && bsz <= cap` filter unsatisfiable and
+    * silently collapse the result to the low-gram fallback pairs;
+    * callers wanting "no cap" pass the `Int.MaxValue` default (probe
+    * harnesses normalize `cap <= 0` to unlimited BEFORE calling).
     */
   def fuzzyMatchPairsQgram(recs: DataFrame, maxDist: Int,
       q: Int = 3, maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    require(maxBlockSize >= 2,
+      s"maxBlockSize must be >= 2 (a cap of $maxBlockSize would drop " +
+        "every multi-member prefix block); pass Int.MaxValue for no cap")
     val pad = "#" * (q - 1)
     val prefixLen = maxDist * q + 1
     val grams = recs

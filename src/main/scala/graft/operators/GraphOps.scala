@@ -56,21 +56,44 @@ object GraphOps {
       col("rk").as("rank"))
   }
 
-  /** Per-partition edge-row budget for the PageRank iteration shuffles.
-    * The r13 factor-100 sweep measured the cliff directly: 200 M
-    * symmetric edges through 32 fixed partitions spill-thrashed to
-    * 294 s (18.6×), while width 320 — ≈625 k edge rows per partition —
-    * ran 111.6 s = 7.0×, linear (SCALE.md r13). The divisor bakes that
-    * measured operating point in: width = ⌈|E| / 625 k⌉, floored at the
-    * session shuffle width so small graphs keep their existing plans.
-    * Shared by [[triangleCountEdges]] since r14: its full-surface sf10
-    * run hit the same cliff ([UNABLE_TO_ACQUIRE_MEMORY] in an
-    * edge-sized hash aggregate at fixed width 32 — stochastic, the
-    * isolated run passed) that pagerank hit deterministically, and the
-    * cure is the same |E|-proportional width on every edge-sized
-    * exchange.
+  /** Per-partition edge-row budget for the graph iteration shuffles,
+    * derived from the memory actually available PER TASK SLOT rather
+    * than a host-tuned constant (the r14 verdict's item 4 — the fixed
+    * 625 k was "the first thing that breaks on a real cluster").
+    *
+    * Anchor: the r13 factor-100 sweep measured the cliff directly —
+    * 200 M symmetric edges through 32 fixed partitions spill-thrashed
+    * to 294 s (18.6×), while ≈625 k edge rows per partition ran
+    * 111.6 s = 7.0×, linear (SCALE.md r13). That operating point was
+    * measured on an 8 GiB heap with 32 task slots = 256 MiB per slot,
+    * so the rule is rows = 625 k × (per-slot MiB / 256): a cluster
+    * executor with 16 GiB / 4 cores (4 GiB per slot) carries 16× the
+    * rows per partition, the same per-task memory pressure. Local mode
+    * reads the live JVM heap (honors -Xmx) and the local[n] slot
+    * count; cluster mode reads spark.executor.memory/cores. Clamped to
+    * [64 k, 16 M] — the floor keeps degenerate configs from exploding
+    * task counts, the ceiling keeps single partitions spill-friendly.
+    * On THIS host the derivation reproduces 625 k exactly, so every
+    * measured sf10/sf30 ratio and toy plan is unchanged.
+    *
+    * Shared by [[pageRankEdges]] and [[triangleCountEdges]] (r14: the
+    * full-surface sf10 run hit the same cliff stochastically in an
+    * edge-sized hash aggregate at fixed width 32), applied to every
+    * edge-sized exchange; identity at-or-below the session shuffle
+    * width so small graphs keep byte-identical plans.
     */
-  private val EdgeRowsPerPartition = 625000L
+  private[graft] def edgeRowsPerPartition(spark: SparkSession): Long = {
+    val sc = spark.sparkContext
+    val (heapBytes, slots) =
+      if (sc.isLocal)
+        (Runtime.getRuntime.maxMemory, math.max(1, sc.defaultParallelism))
+      else
+        (sc.getConf.getSizeAsBytes("spark.executor.memory", "1g"),
+          math.max(1, sc.getConf.getInt("spark.executor.cores", 1)))
+    val perSlotMiB = heapBytes.toDouble / slots / (1L << 20)
+    val rows = (625000.0 * perSlotMiB / 256.0).toLong
+    math.min(math.max(rows, 64000L), 16000000L)
+  }
 
   /** The iteration core over an arbitrary SYMMETRIC `(src, dst)` edge
     * list (every node must have out-degree ≥ 1 — guaranteed by
@@ -80,19 +103,20 @@ object GraphOps {
     * read off the node-sized checkpointed degree table in one
     * metrics-sized driver action (Σdeg exactly — the same
     * driver-coordinated adaptivity as [[triangleCountEdges]]'s strategy
-    * peek), and when ⌈|E| / [[EdgeRowsPerPartition]]⌉ exceeds the
+    * peek), and when ⌈|E| / [[edgeRowsPerPartition]]⌉ exceeds the
     * session shuffle width the three per-iteration edge-sized exchanges
     * (both join inputs and the dst aggregate) are widened to it via
     * explicit hash repartitions. Below that threshold NO repartition
     * node is inserted at all — the plan is byte-identical to the
     * pre-rule one, AQE keeps full control (coalescing + skew-split),
-    * and the toy-SF bench cannot move. `rowsPerPartition` is a
+    * and the toy-SF bench cannot move. `rowsPerPartition` (0 = the
+    * [[edgeRowsPerPartition]] memory-derived default) is a
     * parameter only so GraphSpec can force the widened path on a toy
     * graph and pin result-invariance across both forms.
     */
   def pageRankEdges(edgeList: DataFrame, iters: Int,
       scale: Long = 1000000000000L,
-      rowsPerPartition: Long = EdgeRowsPerPartition): DataFrame = {
+      rowsPerPartition: Long = 0L): DataFrame = {
     // Degrees via PARTIAL AGGREGATION + join, not a window. The groupBy
     // map-side-combines a node's count inside each input partition (the
     // exchange carries one row per partition per node, not the raw
@@ -140,7 +164,9 @@ object GraphOps {
     val nEdges = deg.agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
     val confWidth = edgeList.sparkSession.sessionState.conf.numShufflePartitions
     val width = math.max(confWidth,
-      math.ceil(nEdges.toDouble / rowsPerPartition).toInt)
+      math.ceil(nEdges.toDouble / (if (rowsPerPartition > 0)
+        rowsPerPartition
+        else edgeRowsPerPartition(edgeList.sparkSession))).toInt)
     // Widening inserts REPARTITION-origin exchanges only ABOVE the
     // session width: the hash layout at a given width is identical to
     // what EnsureRequirements would produce, the subtree is iteration-
@@ -236,7 +262,7 @@ object GraphOps {
     * this data (Σ C(k,2) with k = lines/order ≤ 7; 60 M rows → 120 M
     * edges at sf10), so the pair distinct — the exchange that actually
     * starved at fixed width 32 in the r14 full-surface run — widens to
-    * ⌈2·|lineitem| / [[EdgeRowsPerPartition]]⌉ when that exceeds the
+    * ⌈2·|lineitem| / [[edgeRowsPerPartition]]⌉ when that exceeds the
     * session width, and the order groupBy widens with it. Identity at
     * toy SF, same contract as every other width rule here.
     */
@@ -244,7 +270,7 @@ object GraphOps {
     val li = table(spark, dir, "lineitem")
     val confWidth = spark.sessionState.conf.numShufflePartitions
     val width = math.max(confWidth,
-      math.ceil(2.0 * li.count() / EdgeRowsPerPartition).toInt)
+      math.ceil(2.0 * li.count() / edgeRowsPerPartition(spark)).toInt)
     def widen(df: DataFrame, k: Column*): DataFrame =
       if (width > confWidth) df.repartition(width, k: _*) else df
     widen(widen(li, col("l_orderkey"))
@@ -277,7 +303,8 @@ object GraphOps {
     * `broadcastEdgeLimit` exists so GraphSpec can exercise BOTH closing-
     * join strategies on one fixture (limit 0 forces the above-cap
     * fallback); production callers take the default cap.
-    * `rowsPerPartition` (default [[EdgeRowsPerPartition]]) drives the
+    * `rowsPerPartition` (0 = the [[edgeRowsPerPartition]] memory-
+    * derived default) drives the
     * same |E|-proportional exchange-width rule as [[pageRankEdges]],
     * applied to every edge-sized exchange downstream of the Σdeg peek
     * (degree attaches, adjacency aggregate, attach joins, wedge
@@ -316,7 +343,7 @@ object GraphOps {
   def triangleCountEdges(edges0: DataFrame,
       broadcastEdgeLimit: Long = BroadcastEdgeLimit,
       wedgeClose: Boolean = false,
-      rowsPerPartition: Long = EdgeRowsPerPartition): DataFrame = {
+      rowsPerPartition: Long = 0L): DataFrame = {
     // materialize the (possibly expensive) edge build ONCE — without
     // this, each of {degree agg, u-attach, v-attach} replays the full
     // upstream lineage (at sf0.1 the lineitem pair self-join + distinct,
@@ -354,7 +381,9 @@ object GraphOps {
     val confWidth =
       edges0.sparkSession.sessionState.conf.numShufflePartitions
     val width = math.max(confWidth,
-      math.ceil(nEdges.toDouble / rowsPerPartition).toInt)
+      math.ceil(nEdges.toDouble / (if (rowsPerPartition > 0)
+        rowsPerPartition
+        else edgeRowsPerPartition(edges0.sparkSession))).toInt)
     def widen(df: DataFrame, k: Column*): DataFrame =
       if (width > confWidth) df.repartition(width, k: _*) else df
     // orient low-rank → high-rank, rank = (deg, id)

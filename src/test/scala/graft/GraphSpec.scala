@@ -64,25 +64,29 @@ class GraphSpec extends SparkSpec {
       "closing strategies and actually widen") {
     // the same |E|-proportional width rule as pagerank, extended to
     // triangleCountEdges in r14 after the full-surface sf10 run starved
-    // an edge-sized hash aggregate at fixed width 32; rowsPerPartition=1
-    // forces width = |E| on the toy co-purchase graph for BOTH closing
-    // strategies, and the exact-count contract means the widened plans
-    // must reproduce the default counts bit-for-bit
+    // an edge-sized hash aggregate at fixed width 32. The divisor is
+    // sized so width lands at a SMALL MULTIPLE of the session width
+    // (~2×), not |E| itself — rowsPerPartition=1 forced thousands of
+    // near-empty tasks per widened stage across two full runs for the
+    // same plan witness (the r14 ADVICE cost note); both closing
+    // strategies must still reproduce the default counts bit-for-bit
     val dir = "/root/testdata/sf0.001"
     val edges = GraphOps.coPurchaseEdges(spark, dir)
       .localCheckpoint()
     val default = GraphOps.triangleCountEdges(edges).collect()(0).toSeq
+    val nEdges = default(1).asInstanceOf[Long].toInt
+    val conf = spark.sessionState.conf.numShufflePartitions
+    assert(nEdges > 2 * conf, s"fixture too small to force widening: $nEdges")
+    val rpp = nEdges.toLong / (2 * conf)
+    val expWidth = math.ceil(nEdges.toDouble / rpp).toInt
     val wideAdj = GraphOps.triangleCountEdges(edges, 0L,
-      wedgeClose = false, rowsPerPartition = 1)
+      wedgeClose = false, rowsPerPartition = rpp)
     val wideWedge = GraphOps.triangleCountEdges(edges, 0L,
-      wedgeClose = true, rowsPerPartition = 1)
+      wedgeClose = true, rowsPerPartition = rpp)
     assert(wideAdj.collect()(0).toSeq == default,
       "widened adjacency strategy diverged from the default counts")
     assert(wideWedge.collect()(0).toSeq == default,
       "widened wedge strategy diverged from the default counts")
-    val nEdges = default(1).asInstanceOf[Long].toInt
-    val conf = spark.sessionState.conf.numShufflePartitions
-    assert(nEdges > conf, s"fixture too small to force widening: $nEdges")
     def repartitionWidths(df: org.apache.spark.sql.DataFrame): Seq[Int] =
       df.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.catalyst.plans.logical
@@ -93,8 +97,9 @@ class GraphSpec extends SparkSpec {
     // checkpoints and invisible here — same witness scope as the
     // pagerank test)
     val widths = repartitionWidths(wideAdj)
-    assert(widths.nonEmpty && widths.forall(_ == nEdges),
-      s"expected |E|=$nEdges-wide repartitions, saw $widths")
+    assert(widths.nonEmpty && widths.forall(_ == expWidth),
+      s"expected ceil(|E|=$nEdges / rpp=$rpp) = $expWidth-wide " +
+        s"repartitions, saw $widths")
     assert(repartitionWidths(GraphOps.triangleCountEdges(edges)).isEmpty,
       "default path must not carry user-origin repartitions")
   }

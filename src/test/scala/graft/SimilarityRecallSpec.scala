@@ -185,6 +185,66 @@ class SimilarityRecallSpec extends SparkSpec {
       f"planted recall degraded to $recall%.3f (${rows.length}/$nPlanted)")
   }
 
+  test("declared-SF cap headroom: embedding_lsh_neardup's bucket cap " +
+      "(64) never fires at sf0.01 — capped output equals uncapped") {
+    // The declared query bakes maxBucketSize=64 into BOTH the Spark side
+    // and its DuckDB oracle, so the bit-exact gate cannot see output
+    // changes the cap itself introduces. This pin closes that blind
+    // spot: if a data-generation or geometry change ever pushes an
+    // sf0.01 bucket past 64, this fails loudly instead of the gate
+    // silently green-lighting guard-degraded recall.
+    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairs(cap: Int) =
+      Similarity.srpLshNearDupPairs(emb, 32, 8, 0.3, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(64)
+    val uncapped = pairs(Int.MaxValue)
+    assert(capped == uncapped,
+      s"bucket cap 64 fired at sf0.01: dropped ${uncapped -- capped}")
+  }
+
+  test("declared-SF cap headroom: fuzzy_join_parts_qgram_scaled's block " +
+      "cap (1000) never fires at sf0.01 — capped equals the exact query") {
+    // Same blind-spot closure as the SRP pin above: the scaled query's
+    // oracle mirrors the cap, so only this equality ties the declared
+    // fixture to the EXACT prefix-filter semantics.
+    val dir = "/root/testdata/sf0.01"
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = pairs("fuzzy_join_parts_qgram_scaled")
+    val exact = pairs("fuzzy_join_parts_qgram")
+    assert(capped == exact,
+      s"block cap 1000 fired at sf0.01: dropped ${exact -- capped}")
+  }
+
+  test("fuzzyMatchPairsQgram maxBlockSize drops mega-block-only pairs, " +
+      "keeps rare-gram pairs, and precision stays exact") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // 8-member family sharing every informative gram (df 8 > cap 4) +
+    // a 2-member family whose grams are rare (df 2 <= cap). The only
+    // cross-family shared grams ('01#', '1##' style suffixes) form
+    // small blocks, so cross pairs stay CANDIDATES under the cap — and
+    // the Levenshtein verify rejects them (dist 4 > 2): capping moves
+    // recall only, never precision.
+    val recs = ((1 to 8).map(i => (i.toLong, s"aaaa0$i")) ++
+      Seq((21L, "bbbb01"), (22L, "bbbb02")))
+      .toDF("id", "name")
+    def pairs(cap: Int) =
+      Analytics.fuzzyMatchPairsQgram(recs, 2, 3, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped == ((1 to 8).flatMap(a => (a + 1 to 8).map(b =>
+      (a.toLong, b.toLong))).toSet + ((21L, 22L))), s"uncapped: $uncapped")
+    val capped = pairs(4)
+    assert(capped == Set((21L, 22L)), s"capped(4): $capped")
+    assert(capped.subsetOf(uncapped))
+    // the guard's valid range is enforced (cap 1 would silently drop
+    // every multi-member block — the ADVICE r14 footgun)
+    assertThrows[IllegalArgumentException](pairs(1))
+  }
+
   test("kmeansLloyd corrects mislabeled vectors and reaches a fixpoint") {
     import spark.implicits._
     // two tight clusters around orthogonal directions; two vectors start
