@@ -126,6 +126,100 @@ object PerfProbe {
     }
   }
 
+  /** q8_market_share stage breakdown (r14 verdict item 2: a third
+    * consecutive isolated window above the 0.79–1.06 band at flat
+    * calibration means profile, not adjudicate). Times the join
+    * pyramid cumulatively, prints the executed join strategies, and
+    * A/Bs the one shuffle join (lineitem ⋈ orders) against a
+    * broadcast-projected-orders variant.
+    */
+  def q8Stages(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import operators.Analytics
+    def run(label: String)(df: => DataFrame): Unit = {
+      val ts = (1 to 3).map { _ =>
+        Sessions.releaseCaches(spark)
+        val t0 = System.nanoTime()
+        df.collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $label%-40s min=${ts.min}%6.3f s  runs=${
+        ts.map(t => f"$t%.3f").mkString("/")}")
+    }
+    val l = Tables.table(spark, sfDir, "lineitem")
+    val o = Tables.table(spark, sfDir, "orders")
+    val c = Tables.table(spark, sfDir, "customer")
+    run("scan l (agg rev only)") {
+      l.agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(24,8)"))).toDF("x") }
+    run("l join o (count by year)") {
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(year(col("l_shipdate"))).count() }
+    run("l join o join c (count by year)") {
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(year(col("l_shipdate"))).count() }
+    run("l join bcast(o) join c (count)") {
+      l.join(broadcast(o.select(col("o_orderkey"), col("o_custkey"))),
+          l("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === c("c_custkey"))
+        .groupBy(year(col("l_shipdate"))).count() }
+    val s = Tables.table(spark, sfDir, "supplier")
+    val nCust = broadcast(Tables.table(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+    val r = broadcast(Tables.table(spark, sfDir, "region")
+      .filter(col("r_name") === "ASIA"))
+    val nSupp = broadcast(Tables.table(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation")))
+    def fullJoin = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(nCust, c("c_nationkey") === col("cn_key"))
+      .join(r, col("n_regionkey") === r("r_regionkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(nSupp, s("s_nationkey") === col("sn_key"))
+    run("full 7-way join (count by year)") {
+      fullJoin.groupBy(year(col("l_shipdate"))).count() }
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(24,8)")
+    run("full join + decimal cond agg") {
+      fullJoin.groupBy(year(col("l_shipdate")).as("l_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_5", rev)
+          .otherwise(lit(0).cast("decimal(24,8)"))).cast("double")
+          .as("nation_rev"),
+          sum(rev).cast("double").as("total_rev")) }
+    run("shipped marketShare") { Analytics.marketShare(spark, sfDir) }
+    // split plan CONSTRUCTION (Tables.table resolution + catalyst
+    // optimization, driver-side) from EXECUTION: re-collecting an
+    // already-constructed frame re-runs the physical plan but none of
+    // the analysis
+    (1 to 3).foreach { i =>
+      Sessions.releaseCaches(spark)
+      val t0 = System.nanoTime()
+      val df = Analytics.marketShare(spark, sfDir)
+      df.queryExecution.executedPlan // force analysis+optimization
+      val t1 = System.nanoTime()
+      df.collect()
+      val t2 = System.nanoTime()
+      println(f"[probe] construct+optimize=${(t1 - t0) / 1e9}%6.3f s " +
+        f"execute=${(t2 - t1) / 1e9}%6.3f s (run $i)")
+    }
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      Seq("lineitem", "orders", "customer", "supplier", "nation",
+        "region", "nation").foreach(Tables.table(spark, sfDir, _))
+      println(f"[probe] 7x Tables.table resolution=${
+        (System.nanoTime() - t0) / 1e9}%6.3f s (run $i)")
+    }
+    val shipped = Analytics.marketShare(spark, sfDir)
+    shipped.collect()
+    println("[probe] shipped executed plan:")
+    shipped.queryExecution.executedPlan.toString.linesIterator
+      .filter(ln => ln.contains("Join") || ln.contains("Exchange") ||
+        ln.contains("Scan") || ln.contains("Aggregate"))
+      .foreach(ln => println(s"[probe]   ${ln.trim.take(120)}"))
+  }
+
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
     val r = f
@@ -360,6 +454,7 @@ object PerfProbe {
       println(s"[probe] n_pairs capped-toy = $n2")
       spark.stop(); return
     }
+    if (args.contains("q8")) { q8Stages(spark, sfDir); spark.stop(); return }
     if (args.contains("asof")) { asofDeep(spark); spark.stop(); return }
     if (args.contains("lss")) { lssStages(spark, sfDir); spark.stop(); return }
     val docs = Tables.table(spark, sfDir, "documents")

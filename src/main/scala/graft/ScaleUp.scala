@@ -140,11 +140,25 @@ object ScaleUp {
     // (no prefix) the digit subsequence alone costs 6. Within-copy
     // distances are untouched (common-prefix invariance of
     // Levenshtein).
+    // Factor > 100 (r15, for the factor-300 fuzzy probe): THREE
+    // repetition blocks, digit(i/100)×3 ++ digit(i/10%10)×3 ++
+    // digit(i%10)×3, used uniformly for every copy of such a build so
+    // the pairwise proof stays scheme-internal. Same LCS argument: two
+    // distinct 3-block code strings (length 9) have LCS ≤ 6 (a repeated
+    // block can only align whole), so ED ≥ 3; vs copy 0 the digit
+    // subsequence alone costs 9. Builds at factor ≤ 100 keep the
+    // 2-block form so their replicated data is byte-identical to every
+    // previously measured sf10 build.
     def namePrefix(i: Int): String = {
-      require(i < 100,
-        s"part-name prefix code covers at most 100 copies (copy $i)")
-      val (d1, d2) = (i / 10, i % 10)
-      s"$d1$d1$d1$d2$d2$d2"
+      require(i < 1000,
+        s"part-name prefix code covers at most 1000 copies (copy $i)")
+      if (factor <= 100) {
+        val (d1, d2) = (i / 10, i % 10)
+        s"$d1$d1$d1$d2$d2$d2"
+      } else {
+        val (d1, d2, d3) = (i / 100, (i / 10) % 10, i % 10)
+        s"$d1$d1$d1$d2$d2$d2$d3$d3$d3"
+      }
     }
     write("part", copies(part) { (df, i) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(i * partStep))
