@@ -272,7 +272,21 @@ object Similarity {
     // recompute-per-side 59 s vs 34 s materialized) — and the
     // LogicalRDD's ACTUAL size keeps the candidate join's estimates
     // honest for the planner.
-    val banded = embeddings
+    // Parallelism floor for the projection (r15): the signature stage
+    // is the function's CPU core — planes·dim decimal multiplies per
+    // vector — and a small corpus arrives as ONE scan partition (the
+    // sf0.1 fixture is a single 780 KB file), which ran the whole
+    // projection single-threaded: measured 3.6 s of the scaled declared
+    // query's 3.9 s bench cost. Widening to the task-slot count is a
+    // corpus-row shuffle, trivial beside the projection it distributes;
+    // at real scale the scan already has ≫ slots partitions and no
+    // repartition node is inserted (identity, same contract as the
+    // graph width rule). Results are partitioning-invariant by the
+    // decimal-accumulation design (pinned in SimilarityRecallSpec).
+    val slots = spark.sparkContext.defaultParallelism
+    val src = if (embeddings.rdd.getNumPartitions < slots)
+      embeddings.repartition(slots) else embeddings
+    val banded = src
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .crossJoin(broadcast(hplanes))
       .select(col("vec_id"),
