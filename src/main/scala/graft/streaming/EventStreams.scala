@@ -726,8 +726,37 @@ object EventStreams {
         scratchDir("graft-stream-candles"), n)
     })
 
-  def streamCandles(spark: SparkSession, dir: String, slices: Int = 2,
-      lateness: String = "2 hours"): DataFrame =
+  /** Data-proportional replay slicing (r15). A micro-batch's rows all
+    * sit AHEAD of the watermark until the batch commits, so every
+    * stateful drain's state high-water mark is the per-batch ingest —
+    * and a FIXED slice count makes that ingest grow with the corpus:
+    * the factor-300 probe (60 M events, 2 slices = 30 M rows/batch ×
+    * two join readers) ran the 8 GiB driver out of heap inside
+    * `stream_followups`' interval-join state before the first watermark
+    * advance could evict anything (SCALE.md r15). `slices = 0` (the
+    * declared-query default) derives ⌈|events| / rowsPerSlice⌉ with
+    * rowsPerSlice = 8 M × (heap GiB / 8) — anchored at the measured
+    * cliff: 2×10 M buffered rows survived this host's 8 GiB heap,
+    * 2×30 M died — floored at 2 so every declared fixture keeps the
+    * exact 2-slice plan (200 k events at sf0.1 is far under one slice)
+    * and the cross-batch machinery the drains exist to gate still
+    * exercises. The |events| peek is one footer-cheap metadata job per
+    * construction, the same pattern as the graph width peeks. On a
+    * cluster the same rule holds per executor heap; the state-store
+    * backend (RocksDB off-heap) moves the constant, not the rule.
+    */
+  private def autoSlices(spark: SparkSession, dir: String,
+      slices: Int): Int = {
+    if (slices > 0) return slices
+    val n = graft.Tables.table(spark, dir, "events").count()
+    val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+    val rowsPerSlice = math.max(1000000L, (8000000.0 * heapGiB / 8.0).toLong)
+    math.max(2, math.ceil(n.toDouble / rowsPerSlice).toInt)
+  }
+
+  def streamCandles(spark: SparkSession, dir: String, slices0: Int = 0,
+      lateness: String = "2 hours"): DataFrame = {
+    val slices = autoSlices(spark, dir, slices0)
     drainUpdateStream(spark,
       candleStream(eventsStream(spark,
         candleReplayFor(spark, dir, slices)), lateness),
@@ -738,6 +767,7 @@ object EventStreams {
         StructField("open", DoubleType), StructField("high", DoubleType),
         StructField("low", DoubleType), StructField("close", DoubleType),
         StructField("volume", DoubleType))))
+  }
 
   /** Append-mode sibling of [[drainUpdateStream]] for stream-STREAM
     * joins: an inner interval join emits each matched pair exactly once
@@ -787,20 +817,25 @@ object EventStreams {
     * can no longer match, which is the bounded-state contract that makes
     * this join survive an unbounded stream.
     */
-  def streamFollowups(spark: SparkSession, dir: String, slices: Int = 2,
+  def streamFollowups(spark: SparkSession, dir: String, slices0: Int = 0,
       threshold: Double = 100.0, windowMinutes: Int = 30,
       lateness: String = "2 hours"): DataFrame = {
     // GENUINELY shares streamCandles' replay folder (same (dir, slices)
-    // fixture key — a different slice count would build a second full
-    // events copy in scratch); each slice feeds BOTH readers, so
-    // micro-batch count — the drain's fixed overhead — scales with
-    // slices/filesPerTrigger. The default 2 slices at 1 file/trigger
-    // keep TWO batches per reader, which still puts matches ACROSS a
-    // batch boundary (signal buffered in join state until its followup
-    // arrives in the next batch) — the cross-batch machinery this
-    // query gates.
+    // fixture key, same autoSlices derivation — a different slice count
+    // would build a second full events copy in scratch); each slice
+    // feeds BOTH readers at ONE file per trigger, so the per-batch
+    // ingest — the join-state high-water mark, the thing autoSlices
+    // bounds — is one slice per reader. The derived floor of 2 slices
+    // keeps the declared fixtures at exactly the prior 2-batch plan,
+    // which still puts matches ACROSS a batch boundary (signal buffered
+    // in join state until its followup arrives in the next batch) — the
+    // cross-batch machinery this query gates. (The pre-r15 form read
+    // slices/2 files per trigger — a rule that pinned the drain at ~2
+    // batches and HALF the corpus of join state per batch at ANY slice
+    // count: that is what ran the factor-300 probe out of driver heap.)
+    val slices = autoSlices(spark, dir, slices0)
     val drop = candleReplayFor(spark, dir, slices)
-    val perTrigger = math.max(1, slices / 2)
+    val perTrigger = 1
     drainAppendStream(spark,
       signalFollowups(
         eventsStream(spark, drop, perTrigger),
