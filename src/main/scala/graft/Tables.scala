@@ -91,6 +91,31 @@ object Tables {
   private val tableCache = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
+  /** Memoized `count()` over a driver table, same key discipline and
+    * soundness argument as [[table]]'s memo (sfDirs are immutable for a
+    * session's lifetime; weakly keyed on the session object). The count
+    * is a footer-cheap metadata job, but callers that peek it during
+    * PLAN CONSTRUCTION — the graph width rules' |lineitem| peek, the
+    * streaming drains' |events| peek — pay it per construction, per
+    * run; a size that cannot change within a session deserves to be a
+    * lookup after the first read.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val perSession = countCache.synchronized {
+      var m = countCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        countCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$sfDir#$name",
+      _ => java.lang.Long.valueOf(table(spark, sfDir, name).count())).longValue()
+  }
+
+  private val countCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+
   private def resolveTable(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

@@ -258,7 +258,8 @@ object GraphOps {
     *
     * The build runs BEFORE [[triangleCountEdges]]' Σdeg peek can exist,
     * so its width rule peeks the input instead: |lineitem| is a
-    * footer-cheap count, and the expanded pair volume is ~2–3× of it on
+    * footer-cheap count, memoized per (session, dir) like the relation
+    * itself, and the expanded pair volume is ~2–3× of it on
     * this data (Σ C(k,2) with k = lines/order ≤ 7; 60 M rows → 120 M
     * edges at sf10), so the pair distinct — the exchange that actually
     * starved at fixed width 32 in the r14 full-surface run — widens to
@@ -270,7 +271,8 @@ object GraphOps {
     val li = table(spark, dir, "lineitem")
     val confWidth = spark.sessionState.conf.numShufflePartitions
     val width = math.max(confWidth,
-      math.ceil(2.0 * li.count() / edgeRowsPerPartition(spark)).toInt)
+      math.ceil(2.0 * graft.Tables.rowCount(spark, dir, "lineitem") /
+        edgeRowsPerPartition(spark)).toInt)
     def widen(df: DataFrame, k: Column*): DataFrame =
       if (width > confWidth) df.repartition(width, k: _*) else df
     widen(widen(li, col("l_orderkey"))

@@ -740,15 +740,16 @@ object EventStreams {
     * 2×30 M died — floored at 2 so every declared fixture keeps the
     * exact 2-slice plan (200 k events at sf0.1 is far under one slice)
     * and the cross-batch machinery the drains exist to gate still
-    * exercises. The |events| peek is one footer-cheap metadata job per
-    * construction, the same pattern as the graph width peeks. On a
+    * exercises. The |events| peek is one footer-cheap metadata job,
+    * memoized per (session, dir) — the same pattern as the graph width
+    * peeks. On a
     * cluster the same rule holds per executor heap; the state-store
     * backend (RocksDB off-heap) moves the constant, not the rule.
     */
   private def autoSlices(spark: SparkSession, dir: String,
       slices: Int): Int = {
     if (slices > 0) return slices
-    val n = graft.Tables.table(spark, dir, "events").count()
+    val n = graft.Tables.rowCount(spark, dir, "events")
     val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
     val rowsPerSlice = math.max(1000000L, (8000000.0 * heapGiB / 8.0).toLong)
     math.max(2, math.ceil(n.toDouble / rowsPerSlice).toInt)

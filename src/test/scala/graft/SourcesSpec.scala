@@ -49,6 +49,28 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.listCsvFiles(spark, dir.getAbsolutePath, "sol").size == 1)
   }
 
+  test("table() and rowCount() memoize per (session, dir, table) and " +
+      "never confuse keys") {
+    val dir = "/root/testdata/sf0.001"
+    // resolved-relation memo: repeated calls return the SAME analyzed
+    // frame instance (that identity is what shed the ~55-70 ms/table
+    // re-resolution tax, SCALE.md r15) ...
+    assert(Tables.table(spark, dir, "nation") eq
+      Tables.table(spark, dir, "nation"))
+    // ... and distinct keys resolve their own frames
+    assert(!(Tables.table(spark, dir, "region") eq
+      Tables.table(spark, dir, "nation")))
+    assert(!(Tables.table(spark, "/root/testdata/sf0.01", "nation") eq
+      Tables.table(spark, dir, "nation")))
+    // the count memo agrees with a live count and is key-discriminated
+    // (lineitem row counts differ 10x across SFs; documents' 500 and
+    // nation's 25 are SF-invariant and would not discriminate)
+    val n = Tables.rowCount(spark, dir, "lineitem")
+    assert(n == Tables.table(spark, dir, "lineitem").count())
+    assert(Tables.rowCount(spark, dir, "lineitem") == n)
+    assert(Tables.rowCount(spark, "/root/testdata/sf0.01", "lineitem") != n)
+  }
+
   test("candlesAt(60) equals the date_trunc-hour candles (resample parity)") {
     // floor-division bucketing at 60 minutes must agree with date_trunc
     // 'hour' for any post-epoch timestamp — the property that lets the
