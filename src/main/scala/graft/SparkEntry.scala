@@ -110,13 +110,24 @@ object SparkEntry {
     // Scoped to ONE brand's catalog — on TPC-H's ~90-word closed name
     // vocabulary the whole-catalog prefix filter degenerates (the
     // measured trade documented on fuzzyMatchPairsQgram); the banded
-    // fuzzy_join_parts IS the whole-catalog form for such data
+    // fuzzy_join_parts IS the whole-catalog form for such data.
+    // maxBlockSize=256 is the same protective, oracle-mirrored cap the
+    // toy embedding_lsh_neardup carries as maxBucketSize=64: it CANNOT
+    // fire at declared SFs (largest Brand#13 prefix block measured 10
+    // at sf0.01 / 95 at sf0.1 — 2.7× headroom, pinned capped ≡ uncapped
+    // by SimilarityRecallSpec) and exists so the query survives scale
+    // probes instead of dying — the r15 factor-300 surface run OOM'd
+    // the 8 GiB JVM inside this query's uncapped Σblock² candidate join
+    // (blocks grow ∝ copies on the closed vocabulary). At sf10+ the cap
+    // fires and recall degrades by design; the scale answer is
+    // fuzzy_join_parts_qgram_scaled below (cap 1000, 98.8% recall at
+    // sf10) or the banded fuzzy_join_parts.
     "fuzzy_join_parts_qgram" -> ((s, dir) =>
       Analytics.fuzzyMatchPairsQgram(
         Tables.table(s, dir, "part")
           .filter(col("p_brand") === "Brand#13")
           .select(col("p_partkey").as("id"), col("p_name").as("name")),
-        2, 3)),
+        2, 3, maxBlockSize = 256)),
     // the SCALE geometry for the same operator: prefix blocks capped at
     // maxBlockSize=1000 — the parameter measured r14 at 98.8% recall /
     // 3.0× per decade on sf10 where the uncapped prefix filter
@@ -1163,7 +1174,8 @@ object SparkEntry {
         |FROM cand
         |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
 
-    "fuzzy_join_parts_qgram" -> OracleSql.fuzzyQgramParts(),
+    "fuzzy_join_parts_qgram" ->
+      OracleSql.fuzzyQgramParts(maxBlockSize = 256),
     "fuzzy_join_parts_qgram_scaled" ->
       OracleSql.fuzzyQgramParts(maxBlockSize = 1000),
 

@@ -1040,7 +1040,11 @@ object Analytics {
     * uncapped ~18×/decade). Size it ~10–20× the expected true-family
     * block and re-derive per decade of growth. The measured-safe sf10
     * geometry (cap 1000) is itself driver-gated as the declared
-    * `fuzzy_join_parts_qgram_scaled` query.
+    * `fuzzy_join_parts_qgram_scaled` query; the declared toy query
+    * carries a protective, oracle-mirrored cap 256 that cannot fire at
+    * declared SFs (r15: the uncapped form heap-OOM'd the 8 GiB JVM at
+    * factor 300 — a fixed-cost-law geometry must never be the declared
+    * form; SCALE.md r15).
     *
     * Valid cap range: `maxBlockSize ≥ 2` (enforced). A cap of 1 would
     * make the guard's `bsz > 1 && bsz <= cap` filter unsatisfiable and

@@ -203,19 +203,30 @@ class SimilarityRecallSpec extends SparkSpec {
       s"bucket cap 64 fired at sf0.01: dropped ${uncapped -- capped}")
   }
 
-  test("declared-SF cap headroom: fuzzy_join_parts_qgram_scaled's block " +
-      "cap (1000) never fires at sf0.01 — capped equals the exact query") {
-    // Same blind-spot closure as the SRP pin above: the scaled query's
-    // oracle mirrors the cap, so only this equality ties the declared
-    // fixture to the EXACT prefix-filter semantics.
+  test("declared-SF cap headroom: neither q-gram query's block cap " +
+      "(256 exact / 1000 scaled) fires at sf0.01 — both equal uncapped") {
+    // Same blind-spot closure as the SRP pin above: both declared
+    // queries' oracles mirror their caps, so only this equality against
+    // the truly-uncapped operator ties the declared fixture to the
+    // EXACT prefix-filter semantics. (Largest Brand#13 prefix block
+    // measured: 10 at sf0.01, 95 at sf0.1.)
+    import graft.operators.Analytics
     val dir = "/root/testdata/sf0.01"
-    def pairs(name: String) =
+    val recs = Tables.table(spark, dir, "part")
+      .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#13")
+      .select(org.apache.spark.sql.functions.col("p_partkey").as("id"),
+        org.apache.spark.sql.functions.col("p_name").as("name"))
+    val uncapped = Analytics.fuzzyMatchPairsQgram(recs, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def declared(name: String) =
       SparkEntry.queries(name)(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val capped = pairs("fuzzy_join_parts_qgram_scaled")
-    val exact = pairs("fuzzy_join_parts_qgram")
-    assert(capped == exact,
-      s"block cap 1000 fired at sf0.01: dropped ${exact -- capped}")
+    val exact = declared("fuzzy_join_parts_qgram")
+    val scaled = declared("fuzzy_join_parts_qgram_scaled")
+    assert(exact == uncapped,
+      s"block cap 256 fired at sf0.01: dropped ${uncapped -- exact}")
+    assert(scaled == uncapped,
+      s"block cap 1000 fired at sf0.01: dropped ${uncapped -- scaled}")
   }
 
   test("fuzzyMatchPairsQgram maxBlockSize drops mega-block-only pairs, " +
