@@ -70,15 +70,29 @@ object IvfAgeProbe {
         f"agedFiles=$af%4d (per-cell $apc%5.1f) freshFiles=$ff%3d " +
         f"agedProbe=$ta%6.3f s freshProbe=$tf%6.3f s " +
         f"overhead=${ta / tf}%5.2f x")
+      // the rebuilt baseline is measurement-only — drop it so the probe
+      // doesn't litter a full corpus copy per checkpoint under tmp
+      rmTree(new java.io.File(fresh))
     }
 
     var corpus = emb
     checkpoint(0, corpus)
     for (day <- 1 to nAppends) {
-      Similarity.appendToCellLayout(spark, aged, delta(day))
-      corpus = corpus.unionByName(delta(day))
+      // bind the day's delta once — delta(day) is a plan BUILDER, and
+      // two calls would construct (and, on action, run) two identical
+      // slice-filter plans. No localCheckpoint here: probeMin calls
+      // releaseCaches between runs, which would wipe the blocks and
+      // truncate the lineage the corpus union still needs.
+      val d = delta(day)
+      Similarity.appendToCellLayout(spark, aged, d)
+      corpus = corpus.unionByName(d)
       if (day % checkEvery == 0 || day == nAppends) checkpoint(day, corpus)
     }
     spark.stop()
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
   }
 }

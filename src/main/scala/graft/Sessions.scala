@@ -68,11 +68,13 @@ object Sessions {
     * HARNESS-ONLY invariant: this unpersists EVERY persisted RDD in the
     * context, and an unpersisted localCheckpoint is unrecoverable (its
     * lineage is truncated). Callers must guarantee nothing live still
-    * reads persisted blocks — no DataFrame memoized across queries
-    * (the engine memoizes only layout PATHS: cellLayoutFor — the former
-    * dim/counts scalar caches were dropped, their plan-string keys
-    * could collide across inputs) and no concurrently RUNNING streaming
-    * query whose
+    * reads persisted blocks — no PERSISTED DataFrame memoized across
+    * queries (the engine memoizes layout PATHS — cellLayoutFor — and,
+    * since r15, resolved driver-table frames in Tables.table; the
+    * latter stays safe ONLY because resolveTable never persists or
+    * localCheckpoints the shared frame — a .persist() added there
+    * would be silently wiped between bench queries, so don't) and no
+    * concurrently RUNNING streaming query whose
     * static side was checkpointed (mergeStream). Bench and Verify hold
     * both invariants by construction; do not call this from operator
     * code.
@@ -80,4 +82,37 @@ object Sessions {
   def releaseCaches(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))
+
+  /** Heap bytes of ONE worker JVM — the memory that actually backs task
+    * buffers and streaming state: the live driver JVM in local mode
+    * (honors -Xmx, where executors ARE the driver), `spark.executor
+    * .memory` in cluster mode. The single-JVM bound is deliberately
+    * conservative for per-JVM accumulators (a micro-batch's join state
+    * spreads across executors, but a skewed key set may not).
+    */
+  def workerHeapBytes(spark: SparkSession): Long = {
+    val sc = spark.sparkContext
+    if (sc.isLocal) Runtime.getRuntime.maxMemory
+    else sc.getConf.getSizeAsBytes("spark.executor.memory", "1g")
+  }
+
+  /** Task slots per worker JVM: the local[n] slot count in local mode;
+    * `spark.executor.cores` when set in cluster mode. When UNSET on a
+    * cluster, the slot count is inferred as defaultParallelism (total
+    * live cores) over the live executor count — NOT defaulted to 1:
+    * Spark standalone gives an unset-cores executor ALL of a worker's
+    * cores, so a default of 1 would overstate per-slot memory by the
+    * core count and re-open the exact spill cliff the per-slot rules
+    * exist to avoid.
+    */
+  def workerSlots(spark: SparkSession): Int = {
+    val sc = spark.sparkContext
+    if (sc.isLocal) math.max(1, sc.defaultParallelism)
+    else sc.getConf.getOption("spark.executor.cores").map(_.trim.toInt)
+      .getOrElse {
+        val execs =
+          math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+        math.max(1, sc.defaultParallelism / execs)
+      }
+  }
 }

@@ -60,17 +60,35 @@ object Tables {
     *    DuckDB's naive read of the same file.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = tableCache.synchronized {
-      var m = tableCache.get(spark)
+    val perSession = perSessionMap(tableCache, spark)
+    val key = s"$sfDir#$name"
+    val ref = perSession.get(key)
+    val cached = if (ref == null) null else ref.get()
+    if (cached != null) cached
+    else {
+      val df = resolveTable(spark, sfDir, name)
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
+  }
+
+  /** Get-or-create the per-session inner map of a session-keyed memo —
+    * the one synchronized WeakHashMap dance both memos below share, so
+    * a fix to the locking or reference discipline lands once.
+    */
+  private def perSessionMap[V](
+      cache: java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, V]],
+      spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, V] =
+    cache.synchronized {
+      var m = cache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        tableCache.put(spark, m)
+        m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+        cache.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent(s"$sfDir#$name",
-      _ => resolveTable(spark, sfDir, name))
-  }
 
   /** Resolved-relation memo behind [[table]]. Every `spark.read.parquet`
     * call re-runs datasource resolution — file listing plus a footer
@@ -85,11 +103,16 @@ object Tables {
     * is shared per (session, dir, table). Sound because the driver
     * testdata dirs are immutable for a session's lifetime — nothing in
     * the engine writes into an sfDir — and weakly keyed on the SESSION
-    * OBJECT, so a stopped session's entries are collectable and a new
+    * OBJECT with SOFT-referenced values: a DataFrame strongly references
+    * its session, so a strong value would pin its own WeakHashMap key
+    * forever (the documented WeakHashMap value→key trap); behind a
+    * SoftReference a stopped session plus its frames become collectable
+    * under memory pressure, and a cleared entry just re-resolves. A new
     * session (even at a reused address) always re-resolves.
     */
   private val tableCache = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.ref.SoftReference[DataFrame]]]()
 
   /** Memoized `count()` over a driver table, same key discipline and
     * soundness argument as [[table]]'s memo (sfDirs are immutable for a
@@ -101,14 +124,7 @@ object Tables {
     * lookup after the first read.
     */
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
-    val perSession = countCache.synchronized {
-      var m = countCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-        countCache.put(spark, m)
-      }
-      m
-    }
+    val perSession = perSessionMap(countCache, spark)
     perSession.computeIfAbsent(s"$sfDir#$name",
       _ => java.lang.Long.valueOf(table(spark, sfDir, name).count())).longValue()
   }

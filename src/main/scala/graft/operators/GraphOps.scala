@@ -70,7 +70,9 @@ object GraphOps {
     * executor with 16 GiB / 4 cores (4 GiB per slot) carries 16× the
     * rows per partition, the same per-task memory pressure. Local mode
     * reads the live JVM heap (honors -Xmx) and the local[n] slot
-    * count; cluster mode reads spark.executor.memory/cores. Clamped to
+    * count; cluster mode reads spark.executor.memory and the per-JVM
+    * slot count via [[graft.Sessions.workerSlots]] (which infers the
+    * standalone all-cores default instead of assuming 1). Clamped to
     * [64 k, 16 M] — the floor keeps degenerate configs from exploding
     * task counts, the ceiling keeps single partitions spill-friendly.
     * On THIS host the derivation reproduces 625 k exactly, so every
@@ -83,14 +85,8 @@ object GraphOps {
     * width so small graphs keep byte-identical plans.
     */
   private[graft] def edgeRowsPerPartition(spark: SparkSession): Long = {
-    val sc = spark.sparkContext
-    val (heapBytes, slots) =
-      if (sc.isLocal)
-        (Runtime.getRuntime.maxMemory, math.max(1, sc.defaultParallelism))
-      else
-        (sc.getConf.getSizeAsBytes("spark.executor.memory", "1g"),
-          math.max(1, sc.getConf.getInt("spark.executor.cores", 1)))
-    val perSlotMiB = heapBytes.toDouble / slots / (1L << 20)
+    val perSlotMiB = graft.Sessions.workerHeapBytes(spark).toDouble /
+      graft.Sessions.workerSlots(spark) / (1L << 20)
     val rows = (625000.0 * perSlotMiB / 256.0).toLong
     math.min(math.max(rows, 64000L), 16000000L)
   }

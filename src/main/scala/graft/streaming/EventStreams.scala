@@ -650,7 +650,7 @@ object EventStreams {
     * drain, read-back). The one min/max peek that sizes the slices is
     * part of that once-per-corpus build.
     */
-  /** Replay a frame into `n` time-contiguous single-file slices under
+  /** Replay a frame into time-contiguous single-file slices under
     * `root/drop`, consumed in event-time order so a watermark genuinely
     * trails the data. The file source orders its listing by modification
     * time — and sequential writes alone cannot guarantee that order on a
@@ -665,21 +665,80 @@ object EventStreams {
     * slice step covers [lo, hi] entirely: step ≥ (hi−lo)/n + 1 ⇒
     * n·step > hi−lo, so no trailing row is lost to the half-open upper
     * bound.
+    *
+    * `capRows` makes the [[autoSlices]] heap bound hold on BURSTY
+    * event-time density, not just the uniform replay the slice count
+    * was derived from: equal-TIME windows alone let one dense window
+    * carry most of the corpus (e.g. 80% of 60 M rows inside one of 8
+    * windows ingests 48 M rows in one micro-batch — right back over
+    * the measured state cliff the count was derived to avoid). With a
+    * cap, a cheap density probe (≤ ~127 fine sub-buckets per window,
+    * one aggregate, driver-side counts — bounded metadata, the same
+    * class as the graph Σdeg peek) splits any window whose row count
+    * exceeds the cap into count-balanced time-contiguous sub-slices at
+    * sub-bucket granularity. Windows already under the cap keep their
+    * ORIGINAL bounds — on time-uniform corpora (every declared fixture
+    * and every ScaleUp replication) no window splits and the slice
+    * files are content-identical to the uncapped form. The residual
+    * floor: a single sub-bucket (≤ step/64 of event time) holding more
+    * than capRows rows cannot be split further without breaking
+    * time-contiguity — a true point mass bounds below by its own size.
     */
-  private def writeTimeSlices(df: DataFrame, root: String,
-      n: Int): String = {
+  private[graft] def writeTimeSlices(df: DataFrame, root: String,
+      n: Int, capRows: Long = Long.MaxValue): String = {
     val mm = df.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
       .head()
     if (!mm.isNullAt(0)) {
       val lo = mm.getTimestamp(0).getTime
       val hi = mm.getTimestamp(1).getTime
       val step = math.max(1L, (hi - lo) / n + 1)
+      // slice bounds as [from, until) ms pairs: the n equal-time
+      // windows, each split at fine-bucket granularity iff its count
+      // exceeds capRows
+      val bounds: Seq[(Long, Long)] =
+        if (capRows == Long.MaxValue)
+          (0 until n).map(i => (lo + i * step, lo + (i + 1) * step))
+        else {
+          val fine = math.max(1L, step / 64)
+          // NULL-ts rows are absent from every slice (see the trailing
+          // note) — they must be absent from the density probe too
+          val hist = df.filter(col("ts").isNotNull)
+            .groupBy(expr(s"(unix_millis(ts) - ${lo}L) div ${step}L")
+                .as("win"),
+              expr(s"((unix_millis(ts) - ${lo}L) % ${step}L) div ${fine}L")
+                .as("sub"))
+            .count().collect()
+            .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+          (0 until n).flatMap { i =>
+            val winStart = lo + i * step
+            val winEnd = lo + (i + 1) * step
+            val subs = hist.collect { case ((w, s), c) if w == i => (s, c) }
+              .toSeq.sortBy(_._1)
+            val total = subs.map(_._2).sum
+            if (total <= capRows) Seq((winStart, winEnd))
+            else {
+              // greedy pack: cut before any sub-bucket that would push
+              // the accumulating slice past the cap (a lone over-cap
+              // bucket still forms its own slice — the point-mass floor)
+              val cuts = scala.collection.mutable.ArrayBuffer[Long]()
+              var acc = 0L
+              subs.foreach { case (s, c) =>
+                if (acc > 0 && acc + c > capRows) {
+                  cuts += winStart + s * fine
+                  acc = 0L
+                }
+                acc += c
+              }
+              val edges = winStart +: cuts.toSeq :+ winEnd
+              edges.init.zip(edges.tail)
+            }
+          }
+        }
       new java.io.File(s"$root/drop").mkdirs()
-      for (i <- 0 until n) {
-        val a = lo + i * step
+      for (((a, until), i) <- bounds.zipWithIndex) {
         val tmp = s"$root/tmp-slice"
         df.filter(col("ts") >= timestamp_millis(lit(a)) &&
-            col("ts") < timestamp_millis(lit(a + step)))
+            col("ts") < timestamp_millis(lit(until)))
           .coalesce(1)
           .write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
@@ -722,8 +781,11 @@ object EventStreams {
   private def candleReplayFor(spark: SparkSession, dir: String,
       slices: Int): String =
     candleReplayCache.computeIfAbsent((dir, slices), { case (d, n) =>
+      // capRows makes the heap bound density-robust: on uniform corpora
+      // (all declared fixtures) no window exceeds it and the slices are
+      // content-identical to the uncapped form
       writeTimeSlices(graft.Tables.table(spark, d, "events"),
-        scratchDir("graft-stream-candles"), n)
+        scratchDir("graft-stream-candles"), n, rowsPerSliceBound(spark))
     })
 
   /** Data-proportional replay slicing (r15). A micro-batch's rows all
@@ -742,17 +804,29 @@ object EventStreams {
     * and the cross-batch machinery the drains exist to gate still
     * exercises. The |events| peek is one footer-cheap metadata job,
     * memoized per (session, dir) — the same pattern as the graph width
-    * peeks. On a
-    * cluster the same rule holds per executor heap; the state-store
-    * backend (RocksDB off-heap) moves the constant, not the rule.
+    * peeks. The heap in the rule is the WORKER JVM's
+    * ([[graft.Sessions.workerHeapBytes]]): the live JVM in local mode,
+    * `spark.executor.memory` on a cluster — stream-join state lives in
+    * executors, and sizing it from a big driver's heap would overshoot
+    * every small executor. The single-executor bound is conservative
+    * (state hash-spreads across executors); the state-store backend
+    * (RocksDB off-heap) moves the constant, not the rule. The derived
+    * rowsPerSlice is ALSO passed to [[writeTimeSlices]] as the per-file
+    * row cap, so the bound survives bursty event-time density — equal
+    * time windows alone only bound the UNIFORM case the count was
+    * derived from.
     */
+  private def rowsPerSliceBound(spark: SparkSession): Long = {
+    val heapGiB =
+      graft.Sessions.workerHeapBytes(spark).toDouble / (1L << 30)
+    math.max(1000000L, (8000000.0 * heapGiB / 8.0).toLong)
+  }
+
   private def autoSlices(spark: SparkSession, dir: String,
       slices: Int): Int = {
     if (slices > 0) return slices
     val n = graft.Tables.rowCount(spark, dir, "events")
-    val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
-    val rowsPerSlice = math.max(1000000L, (8000000.0 * heapGiB / 8.0).toLong)
-    math.max(2, math.ceil(n.toDouble / rowsPerSlice).toInt)
+    math.max(2, math.ceil(n.toDouble / rowsPerSliceBound(spark)).toInt)
   }
 
   def streamCandles(spark: SparkSession, dir: String, slices0: Int = 0,

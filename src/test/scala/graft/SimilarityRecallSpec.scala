@@ -186,47 +186,53 @@ class SimilarityRecallSpec extends SparkSpec {
   }
 
   test("declared-SF cap headroom: embedding_lsh_neardup's bucket cap " +
-      "(64) never fires at sf0.01 — capped output equals uncapped") {
+      "(64) never fires at ANY declared SF — capped output equals " +
+      "uncapped at sf0.01 and sf0.1") {
     // The declared query bakes maxBucketSize=64 into BOTH the Spark side
     // and its DuckDB oracle, so the bit-exact gate cannot see output
     // changes the cap itself introduces. This pin closes that blind
-    // spot: if a data-generation or geometry change ever pushes an
-    // sf0.01 bucket past 64, this fails loudly instead of the gate
+    // spot at BOTH declared fixtures (sf0.1 is where headroom is
+    // thinnest): if a data-generation or geometry change ever pushes a
+    // declared-SF bucket past 64, this fails loudly instead of the gate
     // silently green-lighting guard-degraded recall.
-    val emb = Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
-    def pairs(cap: Int) =
-      Similarity.srpLshNearDupPairs(emb, 32, 8, 0.3, cap)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val capped = pairs(64)
-    val uncapped = pairs(Int.MaxValue)
-    assert(capped == uncapped,
-      s"bucket cap 64 fired at sf0.01: dropped ${uncapped -- capped}")
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val emb = Tables.table(spark, s"/root/testdata/$sf", "embeddings")
+      def pairs(cap: Int) =
+        Similarity.srpLshNearDupPairs(emb, 32, 8, 0.3, cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val capped = pairs(64)
+      val uncapped = pairs(Int.MaxValue)
+      assert(capped == uncapped,
+        s"bucket cap 64 fired at $sf: dropped ${uncapped -- capped}")
+    }
   }
 
   test("declared-SF cap headroom: neither q-gram query's block cap " +
-      "(256 exact / 1000 scaled) fires at sf0.01 — both equal uncapped") {
+      "(256 exact / 1000 scaled) fires at ANY declared SF — both equal " +
+      "uncapped at sf0.01 and sf0.1") {
     // Same blind-spot closure as the SRP pin above: both declared
     // queries' oracles mirror their caps, so only this equality against
-    // the truly-uncapped operator ties the declared fixture to the
+    // the truly-uncapped operator ties the declared fixtures to the
     // EXACT prefix-filter semantics. (Largest Brand#13 prefix block
-    // measured: 10 at sf0.01, 95 at sf0.1.)
+    // measured: 10 at sf0.01, 95 at sf0.1 — sf0.1 is the thin-headroom
+    // fixture the 256 cap must be re-derived against if it ever grows.)
     import graft.operators.Analytics
-    val dir = "/root/testdata/sf0.01"
-    val recs = Tables.table(spark, dir, "part")
-      .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#13")
-      .select(org.apache.spark.sql.functions.col("p_partkey").as("id"),
-        org.apache.spark.sql.functions.col("p_name").as("name"))
-    val uncapped = Analytics.fuzzyMatchPairsQgram(recs, 2, 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    def declared(name: String) =
-      SparkEntry.queries(name)(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val exact = declared("fuzzy_join_parts_qgram")
-    val scaled = declared("fuzzy_join_parts_qgram_scaled")
-    assert(exact == uncapped,
-      s"block cap 256 fired at sf0.01: dropped ${uncapped -- exact}")
-    assert(scaled == uncapped,
-      s"block cap 1000 fired at sf0.01: dropped ${uncapped -- scaled}")
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val recs = Tables.table(spark, dir, "part")
+        .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#13")
+        .select(org.apache.spark.sql.functions.col("p_partkey").as("id"),
+          org.apache.spark.sql.functions.col("p_name").as("name"))
+      val uncapped = Analytics.fuzzyMatchPairsQgram(recs, 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def declared(name: String) =
+        SparkEntry.queries(name)(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(declared("fuzzy_join_parts_qgram") == uncapped,
+        s"block cap 256 fired at $sf")
+      assert(declared("fuzzy_join_parts_qgram_scaled") == uncapped,
+        s"block cap 1000 fired at $sf")
+    }
   }
 
   test("fuzzyMatchPairsQgram maxBlockSize drops mega-block-only pairs, " +

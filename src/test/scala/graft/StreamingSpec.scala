@@ -610,4 +610,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       s"stream must equal batch:\n$streamed\nvs\n$batch")
   }
+
+  test("writeTimeSlices capRows bounds every slice file on BURSTY " +
+    "event-time density (and a true point mass forms one slice)") {
+    // The autoSlices heap bound is per-micro-batch ingest = per slice
+    // FILE; equal-time windows alone let a dense window carry most of
+    // the corpus. Fixture: 800 rows inside one 2-hour burst + 200 rows
+    // spread over 24 hours — under pure time slicing at n=4 the burst
+    // window holds ~800 rows; with capRows=100 every slice file must
+    // stay <= 100 rows (the burst spans many step/64 fine buckets, so
+    // no point-mass floor applies), slices must tile the corpus
+    // exactly, and arrival order must stay time-ordered.
+    val base = 1700000000000L
+    val bursty = spark.range(1000).select(
+      col("id"),
+      timestamp_millis(when(col("id") < 800,
+          lit(base) + col("id") * 9000L)              // 800 rows / 2 h
+        .otherwise(lit(base) + (col("id") - 800) * 432000L)) // 200 / 24 h
+        .as("ts"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-slice-cap").toString
+    val drop = EventStreams.writeTimeSlices(bursty, root, 4, capRows = 100)
+    val files = new java.io.File(drop).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val perFile = files.map(f =>
+      spark.read.parquet(f.getPath).select(col("id"), col("ts")).collect())
+    assert(perFile.map(_.length).sum == 1000,
+      s"slices must tile the corpus: ${perFile.map(_.length).toSeq}")
+    assert(perFile.forall(_.length <= 100),
+      s"a slice exceeds capRows: ${perFile.map(_.length).toSeq}")
+    // time-ordered arrival: file i's max ts <= file i+1's min ts
+    val nonEmpty = perFile.filter(_.nonEmpty)
+    val rng = nonEmpty.map(rows =>
+      (rows.map(_.getTimestamp(1).getTime).min,
+        rows.map(_.getTimestamp(1).getTime).max))
+    assert(rng.init.zip(rng.tail).forall { case ((_, aMax), (bMin, _)) =>
+      aMax <= bMin }, s"slices out of time order: ${rng.toSeq}")
+
+    // uniform data under the same cap keeps the plain n-window plan
+    // (content-identical to the uncapped form): n=4 windows, none split
+    val uniform = spark.range(200).select(col("id"),
+      timestamp_millis(lit(base) + col("id") * 432000L).as("ts"))
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-slice-uni").toString
+    val drop2 = EventStreams.writeTimeSlices(uniform, root2, 4,
+      capRows = 100)
+    assert(new java.io.File(drop2).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4,
+      "uniform corpus under the cap must keep exactly the n time windows")
+
+    // point-mass floor: rows sharing ONE timestamp cannot split without
+    // breaking time-contiguity — they form a single over-cap slice
+    val mass = spark.range(300).select(col("id"),
+      timestamp_millis(lit(base)).as("ts"))
+    val root3 = java.nio.file.Files
+      .createTempDirectory("graft-slice-mass").toString
+    val drop3 = EventStreams.writeTimeSlices(mass, root3, 2, capRows = 100)
+    val massCounts = new java.io.File(drop3).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getPath).count())
+    assert(massCounts.sum == 300 && massCounts.max == 300,
+      s"point mass must stay one slice: ${massCounts.toSeq}")
+  }
 }
