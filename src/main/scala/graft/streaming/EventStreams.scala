@@ -672,16 +672,17 @@ object EventStreams {
     * carry most of the corpus (e.g. 80% of 60 M rows inside one of 8
     * windows ingests 48 M rows in one micro-batch — right back over
     * the measured state cliff the count was derived to avoid). With a
-    * cap, a cheap density probe (≤ ~127 fine sub-buckets per window,
-    * one aggregate, driver-side counts — bounded metadata, the same
-    * class as the graph Σdeg peek) splits any window whose row count
-    * exceeds the cap into count-balanced time-contiguous sub-slices at
-    * sub-bucket granularity. Windows already under the cap keep their
-    * ORIGINAL bounds — on time-uniform corpora (every declared fixture
-    * and every ScaleUp replication) no window splits and the slice
-    * files are content-identical to the uncapped form. The residual
-    * floor: a single sub-bucket (≤ step/64 of event time) holding more
-    * than capRows rows cannot be split further without breaking
+    * cap, a cheap density probe (~64 k fine sub-buckets total across
+    * the windows, one aggregate, driver-side counts — bounded
+    * metadata, the same class as the graph Σdeg peek) splits any
+    * window whose row count exceeds the cap into count-balanced
+    * time-contiguous sub-slices at sub-bucket granularity. Windows
+    * already under the cap keep their ORIGINAL bounds — on
+    * time-uniform corpora (every declared fixture and every ScaleUp
+    * replication) no window splits and the slice files are
+    * content-identical to the uncapped form. The residual floor: a
+    * single sub-bucket (≤ 1/64 k of the corpus time span) holding
+    * more than capRows rows cannot be split further without breaking
     * time-contiguity — a true point mass bounds below by its own size.
     */
   private[graft] def writeTimeSlices(df: DataFrame, root: String,
@@ -699,7 +700,14 @@ object EventStreams {
         if (capRows == Long.MaxValue)
           (0 until n).map(i => (lo + i * step, lo + (i + 1) * step))
         else {
-          val fine = math.max(1L, step / 64)
+          // Sub-bucket count adapts to the window count so the probe's
+          // RESOLUTION is independent of n: ~64 k probe points total
+          // (clamped to [64, 8192] per window — a fixed step/64 grain
+          // would leave a burst narrower than step/64 unsplittable even
+          // when it holds most of the corpus, e.g. a 2 h burst inside a
+          // 10-day window). Driver-side counts stay bounded metadata.
+          val sub = math.max(64L, math.min(8192L, 65536L / n))
+          val fine = math.max(1L, step / sub)
           // NULL-ts rows are absent from every slice (see the trailing
           // note) — they must be absent from the density probe too
           val hist = df.filter(col("ts").isNotNull)
