@@ -1575,11 +1575,13 @@ object SparkEntry {
         |SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
         |  CASE WHEN old.doc_id IS NULL THEN 'added'
         |       WHEN new.doc_id IS NULL THEN 'removed'
-        |       WHEN fp_old <> fp_new THEN 'changed' END AS change
+        |       WHEN fp_old IS DISTINCT FROM fp_new THEN 'changed'
+        |       END AS change
         |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         |WHERE CASE WHEN old.doc_id IS NULL THEN 'added'
         |           WHEN new.doc_id IS NULL THEN 'removed'
-        |           WHEN fp_old <> fp_new THEN 'changed' END IS NOT NULL""".stripMargin,
+        |           WHEN fp_old IS DISTINCT FROM fp_new THEN 'changed'
+        |           END IS NOT NULL""".stripMargin,
     "vocab_encode" -> OracleSql.vocabEncode(3),
     "chunk_documents" -> OracleSql.chunkDocuments(64, 16),
     "dsir_weights" -> OracleSql.dsirWeights("en", 256),

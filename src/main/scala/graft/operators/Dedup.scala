@@ -256,6 +256,8 @@ object Dedup {
     * aggregate at all.
     */
   def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    require(rowsPerBand >= 1,
+      s"rowsPerBand ($rowsPerBand) must be >= 1")
     val slots = (0 until rowsPerBand).map { j =>
       min(when(expr(s"seed % $rowsPerBand") === j, col("minhash")))
         .cast("string")
@@ -284,6 +286,14 @@ object Dedup {
     */
   private def bucketsFromWide(wide: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
+    // the same contract style simhashNearDupPairs (require maxHamming <
+    // bands) and srpLshNearDupPairs (require planes % bandBits == 0)
+    // enforce: a non-divisor would silently discard trailing minhashes
+    // (changing the LSH geometry and recall with no warning), and
+    // rowsPerBand <= 0 or > k dies as an opaque stack()/arithmetic error
+    require(rowsPerBand >= 1 && rowsPerBand <= k && k % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must be a positive divisor of k ($k):" +
+        " a partial trailing band would silently change the LSH geometry")
     val bands = k / rowsPerBand
     val bandExprs = (0 until bands).map { b =>
       val vec = (0 until rowsPerBand)
@@ -430,9 +440,14 @@ object Dedup {
     */
   def dedupLines(docs: DataFrame, maxDf: Int = 2): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    // coalesce: split(NULL) is NULL and posexplode(NULL) emits ZERO
+    // rows, which would silently DROP a NULL-text doc from the output —
+    // every other text operator maps degenerate text to a defined value
+    // (a NULL-text doc keeps its row: one empty line, text_clean '')
     val lines = docs
       .select(col("doc_id"),
-        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+        posexplode(split(coalesce(col("text"), lit("")), "\n"))
+          .as(Seq("line_no", "line")))
       .select(col("doc_id"), col("line_no"), col("line"),
         md5Base60(col("line")).as("lkey"))
     val lineDf = lines.groupBy(col("lkey"))
@@ -868,13 +883,20 @@ object Dedup {
     * doc_id (the layout [[graft.Tables]] bucketing already provides).
     */
   def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
-    val a = oldCorpus.select(col("doc_id"), md5(col("text")).as("fp_old"))
-    val b = newCorpus.select(col("doc_id"), md5(col("text")).as("fp_new"))
+    // presence is carried by explicit flags, NOT fingerprint nullness:
+    // md5(NULL text) is NULL, so a NULL-text doc present in both
+    // snapshots would otherwise be misreported 'added'. The fingerprint
+    // compare is null-SAFE (<=>) so NULL ↔ non-NULL text is 'changed'
+    // and NULL ↔ NULL is unchanged (emits nothing).
+    val a = oldCorpus.select(col("doc_id"), md5(col("text")).as("fp_old"),
+      lit(true).as("in_old"))
+    val b = newCorpus.select(col("doc_id"), md5(col("text")).as("fp_new"),
+      lit(true).as("in_new"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("fp_old").isNull, lit("added"))
-          .when(col("fp_new").isNull, lit("removed"))
-          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("fp_old") <=> col("fp_new")), lit("changed"))
           .as("change"))
       .filter(col("change").isNotNull)
   }

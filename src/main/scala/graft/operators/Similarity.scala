@@ -60,6 +60,57 @@ object Similarity {
   private def simOrZero(dot: Column, normProd: Column): Column =
     when(normProd > 0, dot / normProd).otherwise(lit(0.0))
 
+  /** The shared two-stage cosine verification over a candidate-pair
+    * frame carrying (emb_a, emb_b, norm_a, norm_b) — factored so the
+    * three verify sites (nearDupPairs, srpLshNearDupPairs, semanticDedup)
+    * cannot drift on the margin, the rounding scale, or the zero-norm
+    * guard (the same can't-drift discipline as Dedup.shaJaccardAtLeast):
+    *
+    *  1. zero-norm guard: 0/0 is NaN and Spark orders NaN ABOVE every
+    *     double, so an unguarded all-zero vector would pass and emit
+    *     sim = NaN while DuckDB's 0/0 yields NULL and drops the row —
+    *     a zero vector has no direction, never a duplicate of anything;
+    *  2. cheap double-dot prefilter with a 1e-5 safety margin
+    *     (double-vs-decimal divergence is ~1e-13, final values round at
+    *     1e-6 — the margin can never drop a true pair);
+    *  3. the exact-decimal cosine, rounded to 6, decides.
+    *
+    * Returns the surviving pairs with the decimal-exact `sim` appended;
+    * the result set is identical to single-stage decimal scoring.
+    */
+  /** The IVF probe ranker shared by [[annTopKIvf]] (in-memory codebook)
+    * and [[annTopKFromLayout]] (stored codebook): each query ranks every
+    * centroid by decimal-exact cosine, ties to the smaller cell label,
+    * and keeps its `nprobe` best. Factored so the two probe paths agree
+    * STRUCTURALLY — stored-index and in-memory probes of the same corpus
+    * must pick identical cells, a correctness premise the recall specs
+    * pin; a tie-break or norm edit can now only happen in one place.
+    * `carry` names the query columns to keep through the rank window:
+    * the in-memory path carries keys only (its window exchange must
+    * never ship an array — PlanShapeSpec), the stored-index path carries
+    * the query vectors through (query-sized, then localCheckpoint'd).
+    */
+  private def probeCells(queryVecs: DataFrame, cents: DataFrame,
+      nprobe: Int, qVec: String, qNorm: String,
+      carry: Seq[String]): DataFrame =
+    queryVecs.crossJoin(broadcast(cents))
+      .select(carry.map(col) :+ col("c_label") :+
+        simOrZero(dotDecimal(col(qVec), col("cvec")),
+          col(qNorm) * sqrt(normSqDecimal(col("cvec")))).as("csim"): _*)
+      .withColumn("crank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("csim").desc, col("c_label"))))
+      .filter(col("crank") <= nprobe)
+      .select(carry.map(col) :+ col("c_label").as("cell"): _*)
+
+  private def verifiedCosine(pairs: DataFrame, minSim: Double): DataFrame =
+    pairs
+      .filter(col("norm_a") > 0 && col("norm_b") > 0)
+      .filter(dotDouble(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
+      .withColumn("sim", round(dotDecimal(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")), 6))
+      .filter(col("sim") >= minSim)
+
   /** The two-phase top-k core shared by [[annTopK]] and [[annTopKIvf]].
     *
     * Phase 1 — per-(query, input partition) pruning over KEYS ONLY:
@@ -81,7 +132,14 @@ object Similarity {
     * broadcast hash join: exchange-free, a second column-pruned scan
     * instead of an array shuffle), then exact-decimal rescoring and the
     * global per-query rank decide; emitted sims are always the
-    * decimal-exact values.
+    * decimal-exact values. `corpusVecs` must carry ONLY
+    * (vec_id, embedding) — the exact-decimal corpus norm is computed
+    * AFTER the survivor join, on the O(q·k) joined rows, never per
+    * corpus row: decimal accumulation is ~12× the double path
+    * (measured, scaladoc on the LSH materialization), so a norm
+    * projection below this join would re-pay the dominant per-row cost
+    * of the whole query on the second scan for rows that are about to
+    * be discarded.
     */
   private def twoPhaseTopK(scoredKeys: DataFrame, corpusVecs: DataFrame,
       queryVecs: DataFrame, k: Int): DataFrame = {
@@ -119,6 +177,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
     broadcast(survivors)
       .join(corpusVecs, Seq("vec_id"))
+      .withColumn("c_norm", sqrt(normSqDecimal(col("embedding"))))
       .join(broadcast(queryVecs), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         simOrZero(dotDecimal(col("q_vec"), col("embedding")),
@@ -147,12 +206,18 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           sqrt(normSqDecimal(col("embedding"))).as("q_norm")))
     val corpus = embeddings.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(normSqDecimal(col("embedding"))).as("c_norm"))
+      .select(col("vec_id"), col("embedding"))
+    // phase-1 pruning runs entirely in doubles — the corpus norm here is
+    // the cheap double fold, NOT the ~12× decimal accumulation (double
+    // and decimal norms agree to ~1e-13, far inside the 1e-6 prune
+    // margins, and phase 2 re-decides every emitted value with
+    // exact-decimal norms on the survivor-sized set — output is
+    // bit-identical, the full-scan decimal pass is gone)
     val scoredKeys = corpus.crossJoin(queries)
       .select(col("q_id"), col("vec_id"),
         simOrZero(dotDouble(col("q_vec"), col("embedding")),
-          col("q_norm") * col("c_norm")).as("simd"))
+          col("q_norm") *
+            sqrt(dotDouble(col("embedding"), col("embedding")))).as("simd"))
     twoPhaseTopK(scoredKeys, corpus, queries, k)
   }
 
@@ -170,24 +235,9 @@ object Similarity {
       col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = withNorm.select(col("label"), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("nrm").as("norm_b"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
-      // zero-norm guard (same as semanticDedup): 0/0 = NaN, and Spark
-      // orders NaN above every double, so a degenerate all-zero vector
-      // would pass BOTH filters and emit sim = NaN while DuckDB's 0/0
-      // yields NULL and drops the row. A zero vector has no direction —
-      // never a duplicate of anything, on either engine.
-      .filter(col("norm_a") > 0 && col("norm_b") > 0)
-      // two-stage scoring: cheap double dot prunes the pair stream with a
-      // 1e-5 safety margin (double-vs-decimal divergence is ~1e-13, and
-      // the final value is rounded at 1e-6), then the exact decimal
-      // cosine decides — the result set is identical to single-stage.
-      .filter(dotDouble(col("emb_a"), col("emb_b")) /
-        (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
-      .select(col("label"), col("vec_a"), col("vec_b"),
-        round(dotDecimal(col("emb_a"), col("emb_b")) /
-          (col("norm_a") * col("norm_b")), 6).as("sim"))
-      .filter(col("sim") >= minSim)
+    verifiedCosine(
+      a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b")), minSim)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("sim"))
   }
 
   /** Label-free near-duplicate pairs via signed-random-projection LSH
@@ -244,7 +294,11 @@ object Similarity {
     // headOption: an EMPTY corpus has no pairs — return the typed empty
     // frame instead of letting head() throw NoSuchElementException at
     // plan-build time (every other operator here degrades the same way).
-    val dimRow = embeddings.select(size(vec(col("embedding")))).head(1)
+    // The probe also skips NULL embeddings: ANSI size(NULL) is NULL and
+    // getInt over it is a bare NPE — a single NULL row must not kill
+    // the query (NULL vectors project to no bands and emit nothing).
+    val dimRow = embeddings.filter(col("embedding").isNotNull)
+      .select(size(vec(col("embedding")))).head(1)
     if (dimRow.isEmpty)
       return embeddings.sparkSession.createDataFrame(
         embeddings.sparkSession.sparkContext
@@ -346,23 +400,18 @@ object Similarity {
     val withNorm = embeddings.select(col("vec_id"),
       vec(col("embedding")).as("emb"),
       sqrt(normSqDecimal(col("embedding"))).as("nrm"))
-    // same two-stage verify as nearDupPairs: cheap double prefilter with a
-    // 1e-5 margin, exact-decimal cosine decides. Zero-norm guard first:
-    // a zero vector's sign bits are all identical, so zero vectors
-    // COLLIDE IN EVERY BAND — without the guard their 0/0 = NaN cosine
-    // would pass both filters under Spark's NaN-greatest ordering.
-    cand
+    // the shared two-stage verify ([[verifiedCosine]]). The zero-norm
+    // guard matters doubly here: a zero vector's sign bits are all
+    // identical, so zero vectors COLLIDE IN EVERY BAND — without the
+    // guard their 0/0 = NaN cosine would pass under Spark's
+    // NaN-greatest ordering.
+    verifiedCosine(cand
       .join(withNorm.select(col("vec_id").as("vec_a"),
         col("emb").as("emb_a"), col("nrm").as("norm_a")), Seq("vec_a"))
       .join(withNorm.select(col("vec_id").as("vec_b"),
-        col("emb").as("emb_b"), col("nrm").as("norm_b")), Seq("vec_b"))
-      .filter(col("norm_a") > 0 && col("norm_b") > 0)
-      .filter(dotDouble(col("emb_a"), col("emb_b")) /
-        (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
-      .select(col("vec_a"), col("vec_b"),
-        round(dotDecimal(col("emb_a"), col("emb_b")) /
-          (col("norm_a") * col("norm_b")), 6).as("sim"))
-      .filter(col("sim") >= minSim)
+        col("emb").as("emb_b"), col("nrm").as("norm_b")), Seq("vec_b")),
+      minSim)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
   /** Per-label mean embedding (centroid) in exploded (label, pos) form —
@@ -550,26 +599,19 @@ object Similarity {
       withNorm.filter(col("vec_id") >= nQueries), cents, "v", "nrm")
       .select(col("vec_id"), col("v").as("embedding"), col("nrm"),
         col("cell"))
-    // each query probes its nprobe best cells (query side is tiny) —
-    // decimal csim ranking, ties to the smaller cell, mirroring
-    // annTopKFromLayout so stored-index and in-memory probes agree.
-    // The rank window exchanges (q_id, c_label, csim) KEYS ONLY; the
+    // each query probes its nprobe best cells (query side is tiny) via
+    // the shared [[probeCells]] ranker (structurally identical to
+    // annTopKFromLayout's stored-codebook probe). carry = q_id ONLY:
+    // the rank window exchanges (q_id, c_label, csim) KEYS ONLY; the
     // query vectors re-attach by broadcast after the nprobe filter, so
     // no exchange in the whole query carries an array (PlanShapeSpec
     // pins this for both ANN forms).
     val queryVecs = withNorm.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
         col("nrm").as("q_norm"))
-    val probes = queryVecs
-      .crossJoin(broadcast(cents))
-      .select(col("q_id"), col("c_label"),
-        simOrZero(dotDecimal(col("q_vec"), col("cvec")),
-          col("q_norm") * sqrt(normSqDecimal(col("cvec")))).as("csim"))
-      .withColumn("crank", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("csim").desc, col("c_label"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("q_id"), col("c_label").as("cell"))
-      .join(broadcast(queryVecs), Seq("q_id"))
+    val probes =
+      probeCells(queryVecs, cents, nprobe, "q_vec", "q_norm", Seq("q_id"))
+        .join(broadcast(queryVecs), Seq("q_id"))
     // candidate scoring over the probed cells only — the shared
     // keys-only two-phase core ([[twoPhaseTopK]]); the probed subset's
     // arrays stay in their scan partitions, exactly like annTopK's
@@ -577,9 +619,15 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         simOrZero(dotDouble(col("q_vec"), col("embedding")),
           col("q_norm") * col("nrm")).as("simd"))
+    // phase 2 joins survivors against the RAW scan, not `corpus`: the
+    // corpus plan carries the decimal norm AND the O(nlist·d)/row cell
+    // argmax, and a second execution of it (broadcast joins re-run
+    // their probe-side plan) would re-pay both for every corpus row to
+    // feed ~q·k joined rows — the survivor-sized c_norm recompute
+    // inside twoPhaseTopK replaces all of it
     twoPhaseTopK(scoredKeys,
-      corpus.select(col("vec_id"), col("embedding"),
-        col("nrm").as("c_norm")),
+      embeddings.filter(col("vec_id") >= nQueries)
+        .select(col("vec_id"), col("embedding")),
       queryVecs, k)
   }
 
@@ -617,19 +665,11 @@ object Similarity {
       col("emb").as("emb_a"), col("nrm").as("norm_a"))
     val b = withNorm.select(col("cell"), col("vec_id").as("vec_b"),
       col("emb").as("emb_b"), col("nrm").as("norm_b"))
-    val dropped = a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      // zero-norm guard: cosine is 0/0 = NaN for a degenerate all-zero
-      // vector, and Spark orders NaN greater than every double (so
-      // NaN >= minSim is TRUE) while DuckDB's 0/0 yields NULL (filter
-      // drops it) — without this guard the two engines diverge on
-      // degenerate input. A zero vector has no direction: it is never
-      // a duplicate of anything, on either side.
-      .filter(col("norm_a") > 0 && col("norm_b") > 0)
-      .filter(dotDouble(col("emb_a"), col("emb_b")) /
-        (col("norm_a") * col("norm_b")) >= lit(minSim - 1e-5))
-      .filter(round(dotDecimal(col("emb_a"), col("emb_b")) /
-        (col("norm_a") * col("norm_b")), 6) >= minSim)
+    // the shared two-stage verify ([[verifiedCosine]]) — the zero-norm
+    // guard keeps the engines agreeing on degenerate input (DuckDB's
+    // 0/0 is NULL and drops; Spark's NaN would otherwise pass)
+    val dropped = verifiedCosine(
+      a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b")), minSim)
       .select(col("vec_b").as("vec_id")).distinct()
       .withColumn("is_dropped", lit(1L))
     cells
@@ -649,8 +689,17 @@ object Similarity {
     * BucketingSpec). Returns the cell directory written per vector.
     */
   def writeCellPartitioned(embeddings: DataFrame, path: String): Unit = {
+    GraftFunctions.register(embeddings.sparkSession)
+    // train ONCE: this method runs two actions (the layout write and
+    // the _centroids write), and each would otherwise re-execute the
+    // full-corpus centroid aggregate — the most expensive pass of an
+    // index build, paid twice for one build. The codebook is nlist-sized
+    // (~√n rows), so the localCheckpoint is metadata-cheap and both
+    // consumers read the same materialized training result (the same
+    // shared-assignment discipline semanticDedup uses).
+    val cents = centroidVectors(embeddings).localCheckpoint()
     embeddings
-      .join(kmeansAssign(embeddings)
+      .join(assignTo(embeddings, cents)
         .select(col("vec_id"), col("assigned_label").as("cell")),
         Seq("vec_id"))
       // repartition ON the partition column before partitionBy — without
@@ -668,8 +717,7 @@ object Similarity {
     // LAST, so a crash between the two writes leaves a layout without
     // its codebook — an invalid state that annTopKFromLayout rejects
     // with an explicit invariant error rather than a path-not-found.
-    centroidVectors(embeddings)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
   /** Incremental index ingest — the vector-side analog of the daily
@@ -801,19 +849,15 @@ object Similarity {
     val queries = layout.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), vec(col("embedding")).as("q"),
         sqrt(normSqDecimal(col("embedding"))).as("q_norm"))
+    // the shared [[probeCells]] ranker against the STORED codebook
+    // (structural agreement with annTopKIvf's in-memory probe); carry
+    // keeps the query vectors through the window (query-sized here).
     // localCheckpoint = the IVF query-planning step materialized: the
     // probed-cell frame is |queries|·nprobe rows (codebook-sized, never
     // corpus-sized) and feeds TWO consumers (the static cell filter below
     // and the per-query candidate join).
-    val probed = queries.crossJoin(broadcast(cents))
-      .select(col("q_id"), col("q"), col("q_norm"), col("c_label"),
-        simOrZero(dotDecimal(col("q"), col("cvec")),
-          col("q_norm") * sqrt(normSqDecimal(col("cvec")))).as("csim"))
-      .withColumn("crank", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("csim").desc, col("c_label"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("q_id"), col("q"), col("q_norm"),
-        col("c_label").as("cell"))
+    val probed = probeCells(queries, cents, nprobe, "q", "q_norm",
+        Seq("q_id", "q", "q_norm"))
       .localCheckpoint()
     // The IVF coordinator step: the UNION of probed cells becomes a
     // STATIC partition filter on the candidate scan, so only the probed

@@ -622,6 +622,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(Dedup.corpusDiff(oldC, oldC).isEmpty)
   }
 
+  test("corpusDiff NULL-text docs: presence is by membership, change " +
+    "compare is null-safe") {
+    // md5(NULL) is NULL — presence classified off fingerprint nullness
+    // would misreport a NULL-text doc present in both snapshots as
+    // 'added'. Doc 1: NULL in both = unchanged (nothing). Doc 2:
+    // NULL -> text = changed. Doc 3: text -> NULL = changed. Doc 4:
+    // NULL text only in old = removed.
+    val oldC = Seq[(Long, Option[String])](1L -> None, 2L -> None,
+      3L -> Some("x"), 4L -> None).toDF("doc_id", "text")
+    val newC = Seq[(Long, Option[String])](1L -> None, 2L -> Some("y"),
+      3L -> None).toDF("doc_id", "text")
+    val diff = Dedup.corpusDiff(oldC, newC).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "changed"), (3L, "changed"), (4L, "removed")),
+      s"got $diff")
+  }
+
+  test("dedupLines keeps a NULL-text doc as one empty-text row instead " +
+    "of dropping it") {
+    // posexplode(split(NULL)) emits zero rows — without the coalesce
+    // the doc would vanish from the per-doc output entirely
+    val got = Dedup.dedupLines(Seq[(Long, Option[String])](
+        1L -> Some("a\nb"), 2L -> None).toDF("doc_id", "text"), maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), s"doc rows: $got")
+    assert(got(1)._2 == 1L && got(1)._3 == "", s"null-text doc row: $got")
+  }
+
+  test("minhash banding rejects a rowsPerBand that is not a positive " +
+    "divisor of k (a partial band would silently change the geometry)") {
+    val d = docs(1L -> "a b c", 2L -> "a b c")
+    assertThrows[IllegalArgumentException](
+      Dedup.minhashLshPairs(d, k = 16, rowsPerBand = 5).collect())
+    assertThrows[IllegalArgumentException](
+      Dedup.minhashLshPairs(d, k = 16, rowsPerBand = 0).collect())
+    assertThrows[IllegalArgumentException](
+      Dedup.minhashLshPairs(d, k = 16, rowsPerBand = 32).collect())
+  }
+
+  test("srpLshNearDupPairs tolerates NULL embeddings (skipped, not an " +
+    "NPE at the dim probe)") {
+    val emb = Seq[(Long, Option[Seq[Float]])](
+      1L -> None,
+      2L -> Some(Seq(1f, 0f, 0f, 0f)),
+      3L -> Some(Seq(1f, 0.001f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.srpLshNearDupPairs(emb, 8, 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)), s"got $pairs")
+  }
+
   test("SimHash64.compute matches an independent md5 reference") {
     def refHash(tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
