@@ -8,8 +8,12 @@ package graft
   */
 object OracleSql {
 
-  /** Normalized text: lowercase, trim, collapse whitespace ('g' = all). */
-  val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  /** Normalized text: lowercase, trim, collapse whitespace ('g' = all).
+    * The class is explicit, mirroring TextAnalysis.normText: Java's
+    * `\s` includes U+000B, RE2's does not — both engines now share the
+    * identical five-char class so fingerprints can never diverge on it.
+    */
+  val norm = "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')"
 
   /** Whitespace tokens of the normalized text ("" → [], not [""]). */
   val toks =
@@ -651,11 +655,12 @@ object OracleSql {
     }.mkString(",\n    ")
     s"""SELECT doc_id, lang AS lang_declared,
        |  CASE
+       |    WHEN n IS NULL THEN NULL
        |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
        |    WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
        |    WHEN c_es >= c_fr THEN 'es'
        |    ELSE 'fr' END AS lang_pred
-       |FROM (SELECT doc_id, lang,
+       |FROM (SELECT doc_id, lang, n,
        |    $counts
        |  FROM (SELECT doc_id, lang, $norm AS n FROM documents))""".stripMargin
   }
@@ -994,10 +999,14 @@ object OracleSql {
        |enc AS (
        |  SELECT t.doc_id, t.pos, coalesce(v.tok_id, 0) AS tid
        |  FROM toks t LEFT JOIN vocab v USING (tok))
-       |SELECT doc_id, count(*) AS n_tokens,
-       |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
-       |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
-       |FROM enc GROUP BY doc_id""".stripMargin
+       |SELECT d.doc_id, count(e.tid) AS n_tokens,
+       |  CAST(coalesce(sum(CASE WHEN e.tid = 0 THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_unk,
+       |  coalesce(string_agg(CAST(e.tid AS VARCHAR), ' ' ORDER BY e.pos),
+       |    '') AS ids
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN enc e USING (doc_id)
+       |GROUP BY d.doc_id""".stripMargin
 
   /** TRY_CAST, not CAST: Spark's non-ANSI string→long cast yields NULL
     * on a non-integral payload ("12.5", "abc") while DuckDB's strict

@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Canonical normalization: lowercase, trim, collapse whitespace. */
+  /** Canonical normalization: lowercase, trim, collapse whitespace.
+    * The whitespace class is EXPLICIT, not `\s`: Java's `\s` includes
+    * vertical tab (U+000B) while DuckDB's RE2 `\s` is [\t\n\f\r ] — a
+    * text containing U+000B would normalize differently per engine and
+    * silently break every downstream hash-compared fingerprint. Both
+    * sides now use the identical five-char class (OracleSql.norm).
+    */
   def normText(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    regexp_replace(lower(trim(c)), "[ \\t\\n\\f\\r]+", " ")
 
   /** Whitespace tokens of the normalized text ("" → empty, not [""]). */
   def tokens(c: Column): Column =
@@ -106,7 +112,14 @@ object TextAnalysis {
     val Seq(en, de, es, fr) = counts.map(_._2)
     docs.select(
       col("doc_id"), col("lang").as("lang_declared"),
-      when(en >= de && en >= es && en >= fr, "en")
+      // NULL text predicts NULL, not 'fr': with NULL marker counts every
+      // >= condition is NULL (skipped) and the chain would fall through
+      // to the tie-break default — a confident wrong prediction for a
+      // doc that has no text. NULL-propagation is the module convention
+      // (qualityScore/tokenStats/fingerprint all yield NULL here); the
+      // oracle CASE chain mirrors this guard.
+      when(col("text").isNull, lit(null).cast("string"))
+        .when(en >= de && en >= es && en >= fr, "en")
         .when(de >= es && de >= fr, "de")
         .when(es >= fr, "es")
         .otherwise("fr").as("lang_pred"))
@@ -423,6 +436,10 @@ object TextAnalysis {
     */
   def negativeSamples(docs: DataFrame, k: Int = 4,
       nBuckets: Int = 64): DataFrame = {
+    // sequence(0, k-1) AUTO-REVERSES when k-1 < 0 (step -1), so k = 0
+    // would silently emit draws {0, -1} instead of none
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(nBuckets >= 1, s"nBuckets ($nBuckets) must be >= 1")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val reps = docs
       .select((call_function("md5_base60", col("doc_id").cast("string"))
@@ -520,6 +537,10 @@ object TextAnalysis {
     */
   def epochShuffle(docs: DataFrame, epochs: Int = 2,
       nShards: Int = 8): DataFrame = {
+    // same sequence auto-reverse footgun as negativeSamples: epochs = 0
+    // would emit phantom epochs {0, -1}
+    require(epochs >= 1, s"epochs ($epochs) must be >= 1")
+    require(nShards >= 1, s"nShards ($nShards) must be >= 1")
     val keyed = docs
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
@@ -666,22 +687,33 @@ object TextAnalysis {
     * (reassembly) — never a global sort.
     */
   def vocabEncode(docs: DataFrame, minCount: Long = 3): DataFrame = {
+    // posexplode_OUTER: a zero-token doc (empty/NULL text) keeps one
+    // (NULL pos, NULL tok) row so the per-doc aggregate emits it with
+    // n_tokens = 0 and ids = '' — the 'encode EVERY document' contract,
+    // and the explode_outer convention lmCoverage/dsirWeights already
+    // follow; plain posexplode would silently drop the doc and make
+    // doc counts disagree with tokenStats on the same corpus
     val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      posexplode_outer(tokens(col("text"))).as(Seq("pos", "tok")))
+    // the NULL-tok placeholder rows stay out of the vocabulary: a NULL
+    // group could pass minCount and shift every real tok_id rank by one
+    val vocab = toks.filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .withColumn("tok_id", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("tok"))))
       .select(col("tok").as("vtok"), col("tok_id"))
     toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), col("pos"), col("tok"),
         coalesce(col("tok_id"), lit(0)).as("tid"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_unk"),
+      .agg(count(col("tok")).as("n_tokens"),
+        sum(when(col("tok").isNotNull && col("tid") === 0, 1L)
+          .otherwise(0L)).as("n_unk"),
         array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          array_sort(collect_list(when(col("tok").isNotNull,
+            struct(col("pos"), col("tid"))))),
           s => s.getField("tid").cast("string")), " ").as("ids"))
   }
 

@@ -431,6 +431,9 @@ object Analytics {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int = 8): DataFrame = {
+    // pmod(_, 0) is NULL and sequence(0, -1) auto-reverses: saltFactor
+    // = 0 would silently return an EMPTY join instead of failing
+    require(saltFactor >= 1, s"saltFactor ($saltFactor) must be >= 1")
     val salted = left.withColumn("__salt",
       pmod(hash(left.columns.map(col).toSeq: _*), lit(saltFactor)))
     val replicated = right.withColumn("__salt",
@@ -816,14 +819,37 @@ object Analytics {
     * `(p_brand, p_partkey, p_name)` frame — see [[fuzzyJoinParts]].
     * Requires `bands > maxDist` for the pigeonhole recall guarantee on
     * token-aligned names.
+    *
+    * `maxBucketSize` (default unlimited — exact declared semantics
+    * unchanged) caps the DELETION-VARIANT buckets, the same insurance
+    * the q-gram path carries as `maxBlockSize` and SRP as its bucket
+    * cap: a (brand, variant) bucket of b DISTINCT names emits its ~b²
+    * 2-combinations inside one row (collect_list + in-row pairing), so
+    * a catalog of same-brand serial-code names (thousands of distinct
+    * low-token codes within 2 deletions of a shared variant) goes
+    * quadratic in ONE unsafe-row buffer — the r15 q-gram OOM's failure
+    * class on the sibling path. The name-group collapse does NOT bound
+    * this (it dedups identical names only). On TPC-H-shaped data the
+    * buckets are family-sized (the declared query measured sub-linear
+    * to factor 300 uncapped, 94.6 s at sf30), which is why the declared
+    * form stays uncapped; a serial-code catalog should pass a cap
+    * sized ~10–20× its true-family size, same rule as the q-gram cap.
+    * A capped-out bucket's gram carries no blocking signal; pairs also
+    * reachable through the banded path or a smaller bucket keep their
+    * candidacy. Capping moves recall only — the DP precision filter is
+    * untouched.
     */
   def fuzzyMatchPairs(parts: DataFrame, maxDist: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(bands > maxDist,
       s"bands ($bands) must exceed maxDist ($maxDist) for pigeonhole recall")
     require(maxDist <= 2,
       s"the deletion-neighborhood generator enumerates <= 2 deletions " +
         s"(got maxDist=$maxDist)")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) must be >= 2 (a cap of 1 would " +
+        "drop every multi-member variant bucket); pass Int.MaxValue " +
+        "for no cap")
     // NAME-GROUP COLLAPSE (the r10 absolute-cost attack): identical
     // (brand, name) records traverse the candidate machinery as ONE
     // representative, and the final pairs expand back from the group
@@ -858,7 +884,7 @@ object Analytics {
       .localCheckpoint()
     val reps = groups.select(col("p_brand"), col("p_name"),
       col("ids")(0).as("p_partkey"))
-    val repPairs = fuzzyRepPairs(reps, maxDist, bands)
+    val repPairs = fuzzyRepPairs(reps, maxDist, bands, maxBucketSize)
     // rep id → full member list, for both sides of the expansion
     val repIds = groups.select(col("ids")(0).as("rep"), col("ids"))
     val acrossGroups = repPairs
@@ -889,7 +915,7 @@ object Analytics {
     * `(p_brand, part_a, part_b, dist)` over representative ids.
     */
   private def fuzzyRepPairs(parts: DataFrame, maxDist: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val nTok = size(split(col("p_name"), " "))
     // banded path: ONLY records where the pigeonhole guarantee holds
     // (> maxDist tokens) — low-token records are covered exactly by the
@@ -947,7 +973,19 @@ object Analytics {
           v => xxhash64(v))).as("vh"))
     val vAll = variants(lows, isLow = true)
       .unionByName(variants(lenMatched, isLow = false))
-    val delCands = vAll.groupBy(col("p_brand"), col("vh"))
+    // mega-bucket guard BEFORE the collect_list (only built when a cap
+    // is set — the unlimited default keeps the exact declared plan):
+    // the size filter must precede bucket collection, or the b-member
+    // struct list and its b² in-row pairs exist before anything can
+    // drop them — the same placement rule as the q-gram/SRP guards
+    val vKept = if (maxBucketSize == Int.MaxValue) vAll
+    else vAll.join(
+      vAll.groupBy(col("p_brand"), col("vh"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+        .select(col("p_brand"), col("vh")),
+      Seq("p_brand", "vh"))
+    val delCands = vKept.groupBy(col("p_brand"), col("vh"))
       .agg(collect_list(struct(col("p_partkey").as("id"), col("low")))
         .as("ms"))
       .filter(size(col("ms")) >= 2)

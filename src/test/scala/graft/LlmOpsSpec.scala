@@ -662,6 +662,66 @@ class LlmOpsSpec extends SparkSpec {
       Dedup.minhashLshPairs(d, k = 16, rowsPerBand = 32).collect())
   }
 
+  test("fuzzyMatchPairs maxBucketSize bounds the deletion-variant " +
+    "buckets; rare-variant pairs survive and precision stays exact") {
+    // a serial-code family: 8 distinct 2-char-ish low-token names all
+    // within 1 deletion of shared variants (big buckets), plus one
+    // isolated pair — capping at 4 must drop only big-bucket-only pairs
+    val recs = ((1 to 8).map(i => (i.toLong, s"a$i")) ++
+      Seq((21L, "zz91"), (22L, "zz19")))
+      .toDF("p_partkey", "p_name")
+      .select(lit("B").as("p_brand"), col("p_partkey"), col("p_name"))
+    def pairs(cap: Int) =
+      Analytics.fuzzyMatchPairs(recs, 2, 3, cap)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(4)
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((21L, 22L)),
+      s"rare-bucket pair must survive the cap: $capped")
+    assert(uncapped.size > capped.size,
+      s"the cap must drop mega-bucket-only pairs: $uncapped vs $capped")
+    assertThrows[IllegalArgumentException](pairs(1))
+  }
+
+  test("normText/fingerprint agree across engines on vertical tab " +
+    "(Java \\s includes U+000B, RE2's does not — explicit class now)") {
+    // the Spark side must KEEP U+000B verbatim like DuckDB's RE2 \s
+    // would — only [ \t\n\f\r]+ collapses
+    val got = TextAnalysis.normText(lit("a\u000bb  c\td")).cast("string")
+    val out = spark.range(1).select(got.as("n")).head().getString(0)
+    assert(out == "a\u000bb c d", s"got '$out'")
+  }
+
+  test("sequence-reverse guards: k=0 / epochs=0 / saltFactor=0 fail " +
+    "loudly instead of emitting phantom rows or empty joins") {
+    val d = docs(1L -> "a b c")
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.negativeSamples(d, k = 0))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.epochShuffle(d, epochs = 0))
+    assertThrows[IllegalArgumentException](
+      Analytics.saltedJoin(d, d, "doc_id", saltFactor = 0))
+  }
+
+  test("vocabEncode keeps zero-token docs (n_tokens 0, empty ids) and " +
+    "languageId predicts NULL for NULL text") {
+    val enc = TextAnalysis.vocabEncode(Seq[(Long, Option[String])](
+        1L -> Some("a a a b"), 2L -> Some("   "), 3L -> None)
+        .toDF("doc_id", "text"), minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(enc.map(_._1) == Seq(1L, 2L, 3L), s"every doc must emit: $enc")
+    assert(enc(1) == ((2L, 0L, "")) && enc(2) == ((3L, 0L, "")),
+      s"zero-token docs must encode empty: $enc")
+    val lid = TextAnalysis.languageId(Seq[(Long, Option[String], String)](
+        (1L, Some("the cat and the dog of it"), "en"), (2L, None, "en"))
+        .toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(lid(1L) == "en" && lid(2L) == null, s"got $lid")
+  }
+
   test("srpLshNearDupPairs tolerates NULL embeddings (skipped, not an " +
     "NPE at the dim probe)") {
     val emb = Seq[(Long, Option[Seq[Float]])](
