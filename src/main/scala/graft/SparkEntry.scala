@@ -628,6 +628,15 @@ object SparkEntry {
     // the exact order, so it shares ema_close's recursive-CTE oracle
     "stream_ema" -> ((s, dir) =>
       streaming.EventStreams.streamEma(s, dir)),
+    // the DEDUP state-store path (dropDuplicatesWithinWatermark) under
+    // the same gate: the events table replayed with planted exact
+    // duplicates — in-slice copies AND a cross-batch redelivery file
+    // still inside the watermark delay — deduped on event_id by a real
+    // StreamingQuery; exact copies make the survivor byte-identical, so
+    // the drained output must equal the duplicate-free events table
+    // row-for-row and the oracle is plain SQL
+    "stream_dedup" -> ((s, dir) =>
+      streaming.EventStreams.streamDedup(s, dir)),
 
     // Fixed-point integer PageRank over the customer↔supplier trade
     // graph — iterative-rank workload with a bit-exact unrolled oracle
@@ -1337,6 +1346,13 @@ object SparkEntry {
         |  AND CAST(e.ts AS TIMESTAMP) <=
         |      CAST(s.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
         |WHERE s.value > 100.0""".stripMargin,
+    // stream ≡ batch for exact dedup over planted EXACT duplicates: the
+    // drained dedup output is the duplicate-free events table (NULL-ts
+    // rows are absent from the replay, mirrored by the predicate)
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, "value", props
+        |FROM events
+        |WHERE ts IS NOT NULL""".stripMargin,
     "candles_5m" -> Tables.candlesAtSql(5),
     "candles_1d" -> Tables.candlesAtSql(1440),
 

@@ -939,6 +939,84 @@ object EventStreams {
         StructField("value", DoubleType))))
   }
 
+  /** Declared-query form of the streaming exact-dedup path
+    * ([[dedupStream]] / `dropDuplicatesWithinWatermark`) — the fifth
+    * streaming state family under the driver's bit-exact gate: the four
+    * existing drains cover stream-static joins, windowed aggregation,
+    * stream-stream join state, and arbitrary (`flatMapGroupsWithState`)
+    * state; this gates the DEDUP state store (key puts, cross-batch
+    * lookups, watermark-horizon eviction) — the canonical at-least-once
+    * ingestion front of an LLM-corpus pipeline, where the upstream feed
+    * redelivers and the engine must emit each document exactly once.
+    *
+    * Replay fixture (the PRODUCER side, memoized like the others): the
+    * events table sliced time-contiguously with TWO planted duplicate
+    * populations, both EXACT row copies keyed `event_id % dupMod == 0`:
+    *  - in-slice copies (same ts ⇒ same slice file ⇒ same micro-batch):
+    *    exercise within-batch dedup against the store;
+    *  - a cross-batch REDELIVERY file, consumed LAST (mtime-ordered),
+    *    holding copies of the corpus's final hour — when it arrives the
+    *    watermark sits at `max(ts) − lateness` (2 h), so redelivered
+    *    rows are still AHEAD of the watermark and
+    *    `dropDuplicatesWithinWatermark`'s contract GUARANTEES they
+    *    dedup against state carried from the earlier batch.
+    * Exact copies make the drain deterministic by construction: whichever
+    * physical copy survives, the emitted row is byte-identical — so the
+    * drained output must equal the original (duplicate-free) events table
+    * row-for-row and the oracle is plain SQL over `events`. A dropped
+    * duplicate that ISN'T dropped shows up as a row-count mismatch, which
+    * is exactly what the gate is for.
+    *
+    * Scale shape: dedup state is one entry per key within the watermark
+    * horizon — bounded by arrival rate × lateness, not corpus size — and
+    * hash-spreads across executors like every state store; the per-batch
+    * ingest is bounded by the same [[autoSlices]]/capRows rule as the
+    * other drains.
+    */
+  private val dedupReplayCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+  def streamDedup(spark: SparkSession, dir: String, slices0: Int = 0,
+      dupMod: Int = 3, lateness: String = "2 hours"): DataFrame = {
+    val slices = autoSlices(spark, dir, slices0)
+    val drop = dedupReplayCache.computeIfAbsent((dir, slices, dupMod), {
+      case (d, n, m) =>
+        val ev = graft.Tables.table(spark, d, "events")
+        val dupes = ev.filter(col("event_id") % m === 0)
+        val root = scratchDir("graft-stream-dedup")
+        writeTimeSlices(ev.unionAll(dupes), root, n,
+          rowsPerSliceBound(spark))
+        // redelivery file: copies of the final hour, arriving after every
+        // main slice (strictly larger pinned mtime) but still within the
+        // 2 h watermark delay — the guaranteed-dedup cross-batch case
+        val mm = ev.agg(max(col("ts"))).head()
+        if (!mm.isNullAt(0)) {
+          val hi = mm.getTimestamp(0).getTime
+          val tmp = s"$root/tmp-redeliv"
+          dupes.filter(col("ts") >=
+              timestamp_millis(lit(hi - 3600L * 1000)))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .foreach { f =>
+              val dst = java.nio.file.Paths.get(
+                s"$root/drop", "slice-90000-redelivery.parquet")
+              java.nio.file.Files.move(f.toPath, dst,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              java.nio.file.Files.setLastModifiedTime(dst,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  1600000000000L + 100000L * 60000L))
+            }
+          rmTree(new java.io.File(tmp))
+        }
+        s"$root/drop"
+    })
+    drainAppendStream(spark,
+      dedupStream(eventsStream(spark, drop), lateness),
+      freshRunRoot("stream-dedup", s"$dir#$slices#$dupMod#$lateness"),
+      schema = eventsRawSchema)
+  }
+
   /** Declared-query form of the `flatMapGroupsWithState` path
     * ([[emaStream]]): the candle series replayed as time-ordered slices
     * and folded through the cross-batch EMA recursion by a real

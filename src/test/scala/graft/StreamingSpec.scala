@@ -184,6 +184,22 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("streamDedup (the declared drain-then-read form) returns the " +
+    "duplicate-free events table exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStreams.streamDedup(spark, dir)
+    val ev = Tables.table(spark, dir, "events")
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    // row-for-row: planted duplicates (in-slice copies AND the
+    // cross-batch redelivery file) must all be dropped, nothing else
+    assert(got.count() == ev.count(),
+      "drained dedup must emit each event exactly once")
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty,
+      "drained dedup output must equal the duplicate-free events table")
+  }
+
   test("watermark drops late rows from a closed window (append semantics)") {
     // the 100 TB correctness contract for unbounded streams: once the
     // watermark passes a window's end, the window emits EXACTLY ONCE and
