@@ -13,6 +13,16 @@ object StreamProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val query = args.lift(1).getOrElse("stream_candles")
     val spark = Sessions.get("graft-stream-probe")
+    // Optional state-store backend override (probe-only; the declared
+    // queries always run the session default): "rocksdb" measures the
+    // off-heap production backend against the default HDFS-backed
+    // in-memory store — the constant the autoSlices scaladoc claims the
+    // backend moves. Session-conf set BEFORE any stream starts; each
+    // drain opens a fresh checkpoint, so the provider binds per run.
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -25,9 +35,27 @@ object StreamProbe {
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
-    for (i <- 1 to 3) {
+    // Optional 3rd arg: force the replay slice count (bypasses the
+    // autoSlices derivation) — the knob that lets the probe re-create
+    // the EXACT fixed-2-slice geometry whose per-batch ingest OOM'd the
+    // in-memory state store at factor 300, against a different backend.
+    val slices = args.lift(2).map(_.toInt).getOrElse(0)
+    // Optional 4th arg: run count (default 3) — completion-type probes
+    // (does geometry X survive backend Y) need one run, not a min-of-3.
+    val runs = args.lift(3).map(_.toInt).getOrElse(3)
+    def run(): org.apache.spark.sql.DataFrame =
+      if (slices > 0) query match {
+        case "stream_followups" =>
+          graft.streaming.EventStreams.streamFollowups(spark, dir, slices)
+        case "stream_dedup" =>
+          graft.streaming.EventStreams.streamDedup(spark, dir, slices)
+        case "stream_candles" =>
+          graft.streaming.EventStreams.streamCandles(spark, dir, slices)
+        case other => sys.error(s"no slices override for $other")
+      } else SparkEntry.queries(query)(spark, dir)
+    for (i <- 1 to runs) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(query)(spark, dir).count()
+      val n = run().count()
       println(f"[probe] run $i total ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         s"rows=$n")
       Sessions.releaseCaches(spark)

@@ -818,7 +818,11 @@ object EventStreams {
     * executors, and sizing it from a big driver's heap would overshoot
     * every small executor. The single-executor bound is conservative
     * (state hash-spreads across executors); the state-store backend
-    * (RocksDB off-heap) moves the constant, not the rule. The derived
+    * (RocksDB off-heap) moves the constant, not the rule — MEASURED in
+    * both directions (SCALE.md r15 "state-store backend"): RocksDB
+    * completes the exact 2-slice geometry whose buffered rows killed
+    * the in-memory store (off-heap state), and costs ~4× per key on
+    * fits-in-heap state, where the in-memory store wins. The derived
     * rowsPerSlice is ALSO passed to [[writeTimeSlices]] as the per-file
     * row cap, so the bound survives bursty event-time density — equal
     * time windows alone only bound the UNIFORM case the count was
