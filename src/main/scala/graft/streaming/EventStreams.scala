@@ -976,6 +976,12 @@ object EventStreams {
     * hash-spreads across executors like every state store; the per-batch
     * ingest is bounded by the same [[autoSlices]]/capRows rule as the
     * other drains.
+    *
+    * Constraint: `lateness` must cover the fixed 1 h redelivery window —
+    * below that, redelivered rows arrive BEHIND the watermark, where
+    * `dropDuplicatesWithinWatermark` no longer guarantees dedup (the
+    * within-watermark contract is exactly what the 2 h default buys).
+    * The declared query always runs the default.
     */
   private val dedupReplayCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
