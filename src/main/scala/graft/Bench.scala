@@ -86,6 +86,12 @@ object Bench {
       // checkpoint-using query 1.2–3.1× slower from block accumulation).
       Sessions.releaseCaches(spark)
       System.gc()
+      // stderr breadcrumb (never stdout — the driver json-parses the
+      // stdout tail): when a scale probe's JVM dies mid-surface, the
+      // last marker names the query that killed it. The r15 152-query
+      // sf30 probe died on heap OOM with NO way to attribute it — the
+      // log showed only a stage number.
+      System.err.println(s"[bench] start $name")
       var ok = true
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
