@@ -90,8 +90,13 @@ object Bench {
       // stdout tail): when a scale probe's JVM dies mid-surface, the
       // last marker names the query that killed it. The r15 152-query
       // sf30 probe died on heap OOM with NO way to attribute it — the
-      // log showed only a stage number.
-      System.err.println(s"[bench] start $name")
+      // log showed only a stage number. heapMB is the post-GC live set
+      // right before the query starts: flat across the sequence rules
+      // out cross-query retention; a climbing staircase names the
+      // queries that leak (the r16 attribution probe, VERDICT item 2).
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+      System.err.println(s"[bench] start $name heapMB=$heapMb")
       var ok = true
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

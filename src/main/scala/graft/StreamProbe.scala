@@ -35,14 +35,24 @@ object StreamProbe {
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
+    def intArg(i: Int, name: String, default: Int): Int =
+      args.lift(i).map { s =>
+        try s.toInt catch { case _: NumberFormatException =>
+          sys.error(s"usage: StreamProbe [dir] [query] [slices] [runs] — " +
+            s"$name must be an integer, got '$s'")
+        }
+      }.getOrElse(default)
     // Optional 3rd arg: force the replay slice count (bypasses the
     // autoSlices derivation) — the knob that lets the probe re-create
     // the EXACT fixed-2-slice geometry whose per-batch ingest OOM'd the
     // in-memory state store at factor 300, against a different backend.
-    val slices = args.lift(2).map(_.toInt).getOrElse(0)
+    // NOTE each distinct forced count builds its own full replay copy of
+    // the corpus in scratch (the fixture memo keys on the slice count) —
+    // bounded per probe invocation, but don't sweep it casually at sf30.
+    val slices = intArg(2, "slices", 0)
     // Optional 4th arg: run count (default 3) — completion-type probes
     // (does geometry X survive backend Y) need one run, not a min-of-3.
-    val runs = args.lift(3).map(_.toInt).getOrElse(3)
+    val runs = intArg(3, "runs", 3)
     def run(): org.apache.spark.sql.DataFrame =
       if (slices > 0) query match {
         case "stream_followups" =>

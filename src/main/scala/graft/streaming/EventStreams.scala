@@ -557,9 +557,11 @@ object EventStreams {
     */
   private def drainUpdateStream(spark: SparkSession, stream: DataFrame,
       runRoot: String, keyCols: Seq[String], schema: StructType,
-      statePartitions: Int = 4): DataFrame = {
+      statePartitions: Int = 4,
+      backend: Option[String] = None): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    backend.foreach(p => spark.conf.set(stateProviderKey, p))
     try {
       stream.writeStream
         .outputMode(OutputMode.Update)
@@ -571,7 +573,11 @@ object EventStreams {
         }
         .start()
         .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // autoBackend only ever SET when the key was unset — restore that
+      if (backend.isDefined) spark.conf.unset(stateProviderKey)
+    }
     if (!new java.io.File(s"$runRoot/out").exists)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -612,9 +618,13 @@ object EventStreams {
     val delta = docs.filter(col("doc_id") % mod === 0)
     val drop = mergeDropFor(spark, dir, mod)
     val stream = spark.readStream.schema(delta.schema).parquet(drop)
+    // the whole day's delta arrives as one batch (no per-trigger cap)
+    val perBatch = math.ceil(graft.Tables
+      .rowCount(spark, dir, "documents").toDouble / mod).toLong
     drainUpdateStream(spark,
       mergeStream(stream, state, minJaccard = minJaccard),
       freshRunRoot("merge-stream-day", s"$dir#$mod"),
+      backend = autoBackend(spark, perBatch),
       keyCols = Seq("doc_id"),
       schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("status", StringType),
@@ -828,7 +838,7 @@ object EventStreams {
     * time windows alone only bound the UNIFORM case the count was
     * derived from.
     */
-  private def rowsPerSliceBound(spark: SparkSession): Long = {
+  private[graft] def rowsPerSliceBound(spark: SparkSession): Long = {
     val heapGiB =
       graft.Sessions.workerHeapBytes(spark).toDouble / (1L << 30)
     math.max(1000000L, (8000000.0 * heapGiB / 8.0).toLong)
@@ -841,13 +851,53 @@ object EventStreams {
     math.max(2, math.ceil(n.toDouble / rowsPerSliceBound(spark)).toInt)
   }
 
+  /** State-store backend for a drain, chosen from the SAME inputs as
+    * [[autoSlices]] (expected buffered rows per micro-batch vs worker
+    * heap) so no operator — and no caller forcing a slice geometry —
+    * has to pick a backend by hand. The crossover is the r15
+    * measurement (SCALE.md "state-store backend"), both directions:
+    * the in-memory (HDFS-backed) store is ~4× faster per key but
+    * keeps all state on-heap — it survived 2×10 M buffered join rows
+    * on this 8 GiB heap and died at 2×30 M, where RocksDB (off-heap +
+    * disk spill) completed one-pass at 1 122.7 s. So the threshold is
+    * the measured SURVIVAL point, 20 M buffered rows per 8 GiB of
+    * worker heap, scaled linearly: under it the in-memory store is
+    * the measured winner, above it it is a measured death.
+    *
+    * `None` = leave the session default (the in-memory provider)
+    * untouched. Every auto-derived geometry stays under the threshold
+    * by construction ([[autoSlices]] caps a slice at 8 M rows, ≤ 16 M
+    * buffered even with two readers), so declared fixtures keep the
+    * exact bytes and plans they always had; only a FORCED oversized
+    * geometry (probe slice overrides, a caller passing slices0 at
+    * cluster scale) trips the switch. An EXPLICIT session conf always
+    * wins — auto never overwrites a deployment's choice (or a probe's
+    * override), it only fills the unset case.
+    */
+  private[graft] def autoBackend(spark: SparkSession,
+      bufferedRowsPerBatch: Long): Option[String] = {
+    // getAll holds only EXPLICITLY-set entries; getOption would fall
+    // back to the conf's built-in default and read "explicit" always
+    val explicit = spark.conf.getAll.contains(stateProviderKey)
+    val heapGiB =
+      graft.Sessions.workerHeapBytes(spark).toDouble / (1L << 30)
+    val maxInMemRows = (20000000.0 * heapGiB / 8.0).toLong
+    if (!explicit && bufferedRowsPerBatch > maxInMemRows)
+      Some("org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    else None
+  }
+
   def streamCandles(spark: SparkSession, dir: String, slices0: Int = 0,
       lateness: String = "2 hours"): DataFrame = {
     val slices = autoSlices(spark, dir, slices0)
+    val perBatch = math.ceil(graft.Tables.rowCount(spark, dir, "events")
+      .toDouble / slices).toLong
     drainUpdateStream(spark,
       candleStream(eventsStream(spark,
         candleReplayFor(spark, dir, slices)), lateness),
       freshRunRoot("stream-candles", s"$dir#$slices"),
+      backend = autoBackend(spark, perBatch),
       keyCols = Seq("symbol", "ts"),
       schema = StructType(Seq(StructField("symbol", StringType),
         StructField("ts", TimestampType),
@@ -862,11 +912,16 @@ object EventStreams {
     * needs no last-batch-wins dedup — the read-back IS the result.
     * Same run-root lifecycle and state-partition sizing.
     */
+  private val stateProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+
   private def drainAppendStream(spark: SparkSession, stream: DataFrame,
       runRoot: String, schema: StructType,
-      statePartitions: Int = 4): DataFrame = {
+      statePartitions: Int = 4,
+      backend: Option[String] = None): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    backend.foreach(p => spark.conf.set(stateProviderKey, p))
     try {
       stream.writeStream
         .outputMode(OutputMode.Append)
@@ -877,7 +932,11 @@ object EventStreams {
         }
         .start()
         .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // autoBackend only ever SET when the key was unset — restore that
+      if (backend.isDefined) spark.conf.unset(stateProviderKey)
+    }
     if (!new java.io.File(s"$runRoot/out").exists)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -923,6 +982,10 @@ object EventStreams {
     val slices = autoSlices(spark, dir, slices0)
     val drop = candleReplayFor(spark, dir, slices)
     val perTrigger = 1
+    // TWO readers each contribute one slice of buffered join rows per
+    // batch — the exact geometry of the measured in-memory-store cliff
+    val perBatch = 2L * math.ceil(graft.Tables
+      .rowCount(spark, dir, "events").toDouble / slices).toLong
     drainAppendStream(spark,
       signalFollowups(
         eventsStream(spark, drop, perTrigger),
@@ -934,6 +997,7 @@ object EventStreams {
       // a caller still held the first result's lazy reader
       freshRunRoot("stream-followups",
         s"$dir#$slices#$windowMinutes#$threshold#$lateness"),
+      backend = autoBackend(spark, perBatch),
       schema = StructType(Seq(StructField("user_id", LongType),
         StructField("sig_event_id", LongType),
         StructField("sig_ts", TimestampType),
@@ -991,13 +1055,34 @@ object EventStreams {
     val drop = dedupReplayCache.computeIfAbsent((dir, slices, dupMod), {
       case (d, n, m) =>
         val ev = graft.Tables.table(spark, d, "events")
+        // The bit-exact gate needs event_id globally unique in the BASE
+        // table: a natural duplicate id (same id, different content)
+        // would make the drain drop a row the oracle keeps and pick a
+        // nondeterministic survivor — a verify failure far from its
+        // cause. Assert it once here, inside the memoized build (one
+        // aggregate per fixture, not per drain).
+        val idStats = ev.agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("d")).head()
+        require(idStats.getLong(0) == idStats.getLong(1),
+          s"streamDedup fixture requires globally unique event_id in " +
+            s"$d/events: ${idStats.getLong(0)} rows, " +
+            s"${idStats.getLong(1)} distinct ids")
         val dupes = ev.filter(col("event_id") % m === 0)
         val root = scratchDir("graft-stream-dedup")
-        writeTimeSlices(ev.unionAll(dupes), root, n,
+        // autoSlices sized n from the BASE rowCount while the replay
+        // writes ~(1+1/dupMod)× rows — the per-file heap bound still
+        // holds because the same rowsPerSliceBound is passed as capRows,
+        // which splits any overfull window regardless of the overcount.
+        writeTimeSlices(ev.union(dupes), root, n,
           rowsPerSliceBound(spark))
         // redelivery file: copies of the final hour, arriving after every
         // main slice (strictly larger pinned mtime) but still within the
-        // 2 h watermark delay — the guaranteed-dedup cross-batch case
+        // 2 h watermark delay — the guaranteed-dedup cross-batch case.
+        // Its mtime index is derived from the ACTUAL slice-file count
+        // (capRows sub-splitting can exceed any hardcoded guess), so the
+        // redelivery always sorts last and the cross-batch path stays
+        // exercised at every corpus size; the filename carries the same
+        // index so name and mtime order agree.
         val mm = ev.agg(max(col("ts"))).head()
         if (!mm.isNullAt(0)) {
           val hi = mm.getTimestamp(0).getTime
@@ -1005,25 +1090,31 @@ object EventStreams {
           dupes.filter(col("ts") >=
               timestamp_millis(lit(hi - 3600L * 1000)))
             .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val sliceCount = new java.io.File(s"$root/drop").listFiles()
+            .count(_.getName.endsWith(".parquet"))
           new java.io.File(tmp).listFiles()
             .filter(f => f.getName.startsWith("part-") &&
               f.getName.endsWith(".parquet"))
             .foreach { f =>
-              val dst = java.nio.file.Paths.get(
-                s"$root/drop", "slice-90000-redelivery.parquet")
+              val dst = java.nio.file.Paths.get(s"$root/drop",
+                f"slice-$sliceCount%05d-redelivery.parquet")
               java.nio.file.Files.move(f.toPath, dst,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
               java.nio.file.Files.setLastModifiedTime(dst,
                 java.nio.file.attribute.FileTime.fromMillis(
-                  1600000000000L + 100000L * 60000L))
+                  1600000000000L + sliceCount.toLong * 60000L))
             }
           rmTree(new java.io.File(tmp))
         }
         s"$root/drop"
     })
+    // replay writes ~(1+1/dupMod)× the base rows (planted duplicates)
+    val perBatch = math.ceil(graft.Tables.rowCount(spark, dir, "events")
+      .toDouble * (dupMod + 1) / dupMod / slices).toLong
     drainAppendStream(spark,
       dedupStream(eventsStream(spark, drop), lateness),
       freshRunRoot("stream-dedup", s"$dir#$slices#$dupMod#$lateness"),
+      backend = autoBackend(spark, perBatch),
       schema = eventsRawSchema)
   }
 
@@ -1057,11 +1148,16 @@ object EventStreams {
         StructField("close", DoubleType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(drop)
+    // candle rows ≤ event rows — the events rowCount is a cheap
+    // (footer-metadata, memoized) upper bound on the per-batch ingest
+    val perBatch = math.ceil(graft.Tables.rowCount(spark, dir, "events")
+      .toDouble / math.max(1, slices)).toLong
     drainAppendStream(spark,
       emaStream(src.as[Tick], n).toDF()
         .select(col("symbol"), col("ts"), col("close"),
           round(col("ema"), 6).as("ema")),
       freshRunRoot("stream-ema", s"$dir#$slices#$n"),
+      backend = autoBackend(spark, perBatch),
       schema = StructType(Seq(StructField("symbol", StringType),
         StructField("ts", TimestampType),
         StructField("close", DoubleType),

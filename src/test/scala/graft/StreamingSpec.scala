@@ -688,4 +688,25 @@ class StreamingSpec extends SparkSpec {
     assert(massCounts.sum == 300 && massCounts.max == 300,
       s"point mass must stay one slice: ${massCounts.toSeq}")
   }
+
+  test("autoBackend trips to RocksDB only past the measured heap cliff " +
+    "and never overrides an explicit session conf") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val heapGiB = graft.Sessions.workerHeapBytes(spark).toDouble / (1L << 30)
+    val threshold = (20000000.0 * heapGiB / 8.0).toLong
+    // every auto-derived geometry sits ≤ 2 × rowsPerSlice (two readers
+    // × an 8 M-row slice at 8 GiB) — strictly under the 20 M survival
+    // threshold at the same heap, so declared fixtures never switch
+    assert(EventStreams.autoBackend(spark, threshold).isEmpty,
+      "at the measured survival point the in-memory store is the winner")
+    assert(EventStreams.autoBackend(spark, threshold + 1)
+      .exists(_.contains("RocksDBStateStoreProvider")),
+      "past the measured cliff the drain must switch off-heap")
+    // explicit conf wins: a deployment's (or probe's) choice is never
+    // overwritten by the auto rule
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".HDFSBackedStateStoreProvider")
+    try assert(EventStreams.autoBackend(spark, threshold * 100).isEmpty)
+    finally spark.conf.unset(key)
+  }
 }
