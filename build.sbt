@@ -34,4 +34,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 G1 GCLocker starvation (r16 root cause of the factor-300
+  // one-pass deaths): parquet codec JNI critical sections hold the
+  // GCLocker while 32 task threads allocate 128 MiB Tungsten pages;
+  // with the default GCLockerRetryAllocationCount=2 an unlucky thread
+  // throws a SPURIOUS OutOfMemoryError (the fatal r16 one was a 6-WORD
+  // allocation with post-GC heap at 143 MB of 8 g). Spark absorbs the
+  // ones that hit TaskMemoryManager page allocation (catch + spill);
+  // an uncaught one in task code kills the whole local JVM. Raising
+  // the retry count is the standard JDK-17 mitigation (JDK 21+ removed
+  // the GCLocker OOM path entirely).
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

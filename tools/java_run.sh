@@ -12,8 +12,13 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GCLockerRetryAllocationCount: JDK 17 G1 spurious-OOM mitigation —
+# see the javaOptions comment in build.sbt (r16 root cause of the
+# factor-300 one-pass deaths).
 exec java $OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:+UnlockDiagnosticVMOptions \
+  -XX:GCLockerRetryAllocationCount=100 \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
