@@ -20,13 +20,25 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Materialize EVERY output column through the no-op sink instead of
+    // count(): count() re-optimizes the plan with only the aggregate's
+    // needs, and column pruning then DELETES any expensive operator whose
+    // output is projection-only — the whole as-of join family (window
+    // match column only projected) benched as a bare scan (r16: the
+    // count plan of asof_join_candles had no Window, no Sort; flat
+    // 0.4 s from sf10 to sf30 was the tell). The noop DataSourceV2 sink
+    // evaluates the full untruncated plan — what a consumer writing the
+    // result anywhere would pay — with no I/O of its own.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
         selected.foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try materialize(fn(spark, warmDir))
+          catch { case _: Throwable => () }
           // free each warmup query's localCheckpoint blocks immediately —
           // see Sessions.releaseCaches
           Sessions.releaseCaches(spark)
@@ -100,7 +112,7 @@ object Bench {
       var ok = true
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { materialize(fn(spark, sfDir)) }
         catch { case e: Throwable =>
           // a failed run must NEVER masquerade as a (fast) measurement:
           // recording time-to-throw would make the bench total IMPROVE
