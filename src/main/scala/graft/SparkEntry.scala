@@ -369,22 +369,36 @@ object SparkEntry {
     // oracle computes the exact columns and asserts the flags are 1, so
     // a sketch drifting out of contract flips the hash — a real
     // driver-side check where r8 had `no_oracle`.
-    "approx_sketches" -> ((s, dir) =>
-      Tables.table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    "approx_sketches" -> ((s, dir) => {
+      // The distinct aggregate runs in its OWN aggregation, joined back
+      // on the 3-row group key, instead of mixed into the sketch agg:
+      // a mixed distinct/non-distinct Aggregate plans an Expand that
+      // doubles every input row and pushes the other buffers — for the
+      // exact percentile, the whole per-group value multiset — through
+      // an extra partial-merge phase. Measured at sf0.1 (noop sink):
+      // mixed 6.2 s vs 0.8 + 2.1 s split (r16; the cost was invisible
+      // while count() pruned aggregate value expressions). The array
+      // percentile shares one buffer/sort for both gate bounds.
+      val li = Tables.table(s, dir, "lineitem")
+      val sketches = li.groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("hll"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
             .as("amed"),
-          expr("percentile(l_extendedprice, 0.49)").as("lo"),
-          expr("percentile(l_extendedprice, 0.51)").as("hi"))
+          expr("percentile(l_extendedprice, array(0.49, 0.51))")
+            .as("bounds"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.join(sketches, "l_returnflag")
+        .withColumn("lo", col("bounds").getItem(0))
+        .withColumn("hi", col("bounds").getItem(1))
         .select(col("l_returnflag"), col("exact_parts"),
           when(abs(col("hll") - col("exact_parts")) <=
             col("exact_parts").cast("double") * 0.06, lit(1L))
             .otherwise(lit(0L)).as("hll_ok"),
           when(col("amed").between(col("lo"), col("hi")), lit(1L))
-            .otherwise(lit(0L)).as("median_ok"))),
+            .otherwise(lit(0L)).as("median_ok"))
+    }),
 
     // GROUPING SETS through the SQL surface (status totals + priority
     // totals in one pass)
