@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** The bench sink. Materializes EVERY output column through the no-op
+    * DataSourceV2 sink instead of count(): count() re-optimizes the plan
+    * with only the aggregate's needs, and column pruning then DELETES any
+    * expensive operator whose output is projection-only — 22 of the
+    * declared queries lost a Window or a whole join under count() (r16
+    * CountPlan audit; the as-of family benched FLAT 0.4 s from sf10 to
+    * sf30 — the tell). Package-visible so HarnessSpec can pin the
+    * instrument: the spec executes sentinel pruning victims through this
+    * exact method and fails if their benched plan ever loses its
+    * Window/join again (i.e. if anyone "optimizes" the sink back to a
+    * pruning action).
+    */
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-bench")
@@ -20,17 +36,6 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    // Materialize EVERY output column through the no-op sink instead of
-    // count(): count() re-optimizes the plan with only the aggregate's
-    // needs, and column pruning then DELETES any expensive operator whose
-    // output is projection-only — the whole as-of join family (window
-    // match column only projected) benched as a bare scan (r16: the
-    // count plan of asof_join_candles had no Window, no Sort; flat
-    // 0.4 s from sf10 to sf30 was the tell). The noop DataSourceV2 sink
-    // evaluates the full untruncated plan — what a consumer writing the
-    // result anywhere would pay — with no I/O of its own.
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
     try {
       spark.range(1000).selectExpr("sum(id)").collect()

@@ -17,6 +17,16 @@ object CountPlan {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq
+    // validate BEFORE session startup: a typo'd name used to surface as
+    // a bare NoSuchElementException only after Spark spun up (r16 ADVICE)
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}\n" +
+        "usage: tools/java_run.sh graft.CountPlan [sfDir] [query ...]\n" +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = Sessions.get("graft-count-plan")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)

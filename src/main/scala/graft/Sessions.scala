@@ -32,6 +32,14 @@ object Sessions {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
+      // Shuffle/spill/broadcast block codec. Default lz4 (Spark's own
+      // default — every historical bench number was measured under it);
+      // SPARK_GRAFT_IO_CODEC=zstd is the scale-probe knob for
+      // edge-sized exchanges whose payload is sorted int64 arrays
+      // (graph adjacency), where zstd's ratio advantage is largest —
+      // measured before any default change, like every other knob here.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       // Kept ONLY for old-generation testdata where events.ts was written
       // as TIMESTAMP(NANOS); current generation writes TIMESTAMP(MICROS),
       // which this flag does not affect. Tables.table documents both forms

@@ -389,7 +389,13 @@ object SparkEntry {
             .as("bounds"))
       val exact = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      exact.join(sketches, "l_returnflag")
+      // null-safe key (r16 ADVICE): the pre-split single groupBy kept a
+      // NULL l_returnflag group; a plain inner equi-join would silently
+      // drop it. <=> preserves the exact pre-split output universe
+      // (no-op on TPC-H data, where the flag is non-null).
+      exact.join(sketches,
+          exact("l_returnflag") <=> sketches("l_returnflag"))
+        .drop(sketches("l_returnflag"))
         .withColumn("lo", col("bounds").getItem(0))
         .withColumn("hi", col("bounds").getItem(1))
         .select(col("l_returnflag"), col("exact_parts"),

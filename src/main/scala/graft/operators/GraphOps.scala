@@ -363,9 +363,28 @@ object GraphOps {
     // metrics-sized action over the already-checkpointed degree table,
     // so each plan construction just pays it.
     val counts = deg.agg(count(lit(1)).as("n_nodes"),
-      coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges")).head()
+      coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+      min(col("node")).as("min_id"), max(col("node")).as("max_id")).head()
     val (nNodes, nEdges) = (counts.getLong(0), counts.getLong(1))
     val big = nEdges > broadcastEdgeLimit
+    // Rank-packing (r17, the honest-sink sf30 spill fix): the above-cap
+    // intersection path carries node ids as PACKED (deg, id) longs —
+    // deg<<32 | id — so packed order ≡ the orientation rank order.
+    // That makes adjacency entries rank-comparable IN the array, which
+    // buys the prune below: for an oriented edge (u, v), every common
+    // out-neighbor w ∈ N⁺(v) has rank(w) > rank(v) by orientation, so
+    // N⁺(u) entries ranked ≤ rank(v) can NEVER intersect and are
+    // dropped BEFORE the dst exchange — the heaviest shuffle in the
+    // query, whose Σ outdeg² array payload is exactly what exhausted
+    // ~74 GB of scratch at sf30 under the honest sink (SCALE.md r16).
+    // Summed over edges the prune keeps Σ C(outdeg, 2) of Σ outdeg²
+    // entries — one half. Feasible iff ids are non-negative and fit
+    // 31 bits (then deg ≤ |V| − 1 < 2^31 too, so packed < 2^63); at a
+    // scale where ids outgrow 31 bits the path falls back to plain ids
+    // without the prune, keeping the same join topology.
+    val packable = big && !wedgeClose && nNodes > 0 &&
+      !counts.isNullAt(2) && counts.getLong(2) >= 0L &&
+      counts.getLong(3) < (1L << 31)
     // |E|-proportional width for every edge-sized exchange BELOW this
     // point (the [[pageRankEdges]] rule, extended here in r14): the
     // adjacency collect_list and the attach joins each hold
@@ -384,23 +403,31 @@ object GraphOps {
         else edgeRowsPerPartition(edges0.sparkSession))).toInt)
     def widen(df: DataFrame, k: Column*): DataFrame =
       if (width > confWidth) df.repartition(width, k: _*) else df
-    // orient low-rank → high-rank, rank = (deg, id)
+    // orient low-rank → high-rank, rank = (deg, id); on the packed path
+    // the emitted endpoints are the packed longs themselves (packed
+    // order ≡ rank order, so the predicate is the same either way)
     val withDeg = widen(edges, col("u"))
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
     val withDeg2 = widen(withDeg, col("v"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-    val orientedPlan = withDeg2.select(
-      when(col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v")),
-        struct(col("u").as("src"), col("v").as("dst")))
-        .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    def orientedPlan(packed: Boolean): DataFrame = {
+      val (pu, pv) = if (packed)
+        (shiftleft(col("du"), 32).bitwiseOR(col("u")),
+          shiftleft(col("dv"), 32).bitwiseOR(col("v")))
+      else (col("u"), col("v"))
+      withDeg2.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(pu.as("src"), pv.as("dst")))
+          .otherwise(struct(pv.as("src"), pu.as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
     // edge-sized: DISK_ONLY above the cap (see the post-mortem in the
     // scaladoc); the default level under it, where the whole graph is a
     // few MB and memory pressure cannot exist
     val oriented = if (big)
-      orientedPlan.localCheckpoint(true, StorageLevel.DISK_ONLY)
-    else orientedPlan.localCheckpoint()
+      orientedPlan(packable).localCheckpoint(true, StorageLevel.DISK_ONLY)
+    else orientedPlan(false).localCheckpoint()
     val nTriangles: DataFrame = if (big && wedgeClose) {
       // relational wedge form: per apex a, each ordered pair of its
       // out-neighbors (b, c) with b < c by id is a wedge; it closes a
@@ -417,12 +444,19 @@ object GraphOps {
       // membership side). Every operator here is sort-merge + hash-agg
       // with spill; nothing holds O(√m) arrays.
       val orientedW = widen(oriented, col("src"))
-      val w = orientedW.as("e1").join(orientedW.as("e2"),
+      // shuffle-hash hints (r17): the wedge stream is Θ(Σ outdeg²)
+      // rows — a sort-merge closing join externally SORTS it (the r13
+      // 50 GB spill death); with the m-row edge side as the hash build
+      // the wedge stream only streams. Same for the self-join (build =
+      // one |E|/width slice of bare pairs per task).
+      val w = orientedW.as("e1")
+        .join(orientedW.as("e2").hint("shuffle_hash"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
         .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
       val canonical = edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      widen(w, col("u"), col("v")).join(canonical, Seq("u", "v"))
+      widen(w, col("u"), col("v"))
+        .join(canonical.hint("shuffle_hash"), Seq("u", "v"))
         .agg(count(lit(1)).as("n_triangles"))
     } else {
       // node-sized out-adjacency arrays (each O(√m) long by
@@ -443,13 +477,40 @@ object GraphOps {
       // attach re-shuffles the array-carrying rows on dst — the
       // heaviest exchange in the query, which is exactly where a fixed
       // width starves first).
-      val (ru, rv) = if (big) (adjU, adjV)
-        else (broadcast(adjU), broadcast(adjV))
-      widen(widen(oriented, col("src")).join(ru, Seq("src")), col("dst"))
-        .join(rv, Seq("dst"))
-        .select(size(array_intersect(col("nu"), col("nv")))
-          .cast("long").as("c"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+      if (big) {
+        // Above-cap path (r17 rewrite — the honest-sink sf30 spill fix;
+        // the broadcast path below is untouched, keeping toy-SF plans
+        // byte-identical). Three levers on the dst exchange, the
+        // query's heaviest:
+        //  1. both attaches are SHUFFLE-HASH joins with the node-sized
+        //     adjacency as the build side (~|E|/width packed longs per
+        //     task): a sort-merge join would externally SORT the
+        //     array-carrying edge stream — re-spilling the Σ outdeg²
+        //     payload the exchange already wrote once;
+        //  2. on the packed path, N⁺(u) is PRUNED to entries ranked
+        //     above dst before the exchange (see `packable`) — half the
+        //     array bytes never ship;
+        //  3. `src` is dropped before the exchange — the intersection
+        //     needs only (dst, nu).
+        val attached = widen(oriented, col("src"))
+          .join(adjU.hint("shuffle_hash"), Seq("src"))
+        val pruned = if (packable)
+          attached.select(col("dst"),
+            filter(col("nu"), w => w > col("dst")).as("nu"))
+        else attached.select(col("dst"), col("nu"))
+        widen(pruned, col("dst"))
+          .join(adjV.hint("shuffle_hash"), Seq("dst"))
+          .select(size(array_intersect(col("nu"), col("nv")))
+            .cast("long").as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+      } else {
+        widen(widen(oriented, col("src"))
+            .join(broadcast(adjU), Seq("src")), col("dst"))
+          .join(broadcast(adjV), Seq("dst"))
+          .select(size(array_intersect(col("nu"), col("nv")))
+            .cast("long").as("c"))
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+      }
     }
     nTriangles.select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
       col("n_triangles"))

@@ -618,9 +618,9 @@ object EventStreams {
     val delta = docs.filter(col("doc_id") % mod === 0)
     val drop = mergeDropFor(spark, dir, mod)
     val stream = spark.readStream.schema(delta.schema).parquet(drop)
-    // the whole day's delta arrives as one batch (no per-trigger cap)
-    val perBatch = math.ceil(graft.Tables
-      .rowCount(spark, dir, "documents").toDouble / mod).toLong
+    // the whole day's delta arrives as ONE batch (no per-trigger cap),
+    // so the ingest is the folder TOTAL, read from the written footers
+    val perBatch = sliceRowCounts(drop).sum
     drainUpdateStream(spark,
       mergeStream(stream, state, minJaccard = minJaccard),
       freshRunRoot("merge-stream-day", s"$dir#$mod"),
@@ -888,14 +888,45 @@ object EventStreams {
     else None
   }
 
+  /** Per-slice row counts of a replay drop folder, read from parquet
+    * FOOTER metadata only (no row scan — O(files) driver-side opens,
+    * the same bounded-metadata class as the graph Σdeg peek). The
+    * [[autoBackend]] per-batch estimate is derived from these instead
+    * of the uniform rowCount/slices quotient (r16 ADVICE): equal-TIME
+    * windows with capRows sub-splitting can leave ONE point-mass slice
+    * far above the uniform mean — the exact batch the in-memory-store
+    * cliff is measured in — while a probe-forced small slice count
+    * makes the quotient OVERestimate files that are really capped at
+    * [[rowsPerSliceBound]] (tripping an unnecessary ~4× RocksDB
+    * switch). The drop folder is written before any drain runs, so
+    * the footers are always the ACTUAL batch sizes the stream will
+    * ingest.
+    */
+  private[graft] def sliceRowCounts(drop: String): Seq[Long] = {
+    val files = Option(new java.io.File(drop).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_"))
+    files.toSeq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+  }
+
+  /** Largest single-file ingest a one-file-per-trigger drain will see. */
+  private[graft] def maxSliceRows(drop: String): Long =
+    (0L +: sliceRowCounts(drop)).max
+
   def streamCandles(spark: SparkSession, dir: String, slices0: Int = 0,
       lateness: String = "2 hours"): DataFrame = {
     val slices = autoSlices(spark, dir, slices0)
-    val perBatch = math.ceil(graft.Tables.rowCount(spark, dir, "events")
-      .toDouble / slices).toLong
+    val drop = candleReplayFor(spark, dir, slices)
+    val perBatch = maxSliceRows(drop)
     drainUpdateStream(spark,
-      candleStream(eventsStream(spark,
-        candleReplayFor(spark, dir, slices)), lateness),
+      candleStream(eventsStream(spark, drop), lateness),
       freshRunRoot("stream-candles", s"$dir#$slices"),
       backend = autoBackend(spark, perBatch),
       keyCols = Seq("symbol", "ts"),
@@ -983,9 +1014,10 @@ object EventStreams {
     val drop = candleReplayFor(spark, dir, slices)
     val perTrigger = 1
     // TWO readers each contribute one slice of buffered join rows per
-    // batch — the exact geometry of the measured in-memory-store cliff
-    val perBatch = 2L * math.ceil(graft.Tables
-      .rowCount(spark, dir, "events").toDouble / slices).toLong
+    // batch — the exact geometry of the measured in-memory-store cliff;
+    // sized from the WRITTEN slice footers (max file), not the uniform
+    // quotient, so a capRows point-mass slice is seen at its true size
+    val perBatch = 2L * maxSliceRows(drop)
     drainAppendStream(spark,
       signalFollowups(
         eventsStream(spark, drop, perTrigger),
@@ -1108,9 +1140,9 @@ object EventStreams {
         }
         s"$root/drop"
     })
-    // replay writes ~(1+1/dupMod)× the base rows (planted duplicates)
-    val perBatch = math.ceil(graft.Tables.rowCount(spark, dir, "events")
-      .toDouble * (dupMod + 1) / dupMod / slices).toLong
+    // sized from the written slice footers (max single file — the
+    // redelivery slices are included automatically)
+    val perBatch = maxSliceRows(drop)
     drainAppendStream(spark,
       dedupStream(eventsStream(spark, drop), lateness),
       freshRunRoot("stream-dedup", s"$dir#$slices#$dupMod#$lateness"),
@@ -1148,10 +1180,8 @@ object EventStreams {
         StructField("close", DoubleType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(drop)
-    // candle rows ≤ event rows — the events rowCount is a cheap
-    // (footer-metadata, memoized) upper bound on the per-batch ingest
-    val perBatch = math.ceil(graft.Tables.rowCount(spark, dir, "events")
-      .toDouble / math.max(1, slices)).toLong
+    // sized from the written candle-slice footers (max single file)
+    val perBatch = maxSliceRows(drop)
     drainAppendStream(spark,
       emaStream(src.as[Tick], n).toDF()
         .select(col("symbol"), col("ts"), col("close"),

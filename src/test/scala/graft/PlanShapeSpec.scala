@@ -381,4 +381,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "BroadcastExchange") >= 2,
       s"exact and band probes must both broadcast the delta side:\n$plan")
   }
+
+  test("bench instrument pin: the sink evaluates the FULL plan — " +
+    "sentinel count()-pruning victims keep their Window/join") {
+    // r16: Bench timed count(), and count() re-optimizes the plan around
+    // the aggregate — column pruning then DELETED any operator whose
+    // output is projection-only (22 queries lost a Window or a whole
+    // join; the as-of family benched as a bare scan). This test executes
+    // sentinel victims through Bench.materialize itself and inspects the
+    // ACTUAL executed write plan via a QueryExecutionListener: if anyone
+    // ever "optimizes" the sink back to count() (or any other pruning
+    // action), the captured plan loses the pinned operator and this
+    // fails. Sentinels: asof_join_candles (lost its Window under
+    // count()) and merge_corpus_day (lost entire joins).
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      for ((name, op) <- Seq("asof_join_candles" -> "Window",
+          "merge_corpus_day" -> "Join")) {
+        captured.clear()
+        Bench.materialize(SparkEntry.queries(name)(spark, dir))
+        // QueryExecutionListener delivery is async — poll up to 30 s
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var plans = ""
+        while (!plans.contains(op) && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          plans = {
+            val it = captured.iterator(); var s = ""
+            while (it.hasNext) s += it.next() + "\n"
+            s
+          }
+        }
+        assert(plans.contains(op),
+          s"benched plan of $name lost its $op — the bench sink is " +
+            s"pruning again (count()-style). Captured plan(s):\n$plans")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

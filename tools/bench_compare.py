@@ -22,6 +22,31 @@ import re
 import statistics
 import sys
 
+# Instrument break (r16): the bench sink moved from count() to
+# format("noop") in round 16. Under count(), column pruning DELETED
+# these queries' Window/join operators (CountPlan audit) and every
+# group-by's aggregate VALUE expressions, so BENCH_r01..r15 per-query
+# numbers under-measure them. Comparisons that straddle the break are
+# flagged; BENCH_r16.json is the first honest anchor.
+NOOP_SINK_SINCE_ROUND = 16
+COUNT_PRUNED_QUERIES = {
+    # lost a Window (or the whole as-of sort) under count()
+    "asof_join_candles", "asof_join_forward", "asof_join_nearest",
+    "scd2_asof_lookup", "rsi14", "macd", "bollinger_bands",
+    "vwap_twap_daily", "max_drawdown", "window_leads",
+    "window_distribution", "window_range_frame", "epoch_shuffle",
+    "w5_stride_signals", "candles_gapfill", "candles_bucketed",
+    "ma_crossover", "dedup_keep_best", "vocab_encode",
+    # lost ENTIRE joins under count()
+    "merge_corpus_day", "semantic_dedup", "lm_coverage", "dsir_weights",
+}
+
+
+def round_of(path):
+    """Round number from a BENCH_r{N}.json filename, else None."""
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else None
+
 
 def qmap(path):
     d = json.load(open(path))
@@ -46,6 +71,9 @@ def qmap(path):
 def main(prev_path, curr_path):
     ptot, prev, pcal, ppart = qmap(prev_path)
     ctot, curr, ccal, cpart = qmap(curr_path)
+    pr, cr = round_of(prev_path), round_of(curr_path)
+    straddles = (pr is not None and cr is not None and
+                 pr < NOOP_SINK_SINCE_ROUND <= cr)
     common = sorted(set(prev) & set(curr))
     # Clamp BOTH sides to half the 10 ms per-query precision floor: an
     # unclamped prev of 0.0 would drop the query from the ratio map (a
@@ -56,6 +84,15 @@ def main(prev_path, curr_path):
     ratios = {k: max(curr[k], 0.005) / max(prev[k], 0.005) for k in common}
     med = statistics.median(ratios.values()) if ratios else float("nan")
     print(f"### Bench compare: {prev_path} -> {curr_path}\n")
+    if straddles:
+        print(f"**INSTRUMENT BREAK**: r{pr} timed a count() sink, "
+              f"r{cr} times the honest noop sink (since r16). "
+              f"{len(COUNT_PRUNED_QUERIES & set(common))} common queries "
+              "were count()-pruned in the prev round (marked [pruned-prev] "
+              "below) — their ratios measure restored work, not "
+              "regressions; aggregate-heavy queries are also "
+              "under-measured on the prev side. Compare against "
+              "BENCH_r16.json (the first honest anchor) instead.\n")
     flags = (" [PARTIAL prev]" if ppart else "") + \
             (" [PARTIAL curr]" if cpart else "")
     print(f"- totals (raw): {ptot} s -> {ctot} s "
@@ -98,17 +135,20 @@ def main(prev_path, curr_path):
     if not out:
         print("\nNo per-query ratio outside [0.8, 1.25] - no outliers.")
         return
+    def label(k):
+        return (k + " [pruned-prev]"
+                if straddles and k in COUNT_PRUNED_QUERIES else k)
     if drift:
         print("\n| query | prev s | curr s | ratio | drift-corrected |")
         print("|---|---|---|---|---|")
         for r, k in sorted(out, reverse=True):
-            print(f"| {k} | {prev[k]:.2f} | {curr[k]:.2f} | {r:.2f}x "
+            print(f"| {label(k)} | {prev[k]:.2f} | {curr[k]:.2f} | {r:.2f}x "
                   f"| {r / drift:.2f}x |")
     else:
         print("\n| query | prev s | curr s | ratio |")
         print("|---|---|---|---|")
         for r, k in sorted(out, reverse=True):
-            print(f"| {k} | {prev[k]:.2f} | {curr[k]:.2f} | {r:.2f}x |")
+            print(f"| {label(k)} | {prev[k]:.2f} | {curr[k]:.2f} | {r:.2f}x |")
 
 
 if __name__ == "__main__":
