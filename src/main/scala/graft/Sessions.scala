@@ -40,6 +40,13 @@ object Sessions {
       // measured before any default change, like every other knob here.
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+      // Compress SERIALIZED rdd storage (DISK_ONLY localCheckpoints —
+      // the graph module's edge-sized materializations). Spark defaults
+      // this OFF; the graph checkpoints are written once and re-read
+      // sequentially, so codec CPU is noise next to the disk bytes it
+      // saves. Deserialized (default-level) checkpoints — every other
+      // query — are unaffected by this flag.
+      .config("spark.rdd.compress", "true")
       // Kept ONLY for old-generation testdata where events.ts was written
       // as TIMESTAMP(NANOS); current generation writes TIMESTAMP(MICROS),
       // which this flag does not affect. Tables.table documents both forms

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Measurement harness (like PerfProbe/CountPlan — never part of a
+  * declared query): generic per-STAGE cost table for any declared query,
+  * under the honest bench sink. The r16 sink fix restored operators the
+  * old count() instrument had been deleting, so 22 queries got their
+  * first honest timings with NO per-stage attribution; this probe gives
+  * any of them the SCALE.md r8 ">2 s stage-by-stage" treatment without
+  * a bespoke PerfProbe function per query.
+  *
+  * Protocol: one warm run (JIT/codegen/checkpoint build), then one
+  * measured run through [[Bench.materialize]] (the exact bench sink)
+  * with a SparkListener capturing each completed stage's wall time,
+  * shuffle read/write bytes, spill bytes, and task count. Stages print
+  * slowest-first. Driver-side listener delivery is async — the probe
+  * waits for the listener bus to drain before printing.
+  *
+  * Usage: tools/java_run.sh graft.StageProbe <query> [query ...]
+  * (SPARK_GRAFT_SF_DIR selects the data directory, default sf0.1).
+  */
+object StageProbe {
+  private case class Row(id: Int, name: String, sec: Double,
+    tasks: Int, shufRead: Long, shufWrite: Long, spillMem: Long,
+    spillDisk: Long)
+
+  private def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+
+  def main(args: Array[String]): Unit = {
+    val names = args.toSeq
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    if (names.isEmpty || unknown.nonEmpty) {
+      System.err.println(
+        (if (unknown.nonEmpty) s"unknown queries: ${unknown.mkString(", ")}\n"
+         else "") +
+        "usage: tools/java_run.sh graft.StageProbe <query> [query ...]")
+      sys.exit(2)
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.get("graft-stage-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    @volatile var capture = false
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (capture) {
+          val si = e.stageInfo
+          val m = si.taskMetrics
+          val sec = (for (a <- si.submissionTime; b <- si.completionTime)
+            yield (b - a) / 1000.0).getOrElse(0.0)
+          rows.add(Row(si.stageId, si.name.takeWhile(_ != '\n'), sec,
+            si.numTasks, m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten, m.memoryBytesSpilled,
+            m.diskBytesSpilled))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      Bench.materialize(fn(spark, sfDir)) // warm (JIT, codegen, layouts)
+      Sessions.releaseCaches(spark)
+      System.gc()
+      rows.clear()
+      capture = true
+      val t0 = System.nanoTime()
+      Bench.materialize(fn(spark, sfDir))
+      val total = (System.nanoTime() - t0) / 1e9
+      // listener delivery is async: poll until the captured stage set is
+      // stable for 1 s (bounded at 20 s)
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 4 && waited < 80) {
+        Thread.sleep(250); waited += 1
+        if (rows.size == last) stable += 1 else { stable = 0; last = rows.size }
+      }
+      capture = false
+      println(f"[stage] == $n: total $total%.2f s, ${rows.size} stages " +
+        s"(warm run, noop sink, $sfDir) ==")
+      println("[stage] | stage | sec | tasks | shuf read MB | " +
+        "shuf write MB | spill mem MB | spill disk MB |")
+      val it = rows.iterator()
+      var all = List.empty[Row]
+      while (it.hasNext) all = it.next() :: all
+      all.sortBy(-_.sec).foreach { r =>
+        println(s"[stage] | ${r.id} ${r.name} | ${f"${r.sec}%.2f"} | " +
+          s"${r.tasks} | ${mb(r.shufRead)} | ${mb(r.shufWrite)} | " +
+          s"${mb(r.spillMem)} | ${mb(r.spillDisk)} |")
+      }
+      Sessions.releaseCaches(spark)
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -363,28 +363,35 @@ object GraphOps {
     // metrics-sized action over the already-checkpointed degree table,
     // so each plan construction just pays it.
     val counts = deg.agg(count(lit(1)).as("n_nodes"),
-      coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
-      min(col("node")).as("min_id"), max(col("node")).as("max_id")).head()
+      coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges")).head()
     val (nNodes, nEdges) = (counts.getLong(0), counts.getLong(1))
     val big = nEdges > broadcastEdgeLimit
-    // Rank-packing (r17, the honest-sink sf30 spill fix): the above-cap
-    // intersection path carries node ids as PACKED (deg, id) longs —
-    // deg<<32 | id — so packed order ≡ the orientation rank order.
-    // That makes adjacency entries rank-comparable IN the array, which
-    // buys the prune below: for an oriented edge (u, v), every common
-    // out-neighbor w ∈ N⁺(v) has rank(w) > rank(v) by orientation, so
-    // N⁺(u) entries ranked ≤ rank(v) can NEVER intersect and are
-    // dropped BEFORE the dst exchange — the heaviest shuffle in the
-    // query, whose Σ outdeg² array payload is exactly what exhausted
-    // ~74 GB of scratch at sf30 under the honest sink (SCALE.md r16).
-    // Summed over edges the prune keeps Σ C(outdeg, 2) of Σ outdeg²
-    // entries — one half. Feasible iff ids are non-negative and fit
-    // 31 bits (then deg ≤ |V| − 1 < 2^31 too, so packed < 2^63); at a
-    // scale where ids outgrow 31 bits the path falls back to plain ids
-    // without the prune, keeping the same join topology.
-    val packable = big && !wedgeClose && nNodes > 0 &&
-      !counts.isNullAt(2) && counts.getLong(2) >= 0L &&
-      counts.getLong(3) < (1L << 31)
+    // Dense rank relabeling (r17, the honest-sink sf30 spill fix): the
+    // above-cap intersection path relabels every node to its dense
+    // ORDINAL under the orientation rank (deg, id) — an INT in
+    // [0, |V|). Two birds:
+    //  1. adjacency entries become 4-byte ints instead of 8-byte ids —
+    //     half the bytes of the dst exchange, the query's disk bill
+    //     (Σ outdeg² array payload; what exhausted ~74 GB of scratch at
+    //     sf30 under the honest sink, SCALE.md r16);
+    //  2. rank order is readable IN the array, which buys the prune
+    //     below: for an oriented edge (u, v), every common out-neighbor
+    //     w ∈ N⁺(v) has rank(w) > rank(v) by orientation, so N⁺(u)
+    //     entries ranked ≤ rank(v) can NEVER intersect and are dropped
+    //     BEFORE the exchange — summed over edges that keeps
+    //     Σ C(outdeg, 2) of Σ outdeg² entries: another half.
+    // The relabeling itself is the standard distributed dense-rank:
+    // range-repartition the NODE-sized degree table on (deg, id), sort
+    // within partitions, zipWithIndex (per-partition offsets are one
+    // bounded-metadata count job) — no single-task global sort
+    // anywhere. It also REPLACES the two degree-attach joins (the rank
+    // already encodes the orientation order), so the oriented edge
+    // build does the same two node-keyed joins it always did, just
+    // against (node → rank) instead of (node → deg). Feasible iff
+    // |V| < 2^31 (the ordinal must fit an int — node ids themselves
+    // may be arbitrary longs); past that the path falls back to plain
+    // long ids without the prune, keeping the same join topology.
+    val rankable = big && !wedgeClose && nNodes > 0 && nNodes < (1L << 31)
     // |E|-proportional width for every edge-sized exchange BELOW this
     // point (the [[pageRankEdges]] rule, extended here in r14): the
     // adjacency collect_list and the attach joins each hold
@@ -403,31 +410,57 @@ object GraphOps {
         else edgeRowsPerPartition(edges0.sparkSession))).toInt)
     def widen(df: DataFrame, k: Column*): DataFrame =
       if (width > confWidth) df.repartition(width, k: _*) else df
-    // orient low-rank → high-rank, rank = (deg, id); on the packed path
-    // the emitted endpoints are the packed longs themselves (packed
-    // order ≡ rank order, so the predicate is the same either way)
-    val withDeg = widen(edges, col("u"))
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-    val withDeg2 = widen(withDeg, col("v"))
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-    def orientedPlan(packed: Boolean): DataFrame = {
-      val (pu, pv) = if (packed)
-        (shiftleft(col("du"), 32).bitwiseOR(col("u")),
-          shiftleft(col("dv"), 32).bitwiseOR(col("v")))
-      else (col("u"), col("v"))
-      withDeg2.select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")),
-          struct(pu.as("src"), pv.as("dst")))
-          .otherwise(struct(pv.as("src"), pu.as("dst"))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // orient low-rank → high-rank, rank = (deg, id). On the rank path
+    // the joined-in attribute IS the dense ordinal (int) and the
+    // comparison is a plain int compare; otherwise the degrees attach
+    // and the lexicographic (deg, id) predicate decides — the same
+    // total order either way.
+    def orientedPlan(): DataFrame = {
+      if (rankable) {
+        val spark = edges0.sparkSession
+        val sorted = deg
+          .repartitionByRange(width, col("deg"), col("node"))
+          .sortWithinPartitions(col("deg"), col("node"))
+        val rank = spark.createDataFrame(
+          sorted.rdd.zipWithIndex.map { case (row, i) =>
+            org.apache.spark.sql.Row(row.getLong(0), i.toInt) },
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("r",
+              org.apache.spark.sql.types.IntegerType))))
+          .localCheckpoint() // node-sized, read twice below
+        val ru = rank.select(col("node").as("u"), col("r").as("ru_"))
+        val rv = rank.select(col("node").as("v"), col("r").as("rv_"))
+        widen(widen(edges, col("u")).join(ru, Seq("u")), col("v"))
+          .join(rv, Seq("v"))
+          .select(
+            when(col("ru_") < col("rv_"),
+              struct(col("ru_").as("src"), col("rv_").as("dst")))
+              .otherwise(
+                struct(col("rv_").as("src"), col("ru_").as("dst"))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      } else {
+        val withDeg = widen(edges, col("u")).join(
+          deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+        widen(withDeg, col("v"))
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")),
+            Seq("v"))
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("src"), col("v").as("dst")))
+              .otherwise(
+                struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      }
     }
     // edge-sized: DISK_ONLY above the cap (see the post-mortem in the
     // scaladoc); the default level under it, where the whole graph is a
     // few MB and memory pressure cannot exist
     val oriented = if (big)
-      orientedPlan(packable).localCheckpoint(true, StorageLevel.DISK_ONLY)
-    else orientedPlan(false).localCheckpoint()
+      orientedPlan().localCheckpoint(true, StorageLevel.DISK_ONLY)
+    else orientedPlan().localCheckpoint()
     val nTriangles: DataFrame = if (big && wedgeClose) {
       // relational wedge form: per apex a, each ordered pair of its
       // out-neighbors (b, c) with b < c by id is a wedge; it closes a
@@ -461,9 +494,17 @@ object GraphOps {
     } else {
       // node-sized out-adjacency arrays (each O(√m) long by
       // orientation), materialized because both attaches below read it;
-      // array-carrying and therefore DISK_ONLY above the cap
+      // array-carrying and therefore DISK_ONLY above the cap.
+      // Above the cap the arrays are SORTED: the dst exchange below is
+      // the query's disk bill (23.5 GB at factor 100 — r17 StageProbe),
+      // and codec ratio on packed (deg<<32|id) longs is locality-bound —
+      // sorted runs share high bytes and compress several-fold better
+      // than collect_list's arrival order. Sorting is one node-sized
+      // array sort at build time; array_intersect is order-insensitive,
+      // so results are bit-identical (GraphSpec pins all strategies).
       val adjPlan = widen(oriented, col("src")).groupBy(col("src"))
-        .agg(collect_list(col("dst")).as("nbrs"))
+        .agg((if (big) sort_array(collect_list(col("dst")))
+          else collect_list(col("dst"))).as("nbrs"))
       val adj = if (big) adjPlan.localCheckpoint(true, StorageLevel.DISK_ONLY)
         else adjPlan.localCheckpoint()
       val adjU = adj.select(col("src"), col("nbrs").as("nu"))
@@ -488,13 +529,13 @@ object GraphOps {
         //     array-carrying edge stream — re-spilling the Σ outdeg²
         //     payload the exchange already wrote once;
         //  2. on the packed path, N⁺(u) is PRUNED to entries ranked
-        //     above dst before the exchange (see `packable`) — half the
+        //     above dst before the exchange (see `rankable`) — half the
         //     array bytes never ship;
         //  3. `src` is dropped before the exchange — the intersection
         //     needs only (dst, nu).
         val attached = widen(oriented, col("src"))
           .join(adjU.hint("shuffle_hash"), Seq("src"))
-        val pruned = if (packable)
+        val pruned = if (rankable)
           attached.select(col("dst"),
             filter(col("nu"), w => w > col("dst")).as("nu"))
         else attached.select(col("dst"), col("nu"))
