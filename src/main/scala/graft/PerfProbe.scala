@@ -454,6 +454,31 @@ object PerfProbe {
       println(s"[probe] n_pairs capped-toy = $n2")
       spark.stop(); return
     }
+    if (args.contains("audio")) {
+      // audio_features cost decomposition (r16 verdict item 5): the
+      // query is two mapPartitions legs — WAV ENCODE (syntheticAudio,
+      // the fixture producer) then WAV DECODE + sample stats
+      // (decodeAudio). Time (a) encode only (force payload bytes),
+      // (b) encode+decode (the declared query through the bench sink) —
+      // the delta is the decode leg; per-clip µs prints alongside.
+      import graft.operators.Multimodal
+      val docs = Tables.table(spark, sfDir, "documents").select("doc_id")
+      val n = docs.count()
+      println(s"[probe] n_clips = $n")
+      for (i <- 1 to 2) {
+        val enc = time(s"encode only #$i") {
+          Multimodal.syntheticAudio(docs).toDF()
+            .agg(sum(length(col("payload")))).head().getLong(0)
+        }
+        println(s"[probe] payload bytes = $enc")
+        Sessions.releaseCaches(spark)
+        time(s"encode+decode (audio_features) #$i") {
+          Bench.materialize(SparkEntry.queries("audio_features")(spark, sfDir))
+        }
+        Sessions.releaseCaches(spark)
+      }
+      spark.stop(); return
+    }
     if (args.contains("q8")) { q8Stages(spark, sfDir); spark.stop(); return }
     if (args.contains("asof")) { asofDeep(spark); spark.stop(); return }
     if (args.contains("lss")) { lssStages(spark, sfDir); spark.stop(); return }

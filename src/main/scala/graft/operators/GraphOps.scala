@@ -422,7 +422,7 @@ object GraphOps {
           .repartitionByRange(width, col("deg"), col("node"))
           .sortWithinPartitions(col("deg"), col("node"))
         val rank = spark.createDataFrame(
-          sorted.rdd.zipWithIndex.map { case (row, i) =>
+          sorted.rdd.zipWithIndex().map { case (row, i) =>
             org.apache.spark.sql.Row(row.getLong(0), i.toInt) },
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("node",

@@ -229,7 +229,23 @@ object Multimodal {
     val buf = scala.collection.mutable.ListBuffer
       .empty[javax.sound.sampled.spi.AudioFileReader]
     while (it.hasNext) buf += it.next()
-    buf.toList
+    // Order matters (r17, the audio_features top-cost fix): WAVE readers
+    // FIRST (the dominant payload), and the JDK's MIDI soundbank reader
+    // (SoftMidiAudioFileReader) LAST — its getAudioInputStream
+    // re-resolves MidiSystem.getMidiFileReaders through
+    // JDK13Services.getProviders, a `static synchronized` ServiceLoader
+    // scan, on EVERY call: the exact per-call global lock convoy the
+    // cached resolution here exists to avoid, re-entered through one
+    // cached provider. Thread-dump sampled at factor 100: 62/64
+    // executor frames were parked inside that lock, making the decode
+    // leg ~6 core-ms per 420-sample clip. First-parse-wins iteration
+    // means WAV/AIFF/AU payloads never reach the MIDI reader; a genuine
+    // MIDI payload still decodes, just at the lock's cost.
+    val (midi, rest) = buf.toList
+      .partition(_.getClass.getName.contains("SoftMidi"))
+    val (wave, other) = rest
+      .partition(_.getClass.getName.contains("Wave"))
+    wave ::: other ::: midi
   }
   private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
     val it = java.util.ServiceLoader
