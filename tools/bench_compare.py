@@ -32,7 +32,7 @@ NOOP_SINK_SINCE_ROUND = 16
 COUNT_PRUNED_QUERIES = {
     # lost a Window (or the whole as-of sort) under count()
     "asof_join_candles", "asof_join_forward", "asof_join_nearest",
-    "scd2_asof_lookup", "rsi14", "macd", "bollinger_bands",
+    "scd2_asof_lookup", "rsi14", "bollinger_bands",
     "vwap_twap_daily", "max_drawdown", "window_leads",
     "window_distribution", "window_range_frame", "epoch_shuffle",
     "w5_stride_signals", "candles_gapfill", "candles_bucketed",
