@@ -41,9 +41,16 @@ object StageProbe {
     val spark = Sessions.get("graft-stage-probe")
     spark.range(1000).selectExpr("sum(id)").collect()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    // `seen` counts EVERY stage completion regardless of capture state:
+    // listener delivery is async, so the warm run's straggler events can
+    // arrive after the measured run begins — draining on `seen` (not
+    // `rows`, which the warm run never touches) is what lets the probe
+    // wait out the warm run's tail BEFORE arming capture (r17 ADVICE).
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var capture = false
     val listener = new SparkListener {
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        seen.incrementAndGet()
         if (capture) {
           val si = e.stageInfo
           val m = si.taskMetrics
@@ -54,6 +61,20 @@ object StageProbe {
             m.shuffleWriteMetrics.bytesWritten, m.memoryBytesSpilled,
             m.diskBytesSpilled))
         }
+      }
+    }
+    // poll until `count()` is stable for 1 s (bounded at 20 s) — the
+    // listener-bus drain used after BOTH the warm run (so its straggler
+    // events are never attributed to the measured run) and the measured
+    // run (so the table is complete before printing)
+    def drainListener(count: () => Int): Unit = {
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 4 && waited < 80) {
+        Thread.sleep(250); waited += 1
+        if (count() == last) stable += 1 else { stable = 0; last = count() }
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     names.foreach { n =>
@@ -61,20 +82,13 @@ object StageProbe {
       Bench.materialize(fn(spark, sfDir)) // warm (JIT, codegen, layouts)
       Sessions.releaseCaches(spark)
       System.gc()
+      drainListener(() => seen.get())
       rows.clear()
       capture = true
       val t0 = System.nanoTime()
       Bench.materialize(fn(spark, sfDir))
       val total = (System.nanoTime() - t0) / 1e9
-      // listener delivery is async: poll until the captured stage set is
-      // stable for 1 s (bounded at 20 s)
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 4 && waited < 80) {
-        Thread.sleep(250); waited += 1
-        if (rows.size == last) stable += 1 else { stable = 0; last = rows.size }
-      }
+      drainListener(() => rows.size)
       capture = false
       println(f"[stage] == $n: total $total%.2f s, ${rows.size} stages " +
         s"(warm run, noop sink, $sfDir) ==")

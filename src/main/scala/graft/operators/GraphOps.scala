@@ -418,7 +418,15 @@ object GraphOps {
     def orientedPlan(): DataFrame = {
       if (rankable) {
         val spark = edges0.sparkSession
+        // node is cast to long BEFORE .rdd: the API is type-agnostic
+        // (callers may supply int-typed edge ids) and the row reader
+        // below uses getLong — without the cast an IntegerType edge
+        // frame above the cap would ClassCastException where the
+        // pre-rank orientation handled it fine (r17 ADVICE). Numeric
+        // widening preserves the (deg, id) sort order, and the rank
+        // attach joins coerce int edge keys to long automatically.
         val sorted = deg
+          .select(col("node").cast("long").as("node"), col("deg"))
           .repartitionByRange(width, col("deg"), col("node"))
           .sortWithinPartitions(col("deg"), col("node"))
         val rank = spark.createDataFrame(

@@ -903,14 +903,24 @@ object EventStreams {
     * ingest.
     */
   private[graft] def sliceRowCounts(drop: String): Seq[Long] = {
-    val files = Option(new java.io.File(drop).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_"))
-    files.toSeq.map { f =>
+    // Listing goes through the path's Hadoop FileSystem, NOT
+    // java.io.File (r17 ADVICE — the same pitfall [[eventsStream]]
+    // routes around): a local File listing of an hdfs://, s3a://, or
+    // file:-schemed drop folder returns null, which would read as
+    // perBatch = 0 and silently disable [[autoBackend]]'s RocksDB
+    // switch — the OOM guard — exactly on the deployments that need it.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val path = new org.apache.hadoop.fs.Path(drop)
+    val fs = path.getFileSystem(conf)
+    val files =
+      (try fs.listStatus(path)
+       catch { case _: java.io.FileNotFoundException =>
+         Array.empty[org.apache.hadoop.fs.FileStatus] })
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_"))
+    files.toSeq.map { s =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-        new org.apache.hadoop.conf.Configuration())
+        s.getPath, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }

@@ -194,6 +194,30 @@ class GraphSpec extends SparkSpec {
     assert(defaultPath.toSeq == forcedWedge.toSeq)
   }
 
+  test("triangleCountEdges is type-agnostic: INT-typed edge ids count " +
+      "identically through every strategy, including the rank path") {
+    // the API contract is "any numeric id type"; the r17 dense-rank
+    // relabel reads node ids via getLong off a .rdd, which an
+    // IntegerType edge frame would ClassCastException without the
+    // explicit widen (r17 ADVICE) — limit 0 forces the above-cap rank
+    // path where that read lives
+    import spark.implicits._
+    val intEdges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (6, 7), (6, 8), (7, 8))
+      .toDF("u", "v") // IntegerType columns
+    val viaRank = GraphOps.triangleCountEdges(intEdges,
+      broadcastEdgeLimit = 0L).collect()(0)
+    val viaBroadcast = GraphOps.triangleCountEdges(intEdges,
+      broadcastEdgeLimit = Long.MaxValue).collect()(0)
+    val viaWedge = GraphOps.triangleCountEdges(intEdges,
+      broadcastEdgeLimit = 0L, wedgeClose = true).collect()(0)
+    assert(viaRank.toSeq == Seq(8L, 10L, 5L),
+      s"int-typed K4+pendant+triangle graph: ${viaRank.toSeq}")
+    assert(viaBroadcast.toSeq == viaRank.toSeq &&
+      viaWedge.toSeq == viaRank.toSeq,
+      "strategies must agree on int-typed edges")
+  }
+
   test("triangle count is invariant to partitioning and matches at sf0.001") {
     val a = GraphOps.triangleCount(spark, "/root/testdata/sf0.001")
       .collect()(0)
