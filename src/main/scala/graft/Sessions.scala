@@ -32,14 +32,19 @@ object Sessions {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
-      // Shuffle/spill/broadcast block codec. Default lz4 (Spark's own
-      // default — every historical bench number was measured under it);
-      // SPARK_GRAFT_IO_CODEC=zstd is the scale-probe knob for
-      // edge-sized exchanges whose payload is sorted int64 arrays
-      // (graph adjacency), where zstd's ratio advantage is largest —
-      // measured before any default change, like every other knob here.
-      .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+      // Shuffle/spill/broadcast block codec — ENGINE-CHOSEN (r17 verdict
+      // item 1, the autoBackend pattern): explicit SPARK_GRAFT_IO_CODEC
+      // always wins; otherwise [[autoIoCodec]] picks zstd only when the
+      // measured lz4 scratch model says the workload's spill footprint
+      // would crowd the scratch disk, and lz4 (Spark's own default —
+      // every historical bench number was measured under it) everywhere
+      // else. Declared-SF sessions are byte-identical to every prior
+      // round by construction (MB-scale inputs sit orders of magnitude
+      // under the threshold — HarnessSpec pins this). The codec must be
+      // decided HERE, not per-query: SerializerManager caches it lazily
+      // at first compressed block, so a session-conf change after the
+      // first shuffle is silently ignored.
+      .config("spark.io.compression.codec", chosenIoCodec())
       // Compress SERIALIZED rdd storage (DISK_ONLY localCheckpoints —
       // the graph module's edge-sized materializations). Spark defaults
       // this OFF; the graph checkpoints are written once and re-read
@@ -53,6 +58,68 @@ object Sessions {
       // and probes the file schema to serve either.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+
+  /** Measured lz4 scratch model (SCALE.md r17 codec table): the full
+    * 152-query surface's peak scratch under lz4 is ~14 bytes per input
+    * byte — 62.7 GB at sf30 (4.6 GB input), 20.4 GB at sf10 (1.3 GB) —
+    * dominated by the triangle intersection's Σ outdeg² payload, linear
+    * in the copy-disjoint graph. */
+  private val Lz4ScratchPerInputByte = 14.0
+
+  /** zstd trips only when the modeled lz4 peak would exceed HALF the
+    * usable scratch: a full-surface pass keeps streaming replay
+    * fixtures and layout scratch alongside the peak query's spill (the
+    * r17 capstone ran zstd because lz4's ISOLATED ~8 GB margin was
+    * thinner than those leftovers), and the model is one measured
+    * workload mix — 2× headroom is what turns "estimated to fit" into
+    * "fits with the margin the capstone observed". */
+  private val ScratchHeadroomFactor = 0.5
+
+  /** The codec decision, pure so HarnessSpec can pin both sides: lz4
+    * below the threshold (toy-scale broadcasts and small shuffles pay
+    * zstd's CPU with nothing to win back — measured +18% on the sf0.1
+    * surface), zstd above it (at sf30 it buys 16 GB of scratch and 10%
+    * of wall time in the shuffle-bound regime — SCALE.md r17). */
+  private[graft] def autoIoCodec(inputBytes: Long,
+      scratchUsableBytes: Long): String =
+    if (inputBytes * Lz4ScratchPerInputByte >
+        scratchUsableBytes * ScratchHeadroomFactor) "zstd" else "lz4"
+
+  /** Recursive byte size of the session's data directory via its Hadoop
+    * FileSystem (works for file:, hdfs:, s3a: — one ContentSummary
+    * call, no row reads). 0 on any failure: an unreadable dir must
+    * fall back to the lz4 default, never crash session construction. */
+  private[graft] def dataDirBytes(dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getContentSummary(p).getLength
+    } catch { case _: Exception => 0L }
+
+  /** Codec wiring: explicit env wins; auto needs a data-dir handle,
+    * and SPARK_GRAFT_SF_DIR (the driver contract's data pointer, set
+    * by Bench and every scale probe) is the one available at session
+    * construction. Unset (unit tests, Verify's arg-passed dir at toy
+    * SF) → lz4, the declared default. The auto choice is announced on
+    * stderr so a capstone log self-attributes its codec. */
+  private def chosenIoCodec(): String =
+    sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", {
+      sys.env.get("SPARK_GRAFT_SF_DIR") match {
+        case Some(dir) =>
+          val scratch = new java.io.File(
+            sys.props.getOrElse("spark.local.dir",
+              sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+            .getUsableSpace
+          val input = dataDirBytes(dir)
+          val codec = autoIoCodec(input, scratch)
+          if (codec != "lz4") System.err.println(
+            f"[session] io codec=$codec (auto: input ${input / 1e9}%.1f GB" +
+              f" x $Lz4ScratchPerInputByte%.0f B/B lz4-scratch model > " +
+              f"${ScratchHeadroomFactor}%.1f x ${scratch / 1e9}%.1f GB free)")
+          codec
+        case None => "lz4"
+      }
+    })
 
   def get(appName: String): SparkSession = {
     val spark = builder().appName(appName).getOrCreate()
