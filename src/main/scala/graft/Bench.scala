@@ -8,7 +8,8 @@ object Bench {
     * expensive operator whose output is projection-only — 22 of the
     * declared queries lost a Window or a whole join under count() (r16
     * CountPlan audit; the as-of family benched FLAT 0.4 s from sf10 to
-    * sf30 — the tell). Package-visible so HarnessSpec can pin the
+    * sf30 — the tell). Package-visible so PlanShapeSpec ("bench
+    * instrument pin") can pin the
     * instrument: the spec executes sentinel pruning victims through this
     * exact method and fails if their benched plan ever loses its
     * Window/join again (i.e. if anyone "optimizes" the sink back to a
@@ -87,6 +88,40 @@ object Bench {
       System.gc()
       t
     }
+    // Second, I/O-FLAVORED calibration probe (r17 verdict item 4): the
+    // pure-CPU probe above diverged from the I/O-mixed workload WITHIN
+    // one window (0.45 → 0.64 s between consecutive runs on an idle
+    // machine — SCALE.md r17 "Window control"), so a drift correction
+    // built on it alone is unreliable exactly when the regression
+    // question is close. This probe times the other half of what the
+    // queries actually do: a fixed-size parquet WRITE to scratch, a
+    // parquet READ back, and one shuffle — data-independent like the
+    // CPU probe (spark.range source, fixed 8 M rows ≈ 40 MB parquet),
+    // small enough not to perturb the surrounding queries.
+    // tools/bench_compare.py reports BOTH drift ratios and warns when
+    // they disagree — the case where "drift-corrected" medians must
+    // not be trusted without a same-window A/B.
+    val calIoDir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-calio")
+    def calibrateIo(): Double = {
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(8L * 1000L * 1000L)
+          .selectExpr("id", "xxhash64(id) AS v",
+            "cast(pmod(xxhash64(id, 2L), 1000) AS int) AS k")
+          .write.mode("overwrite").parquet(calIoDir.getPath)
+        spark.read.parquet(calIoDir.getPath)
+          .groupBy("k").sum("v").count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(calIoDir)
+      Sessions.releaseCaches(spark)
+      System.gc()
+      t
+    }
     // Order-sensitivity probe (SPARK_GRAFT_BENCH_REVERSE=1): run the
     // surface back-to-front. If late-order queries inflate in BOTH
     // directions, state accumulates with bench position, not query
@@ -94,6 +129,7 @@ object Bench {
     val ordered = if (sys.env.get("SPARK_GRAFT_BENCH_REVERSE").contains("1"))
       selected.toSeq.reverse else selected.toSeq
     val calPre = calibrate()
+    val calIoPre = calibrateIo()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.flatMap { case (name, fn) =>
       // Free the previous query's localCheckpoint blocks, then a GC
@@ -113,7 +149,20 @@ object Bench {
       // queries that leak (the r16 attribution probe, VERDICT item 2).
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
-      System.err.println(s"[bench] start $name heapMB=$heapMb")
+      // diskFreeGB: scratch-disk watermark on the Spark local dir (r17
+      // verdict item 3). The r16 triangle death was a scratch-disk
+      // exhaustion that had to be attributed by EXTERNAL 2-s disk
+      // sampling; this makes the next one self-attributing the way
+      // heapMB made the GCLocker death self-attributing — a falling
+      // staircase across the sequence names the queries that eat
+      // scratch, and the last marker before a disk-full JVM death
+      // names the killer.
+      val scratchDir = new java.io.File(
+        sys.props.getOrElse("spark.local.dir",
+          sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+      val diskFreeGb = scratchDir.getUsableSpace / (1024L * 1024 * 1024)
+      System.err.println(
+        s"[bench] start $name heapMB=$heapMb diskFreeGB=$diskFreeGb")
       var ok = true
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -135,6 +184,7 @@ object Bench {
       if (ok) Some(name -> times.min) else { failed += name; None }
     }.toMap
     val calPost = calibrate()
+    val calIoPost = calibrateIo()
     // The driver records only the LAST 2000 chars of stdout and json-parses
     // the final line (BENCH_r01/r02: "parsed": null when the line overflowed
     // that window). Keep the line compact: 10 ms per-query precision, and a
@@ -167,7 +217,7 @@ object Bench {
       val failedPart = if (failed.isEmpty) ""
         else failed.sorted.map("\"" + _ + "\"")
           .mkString(""","partial":true,"failed":[""", ",", "]")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","cal_pre":${f(calPre)},"cal_post":${f(calPost)},"queries":${entries.mkString("{", ",", "}")}$failedPart,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs":$runs,"agg":"min","cal_pre":${f(calPre)},"cal_post":${f(calPost)},"calio_pre":${f(calIoPre)},"calio_post":${f(calIoPost)},"queries":${entries.mkString("{", ",", "}")}$failedPart,"sf":"$sfName"}"""
     }
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     var keep = bySlowest.length

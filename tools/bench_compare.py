@@ -62,15 +62,26 @@ def qmap(path):
     qs = dict(d["queries"])
     qs.pop("_other", None)
     qs.pop("_other_n", None)
-    cal = None
-    if "cal_pre" in d and "cal_post" in d:
-        cal = (d["cal_pre"] + d["cal_post"]) / 2.0
-    return d.get("value"), qs, cal, bool(d.get("partial"))
+    # (pre, post) pairs for each probe flavor; the SPREAD between pre
+    # and post is the within-round instability signal (r17: the CPU
+    # probe swung 0.45 -> 0.64 across consecutive runs on an idle
+    # machine, so a "drift-corrected" 1.38x was pure probe noise)
+    cal = ((d["cal_pre"], d["cal_post"])
+           if "cal_pre" in d and "cal_post" in d else None)
+    calio = ((d["calio_pre"], d["calio_post"])
+             if "calio_pre" in d and "calio_post" in d else None)
+    return d.get("value"), qs, cal, calio, bool(d.get("partial"))
+
+
+def spread(pair):
+    """max/min of a (pre, post) probe pair — 1.0 = perfectly stable."""
+    lo, hi = sorted(max(v, 0.005) for v in pair)
+    return hi / lo
 
 
 def main(prev_path, curr_path):
-    ptot, prev, pcal, ppart = qmap(prev_path)
-    ctot, curr, ccal, cpart = qmap(curr_path)
+    ptot, prev, pcal, pcalio, ppart = qmap(prev_path)
+    ctot, curr, ccal, ccalio, cpart = qmap(curr_path)
     pr, cr = round_of(prev_path), round_of(curr_path)
     straddles = (pr is not None and cr is not None and
                  pr < NOOP_SINK_SINCE_ROUND <= cr)
@@ -112,15 +123,47 @@ def main(prev_path, curr_path):
         # ratios: a 0.0 calibration value on either end (possible on
         # tiny runs) must neither zero the drift factor nor divide by
         # zero in the drift-corrected lines (r12 ADVICE)
-        drift = max(ccal, 0.005) / max(pcal, 0.005)
-        print(f"- calibration probe: {pcal:.2f} s -> {ccal:.2f} s — "
+        pavg, cavg = (sum(pcal) / 2.0), (sum(ccal) / 2.0)
+        drift = max(cavg, 0.005) / max(pavg, 0.005)
+        print(f"- calibration probe (CPU): {pavg:.2f} s -> {cavg:.2f} s — "
               f"container drift factor **{drift:.2f}** "
               f"(ratios below {drift:.2f} are the container, not the code)")
+        # second probe flavor (r17 verdict item 4): the parquet
+        # write/read + shuffle probe tracks the I/O-mixed half of the
+        # workload; when the two flavors disagree the drift correction
+        # is flavor-dependent and must not adjudicate anything alone
+        iodrift = None
+        if pcalio is not None and ccalio is not None:
+            pio, cio = (sum(pcalio) / 2.0), (sum(ccalio) / 2.0)
+            iodrift = max(cio, 0.005) / max(pio, 0.005)
+            print(f"- calibration probe (I/O): {pio:.2f} s -> {cio:.2f} s "
+                  f"— drift factor **{iodrift:.2f}**")
+            if max(iodrift, drift) / min(iodrift, drift) > 1.15:
+                print("- **PROBE DISAGREEMENT**: the CPU and I/O drift "
+                      f"factors differ by {max(iodrift, drift) / min(iodrift, drift):.2f}x — "
+                      "drift-corrected ratios below are unreliable; "
+                      "adjudicate any claimed regression with a "
+                      "same-window A/B of the two trees.")
         cmed = statistics.median(r / drift for r in ratios.values()) \
             if ratios else float("nan")
         print(f"- median per-query ratio: **{med:.2f}** raw, "
               f"**{cmed:.2f}** drift-corrected over {len(ratios)} "
               "common queries")
+        # Within-round probe INSTABILITY gate (would have auto-
+        # adjudicated r17's false 1.38x): each artifact carries the
+        # probe run twice (pre/post); the observed pre/post swing bounds
+        # how much of any cross-round ratio the probes themselves can't
+        # see. If the drift-corrected median sits inside that band, the
+        # comparison is NOISE-DOMINATED, not a regression.
+        band = max(spread(pcal), spread(ccal),
+                   *([spread(pcalio)] if pcalio else []),
+                   *([spread(ccalio)] if ccalio else []))
+        if ratios and max(cmed, 1 / max(cmed, 1e-9)) <= band:
+            print(f"- **NOISE-DOMINATED**: the probes' own pre/post swing "
+                  f"(up to {band:.2f}x within one round) covers the "
+                  f"drift-corrected median ({cmed:.2f}x) — treat this "
+                  "comparison as flat unless a same-window A/B says "
+                  "otherwise.")
     else:
         print(f"- median per-query ratio over {len(ratios)} common "
               f"queries: **{med:.2f}** (the drift estimator; outliers "
