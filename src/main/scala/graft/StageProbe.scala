@@ -56,7 +56,24 @@ object StageProbe {
           val m = si.taskMetrics
           val sec = (for (a <- si.submissionTime; b <- si.completionTime)
             yield (b - a) / 1000.0).getOrElse(0.0)
-          rows.add(Row(si.stageId, si.name.takeWhile(_ != '\n'), sec,
+          // AQE stages all carry the useless "$anonfun$withThreadLocal
+          // Captured" name; the first graft frame in the stage's
+          // submission stack names the operator line that BUILT the
+          // stage's plan — coarse (plan-construction site, not
+          // per-operator) but enough to tell an edge build from an
+          // iteration from a checkpoint (r18).
+          val site = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("StageProbe"))
+            .orElse(si.details.linesIterator.find(l =>
+              l.contains("sql.execution") &&
+                !l.contains("SQLExecution") && !l.contains("withThreadLocal") &&
+                !l.contains("QueryExecution") && !l.contains("adaptive")))
+            .map(_.trim.stripPrefix("at ").takeWhile(_ != ')') + ")")
+            .getOrElse("")
+          val name = si.name.takeWhile(_ != '\n')
+          val label = if (name.startsWith("$anonfun")) site
+            else s"$name $site".trim
+          rows.add(Row(si.stageId, label, sec,
             si.numTasks, m.shuffleReadMetrics.totalBytesRead,
             m.shuffleWriteMetrics.bytesWritten, m.memoryBytesSpilled,
             m.diskBytesSpilled))

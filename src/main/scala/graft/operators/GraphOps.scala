@@ -39,11 +39,30 @@ object GraphOps {
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3,
       scale: Long = 1000000000000L): DataFrame = {
-    val forward = table(spark, dir, "orders")
-      .join(table(spark, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
+    // The forward-edge build runs BEFORE pageRankEdges' Σdeg peek can
+    // exist, so — like [[coPurchaseEdges]] — its width rule peeks the
+    // input instead: the orders⋈lineitem join emits exactly one row
+    // per lineitem row, so the pair distinct's hash aggregate holds
+    // ≤ |lineitem|/width rows of state per task. At fixed session
+    // width 32 that aggregate was the query's REAL cost at factor 100
+    // (r18 StageProbe: the two build stages spilled ~9 GB mem + 1 GB
+    // disk each and took 30 of 98 s, while the auto-widened iterations
+    // ran clean — the r17 verdict's "iteration loop dominates" guess
+    // was wrong). |lineitem| is a footer-cheap memoized count; identity
+    // at-or-below the session width, same contract as every width rule.
+    val confWidth = spark.sessionState.conf.numShufflePartitions
+    val buildWidth = math.max(confWidth,
+      math.ceil(graft.Tables.rowCount(spark, dir, "lineitem").toDouble /
+        edgeRowsPerPartition(spark)).toInt)
+    def widenB(df: DataFrame, k: Column*): DataFrame =
+      if (buildWidth > confWidth) df.repartition(buildWidth, k: _*) else df
+    val forward = widenB(
+      table(spark, dir, "orders")
+        .join(table(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+      col("src"), col("dst"))
       .distinct()
     // bipartite: reversed edges are disjoint from forward ones — the
     // union IS the symmetric closure, no second distinct needed
@@ -100,44 +119,47 @@ object GraphOps {
     * metrics-sized driver action (Σdeg exactly — the same
     * driver-coordinated adaptivity as [[triangleCountEdges]]'s strategy
     * peek), and when ⌈|E| / [[edgeRowsPerPartition]]⌉ exceeds the
-    * session shuffle width the three per-iteration edge-sized exchanges
-    * (both join inputs and the dst aggregate) are widened to it via
-    * explicit hash repartitions. Below that threshold NO repartition
-    * node is inserted at all — the plan is byte-identical to the
-    * pre-rule one, AQE keeps full control (coalescing + skew-split),
-    * and the toy-SF bench cannot move. `rowsPerPartition` (0 = the
-    * [[edgeRowsPerPartition]] memory-derived default) is a
-    * parameter only so GraphSpec can force the widened path on a toy
-    * graph and pin result-invariance across both forms.
+    * session shuffle width the edge-sized exchanges (the reused edge
+    * input and each iteration's dst aggregate) are widened to it via
+    * explicit hash repartitions, node ids are narrowed to ints when
+    * the peeked max id fits, and the iteration joins are shuffle-hash
+    * hinted so the reused edge exchange is never re-sorted. Below that
+    * threshold NO repartition node is inserted at all — the plan is
+    * byte-identical to the pre-rule one, AQE keeps full control
+    * (coalescing + skew-split), and the toy-SF bench cannot move.
+    * `rowsPerPartition` (0 = the [[edgeRowsPerPartition]]
+    * memory-derived default) is a parameter only so GraphSpec can
+    * force the widened path on a toy graph and pin result-invariance
+    * across both forms.
     */
   def pageRankEdges(edgeList: DataFrame, iters: Int,
       scale: Long = 1000000000000L,
       rowsPerPartition: Long = 0L): DataFrame = {
-    // Degrees via PARTIAL AGGREGATION + join, not a window. The groupBy
+    // Degrees via PARTIAL AGGREGATION, not a window. The groupBy
     // map-side-combines a node's count inside each input partition (the
     // exchange carries one row per partition per node, not the raw
-    // edges), and the degree-attach join is a shuffled join AQE can
-    // SKEW-SPLIT (adaptive skewJoin divides an oversized edge partition
-    // across tasks and replicates the matching one-row degree side), so
-    // no single task ever gathers a celebrity node's full adjacency.
-    // The previous window form (count over partitionBy(src)) necessarily
-    // did exactly that — one task buffers the hub's entire edge set —
-    // which made a degree-10^6 hub the stage straggler while every
-    // other task finished instantly (ScaleSmoke pagerank_celebrity).
-    // The edge list is materialized first so the degree aggregate and
-    // the attach join both read the stored partitions instead of
-    // replaying the upstream build; the attached list is materialized
-    // because every unrolled iteration re-reads it.
-    // Edge-sized materializations are DISK_ONLY (see the triangle OOM
-    // post-mortem on [[triangleCountEdges]]): the build stage's hash
-    // aggregates and the checkpoint's block materialization run in the
-    // SAME tasks, and a MEMORY_AND_DISK checkpoint's unroll buffers
-    // compete with the aggregate's pages in one unified pool. Node-sized
-    // tables (deg) keep the default level — they are ~|V| rows and never
-    // contend.
+    // edges), so no single task ever gathers a celebrity node's full
+    // adjacency. The previous window form (count over partitionBy(src))
+    // necessarily did exactly that — one task buffers the hub's entire
+    // edge set — which made a degree-10^6 hub the stage straggler while
+    // every other task finished instantly (ScaleSmoke
+    // pagerank_celebrity).
+    //
+    // deg attaches to the NODE-SIZED contribution side, never to edges
+    // (r18): `rk div deg` is a per-src value, so the former edge-sized
+    // degree-attach join + its DISK_ONLY checkpoint were paying an
+    // |E|-row join, an |E|-row disk write (20+ s and a third of the
+    // build's scratch at factor 100 — StageProbe), and a wider edge
+    // row in every iteration exchange, for a value a |V|-row
+    // (rank ⋈ deg) join computes each round at node cost.
+    //
+    // The edge list is materialized (DISK_ONLY — see the triangle OOM
+    // post-mortem on [[triangleCountEdges]]: an edge-sized
+    // MEMORY_AND_DISK checkpoint's unroll buffers compete with the
+    // build's hash aggregate in one unified pool) because the degree
+    // aggregate and every unrolled iteration re-read it. Node-sized
+    // tables (deg) keep the default level.
     val edges = edgeList.localCheckpoint(true, StorageLevel.DISK_ONLY)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
     // DELIBERATELY NOT pre-partitioned/pre-sorted on `src` (r13): a
     // repartition(src).sortWithinPartitions(src) before this checkpoint
     // would let every iteration's sort-merge join skip the edge-side
@@ -150,19 +172,24 @@ object GraphOps {
     // SPARK_GRAFT_SHUFFLE_PARTITIONS knob): 294 s at width 32 →
     // 111.6 s at width 320 = 7.0× vs the 10× smaller build — linear
     // (SCALE.md r13).
-    val withDeg = edges.join(deg, Seq("src"))
-      .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    // |E| = Σdeg exactly — a metrics-sized aggregate over the node-sized
-    // checkpointed degree table (deg itself was just materialized, so
-    // this re-reads stored blocks, not lineage). Decides iteration
-    // shuffle width the same way triangleCountEdges' peek decides its
-    // closing strategy.
-    val nEdges = deg.agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // |E| = Σdeg and max node id — ONE metrics-sized aggregate over the
+    // node-sized checkpointed degree table (deg itself was just
+    // materialized, so this re-reads stored blocks, not lineage; and
+    // symmetry means every node appears as a src, so max over deg's
+    // keys is the graph's max id). |E| decides the iteration shuffle
+    // width the same way triangleCountEdges' peek decides its closing
+    // strategy; the max id decides the int-narrowing below.
+    val peek = deg.agg(coalesce(sum(col("deg")), lit(0L)),
+      coalesce(max(col("src")).cast("long"), lit(0L))).head()
+    val (nEdges, maxNodeId) = (peek.getLong(0), peek.getLong(1))
     val confWidth = edgeList.sparkSession.sessionState.conf.numShufflePartitions
     val width = math.max(confWidth,
       math.ceil(nEdges.toDouble / (if (rowsPerPartition > 0)
         rowsPerPartition
         else edgeRowsPerPartition(edgeList.sparkSession))).toInt)
+    val wide = width > confWidth
     // Widening inserts REPARTITION-origin exchanges only ABOVE the
     // session width: the hash layout at a given width is identical to
     // what EnsureRequirements would produce, the subtree is iteration-
@@ -173,13 +200,41 @@ object GraphOps {
     // exchanges stay in the plan at an |E|-proportional width instead of
     // being frozen into the checkpoint at build width.
     def widen(df: DataFrame, k: Column): DataFrame =
-      if (width > confWidth) df.repartition(width, k) else df
-    val iterEdges = widen(withDeg, col("src"))
+      if (wide) df.repartition(width, k) else df
+    // Int-NARROWED node ids on the widened path (the r17 triangle
+    // relabel's cheap sibling): when every node id fits an int — peeked
+    // above; the trade-graph ids are synthetic 2c/2s+1 longs, int-safe
+    // until a billion customers — the ids narrow IN-PLACE (a map-side
+    // cast, no dense-relabel join, because narrowing preserves id
+    // VALUES and therefore every grouping and join), halving the
+    // reused edge exchange that every iteration re-reads and shaving
+    // the dst exchange key. Gated with the widening so toy-SF plans
+    // stay untouched; ids at or past 2^31 keep the long path (the same
+    // fallback contract as the triangle relabel).
+    val srcType = edgeList.schema("src").dataType
+    val narrow = wide && maxNodeId < Int.MaxValue.toLong
+    def nid(c: Column): Column = if (narrow) c.cast("int") else c
+    // The explicit null filter is a REUSE witness, not a semantic
+    // change (null ids are outside the symmetric-edge contract and a
+    // null src could never contribute rank through the src-keyed
+    // join anyway): the iterEdges subtree is unrolled under all
+    // `iters` joins, and constraint inference gives the INNER copies
+    // `isnotnull(src) AND isnotnull(dst)` (their dst feeds the next
+    // iteration's join) but the LAST copy only `isnotnull(src)` — a
+    // canonical mismatch that made AQE's stage cache materialize the
+    // same 1.2 GB exchange twice at factor 100 (r18, executed-plan
+    // witness). With the filter explicit, all copies are canonically
+    // identical and the exchange materializes exactly once.
+    val iterEdges = widen(
+      edges.select(nid(col("src")).as("src"), nid(col("dst")).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull),
+      col("src"))
+    val degN = deg.select(nid(col("src")).as("dnode"), col("deg"))
     // deg is one row per node BY CONSTRUCTION (groupBy output) — the
-    // node set reads it directly; the former
-    // withDeg.select(src).distinct() paid an EDGE-sized exchange for a
-    // set deg already materializes
-    val nodes = deg.select(col("src"))
+    // node set reads it directly; a withDeg.select(src).distinct()
+    // would pay an EDGE-sized exchange for a set deg already
+    // materializes
+    val nodes = degN.select(col("dnode").as("src"))
     // 1/N folds into the plan as a ONE-ROW broadcast scalar instead of a
     // driver-side count(): init = scale div n and base = (1-d)·init are
     // BIGINT floor divisions, identical to the former Scala longs — the
@@ -194,16 +249,33 @@ object GraphOps {
     var rank = nodes.crossJoin(consts)
       .select(col("src").as("node"), col("init").as("rk"))
     for (_ <- 1 to iters) {
-      rank = widen(iterEdges.join(widen(rank, col("node")),
-          col("src") === col("node"))
-        .select(col("dst"), expr("rk div deg").as("c")), col("dst"))
+      // contributions attach on the NODE-SIZED side: (rank ⋈ deg) is a
+      // |V|-row join computing c = rk div deg once per node — the
+      // identical integer value the former per-edge division produced
+      // (`div` is deterministic; where it runs cannot change the
+      // result). Above the session width the iteration join is
+      // shuffle-hash hinted with the node-sized contribution side as
+      // the build: a sort-merge join would re-SORT the |E|-row reused
+      // edge exchange every iteration for a join whose other side is
+      // node-sized.
+      val contribPlan = rank.join(
+          if (wide) degN.hint("shuffle_hash") else degN,
+          col("node") === col("dnode"))
+        .select(col("node"), expr("rk div deg").as("c"))
+      val contrib = widen(
+        if (wide) contribPlan.hint("shuffle_hash") else contribPlan,
+        col("node"))
+      rank = widen(iterEdges.join(contrib, col("src") === col("node"))
+        .select(col("dst"), col("c")), col("dst"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .crossJoin(consts)
         .select(col("dst").as("node"),
           (col("base") + expr("(17 * s) div 20")).as("rk"))
     }
-    rank
+    // cast back to the caller's id type (a no-op on the un-narrowed
+    // path) so the output schema never depends on the graph's size
+    rank.select(col("node").cast(srcType).as("node"), col("rk"))
   }
 
   /** Triangle count over the co-purchase graph (parts linked by
