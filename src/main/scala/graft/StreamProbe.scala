@@ -31,6 +31,17 @@ object StreamProbe {
         val p = e.progress
         println(s"[probe] batch=${p.batchId} rows=${p.numInputRows} " +
           s"durations=${p.durationMs}")
+        // per-operator state-store breakdown (r18, the stream_dedup
+        // drain attribution): updates vs removals vs commit is what
+        // separates "state-store puts are the cost" from "the
+        // micro-batch machinery is the cost"
+        p.stateOperators.foreach { so =>
+          println(s"[probe] state op=${so.operatorName} " +
+            s"rowsTotal=${so.numRowsTotal} updated=${so.numRowsUpdated} " +
+            s"removed=${so.numRowsRemoved} updMs=${so.allUpdatesTimeMs} " +
+            s"rmMs=${so.allRemovalsTimeMs} commitMs=${so.commitTimeMs} " +
+            s"memMB=${so.memoryUsedBytes / 1048576}")
+        }
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()

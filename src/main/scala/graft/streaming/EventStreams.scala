@@ -625,6 +625,7 @@ object EventStreams {
       mergeStream(stream, state, minJaccard = minJaccard),
       freshRunRoot("merge-stream-day", s"$dir#$mod"),
       backend = autoBackend(spark, perBatch),
+      statePartitions = autoStatePartitions(spark, perBatch),
       keyCols = Seq("doc_id"),
       schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("status", StringType),
@@ -888,6 +889,27 @@ object EventStreams {
     else None
   }
 
+  /** State-shuffle width for a drain, derived from the measured
+    * per-batch ingest the same way [[autoBackend]] derives the store
+    * backend. The r11 sweep fixed 4 as the toy-fixture optimum
+    * (thousands of keys; more partitions only multiply per-batch
+    * commit fan-out — the interval join opens FOUR stores per
+    * partition per batch), and 4 stays the floor so every declared
+    * toy fixture keeps its exact layout and bytes. The r18 sf30
+    * StreamProbe run showed where 4 must RISE: stream_dedup's 6 M-row
+    * batches spent ~17 s of summed task time in state-store puts
+    * behind a 4-way state shuffle on a 32-slot box (addBatch was 95%
+    * of every trigger; walCommit/planning/offsets ≤ 100 ms) — puts
+    * are the drain, and they parallelize exactly per state partition.
+    * One partition per ~1M rows of the largest batch, floor 4, capped
+    * at the worker slot count; like every auto rule here it only ever
+    * RAISES the default, never overrides a caller's explicit count.
+    */
+  private[graft] def autoStatePartitions(spark: SparkSession,
+      bufferedRowsPerBatch: Long): Int =
+    math.min(math.max(4, (bufferedRowsPerBatch / 1000000L).toInt),
+      graft.Sessions.workerSlots(spark))
+
   /** Per-slice row counts of a replay drop folder, read from parquet
     * FOOTER metadata only (no row scan — O(files) driver-side opens,
     * the same bounded-metadata class as the graph Σdeg peek). The
@@ -939,6 +961,7 @@ object EventStreams {
       candleStream(eventsStream(spark, drop), lateness),
       freshRunRoot("stream-candles", s"$dir#$slices"),
       backend = autoBackend(spark, perBatch),
+      statePartitions = autoStatePartitions(spark, perBatch),
       keyCols = Seq("symbol", "ts"),
       schema = StructType(Seq(StructField("symbol", StringType),
         StructField("ts", TimestampType),
@@ -1040,6 +1063,7 @@ object EventStreams {
       freshRunRoot("stream-followups",
         s"$dir#$slices#$windowMinutes#$threshold#$lateness"),
       backend = autoBackend(spark, perBatch),
+      statePartitions = autoStatePartitions(spark, perBatch),
       schema = StructType(Seq(StructField("user_id", LongType),
         StructField("sig_event_id", LongType),
         StructField("sig_ts", TimestampType),
@@ -1157,6 +1181,7 @@ object EventStreams {
       dedupStream(eventsStream(spark, drop), lateness),
       freshRunRoot("stream-dedup", s"$dir#$slices#$dupMod#$lateness"),
       backend = autoBackend(spark, perBatch),
+      statePartitions = autoStatePartitions(spark, perBatch),
       schema = eventsRawSchema)
   }
 
@@ -1198,6 +1223,7 @@ object EventStreams {
           round(col("ema"), 6).as("ema")),
       freshRunRoot("stream-ema", s"$dir#$slices#$n"),
       backend = autoBackend(spark, perBatch),
+      statePartitions = autoStatePartitions(spark, perBatch),
       schema = StructType(Seq(StructField("symbol", StringType),
         StructField("ts", TimestampType),
         StructField("close", DoubleType),
