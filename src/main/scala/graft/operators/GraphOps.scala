@@ -20,13 +20,17 @@ import graft.Tables
   * unrolled. Floating-point PageRank cannot make that promise: double
   * accumulation order varies with the shuffle.
   *
-  * Scale story: the edge list is built once (one distinct-shuffle),
+  * Scale story: the edge list is built once (one distinct-shuffle,
+  * auto-widened from a footer-cheap |lineitem| peek),
   * `localCheckpoint`ed so the per-iteration joins reuse the materialized
   * graph instead of re-shuffling lineitem; each iteration is one
   * node-keyed join + one dst-keyed aggregate (two exchanges), the same
-  * per-round cost as the dedup label-propagation loop. Degrees attach to
-  * edges ONCE outside the loop. At 100 TB the graph build dominates;
-  * iterations touch only (src, dst, deg, rank) longs.
+  * per-round cost as the dedup label-propagation loop. Degrees attach
+  * to the NODE-SIZED rank frame inside the loop (r18 — `rk div deg` is
+  * a per-src value; the former edge-sized degree attach paid an |E|-row
+  * join and checkpoint for it), and node ids narrow to ints when they
+  * fit. At 100 TB the graph build dominates; iterations touch only
+  * (src, dst) int pairs plus node-sized rank rows.
   */
 object GraphOps {
   import Tables.table
