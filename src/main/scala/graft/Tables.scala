@@ -132,6 +132,44 @@ object Tables {
   private val countCache = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
 
+  /** Scale-adaptive widen for CPU-dense per-row pipelines (tokenize +
+    * shingle + digest, codec decodes, embedding parses) that sit DIRECTLY
+    * on a parquet scan. Scan parallelism is split-bound — ceil(bytes /
+    * `spark.sql.files.maxPartitionBytes`) tasks at most, and row-group
+    * granularity can make it even lower (the driver fixtures are one
+    * row group per table, so every scan-rooted pipeline runs its whole
+    * expression chain on ONE task regardless of cores — StageProbe r18:
+    * dedup_keep_best's two hottest stages ran 1 and 2 tasks on a 32-slot
+    * box). The guide's fix for unsplittable/small inputs is to
+    * repartition right after the read (guide §2.5 "input skew"); this
+    * helper inserts that round-robin exchange ONLY when the source is
+    * provably too small for the scan to reach the session's slots by
+    * itself: estimated plan bytes < maxPartitionBytes × slots. At
+    * production scale the predicate is false (any TB-range table makes
+    * more splits than cores) and the plan is UNTOUCHED — no payload
+    * byte is ever shuffled for parallelism the scan already has. The
+    * width is the session's defaultParallelism, never a constant, so
+    * the same rule sizes correctly at any core count (the driver's
+    * low-core bench run included). Round-robin repartition is
+    * deterministic under task retry (sort-before-repartition is on by
+    * default — SPARK-23207) and every consumer of a widened frame is
+    * order-independent (aggregates / joins / per-row maps), so results
+    * are bit-identical — the oracle gate re-proves it per round.
+    */
+  def widenCpu(df: DataFrame): DataFrame = {
+    // Streaming frames pass through untouched: their micro-batch size is
+    // unknowable at plan-construction time (optimizedPlan cannot even be
+    // built before writeStream.start()), and the drains already derive
+    // their parallelism from the replay slice geometry
+    // (EventStreams.autoStatePartitions).
+    if (df.isStreaming) return df
+    val spark = df.sparkSession
+    val slots = math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(maxSplit) * slots) df.repartition(slots) else df
+  }
+
   private def resolveTable(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

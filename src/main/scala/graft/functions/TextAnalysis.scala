@@ -42,9 +42,19 @@ object TextAnalysis {
   private def markerCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(normText(c), lit("\\b" + pattern + "\\b"), lit(1)))
 
+  /** Scale-adaptive scan widen for the tokenize/regex/digest pipelines
+    * in this module — every one of them runs its per-row CPU inside the
+    * scan stage, whose parallelism is split-bound (1 task on the
+    * single-row-group driver fixtures). See [[graft.Tables.widenCpu]]:
+    * inserts a round-robin exchange only when the source is provably too
+    * small for the scan to reach the session's slots; a no-op at
+    * production scale.
+    */
+  private def wide(docs: DataFrame): DataFrame = graft.Tables.widenCpu(docs)
+
   /** Token/char statistics per document. */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(
+    wide(docs).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -60,7 +70,7 @@ object TextAnalysis {
     * oracle-checkable; ratio to whitespace tokens ≈ subwords-per-word.
     */
   def bpeTokenEstimate(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), normText(col("text")).as("n"),
+    wide(docs).select(col("doc_id"), normText(col("text")).as("n"),
       size(tokens(col("text"))).cast("long").as("n_words"))
       .select(
         col("doc_id"),
@@ -100,7 +110,7 @@ object TextAnalysis {
     * exact expression (including evaluation order) is mirrored in SQL.
     */
   def qualityScore(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), qualityCol(col("text")).as("quality"))
+    wide(docs).select(col("doc_id"), qualityCol(col("text")).as("quality"))
 
   /** Language ID by marker-word counts with a fixed priority tie-break
     * (en > de > es > fr), written as the same CASE chain in SQL.
@@ -110,7 +120,7 @@ object TextAnalysis {
       l -> markerCount(col("text"), p)
     }
     val Seq(en, de, es, fr) = counts.map(_._2)
-    docs.select(
+    wide(docs).select(
       col("doc_id"), col("lang").as("lang_declared"),
       // NULL text predicts NULL, not 'fr': with NULL marker counts every
       // >= condition is NULL (skipped) and the chain would fall through
@@ -164,6 +174,11 @@ object TextAnalysis {
     * top-k window. The corpus size N joins in as a broadcast single row.
     */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    // NOT widened (r18): measured 0.79 → 1.15 s with the scan widen —
+    // the tokenize pass is one explode feeding a (doc, term) aggregate,
+    // and the added exchange costs more than the parallelism buys here
+    // (same verdict as vocabEncode/bigramCollocations; the map-dominated
+    // pipelines are where widening wins)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -251,7 +266,7 @@ object TextAnalysis {
     * scan-stage pipelined at any scale.
     */
   def repetitionStats(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    wide(docs).select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"),
         ngramsFromTokens(col("w"), 2).as("g2"),
         ngramsFromTokens(col("w"), 3).as("g3"))
@@ -274,6 +289,8 @@ object TextAnalysis {
     */
   def bigramCollocations(docs: DataFrame, minCount: Long = 3,
       topK: Int = 20): DataFrame = {
+    // NOT widened (r18): measured 0.72 → 0.93 s with the scan widen —
+    // see tfidfTopTerms
     val bg = docs.select(tokens(col("text")).as("w"))
       .select(ngramsFromTokens(col("w"), 2).as("g"))
       .select(explode(col("g")).as("bigram"))
@@ -320,7 +337,7 @@ object TextAnalysis {
     */
   def lmCoverage(docs: DataFrame, minCount: Long = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val bg = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val bg = wide(docs).select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), ngramsFromTokens(col("w"), 2).as("g"))
       .select(col("doc_id"), explode_outer(col("g")).as("bigram"))
       .select(col("doc_id"),
@@ -486,7 +503,7 @@ object TextAnalysis {
       .otherwise(array(concat_ws(" ", col("t"))))
     // staged projections: each lambda body references only the previous
     // stage's column (subtrees inside a lambda re-evaluate per element)
-    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    wide(docs).select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"),
         transform(col("g"),
@@ -512,6 +529,9 @@ object TextAnalysis {
     * any engine.
     */
   def invertedIndex(docs: DataFrame, maxDf: Int = 20): DataFrame = {
+    // NOT widened (r18): measured 0.49 → 0.67 s with the scan widen —
+    // the tokenize explode feeds straight into the distinct exchange,
+    // so the extra repartition buys nothing (see tfidfTopTerms)
     val posting = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
@@ -693,6 +713,8 @@ object TextAnalysis {
     // and the explode_outer convention lmCoverage/dsirWeights already
     // follow; plain posexplode would silently drop the doc and make
     // doc counts disagree with tokenStats on the same corpus
+    // NOT widened (r18): measured 0.75 → 0.92 s with the scan widen —
+    // see tfidfTopTerms
     val toks = docs.select(col("doc_id"),
       posexplode_outer(tokens(col("text"))).as(Seq("pos", "tok")))
     // the NULL-tok placeholder rows stay out of the vocabulary: a NULL
@@ -748,10 +770,13 @@ object TextAnalysis {
     val qdf = spark.createDataFrame(
       queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
       .toDF("query_id", "term")
-    val corpus = docs
+    // one widened base for both tokenize passes (corpus stats + the
+    // exploded token stream) — identical exchanges, AQE materializes once
+    val d = wide(docs)
+    val corpus = d
       .agg(count(lit(1)).as("n_docs"),
         sum(size(tokens(col("text"))).cast("long")).as("total_len"))
-    val exploded = docs.select(col("doc_id"),
+    val exploded = d.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("len"),
       explode(tokens(col("text"))).as("term"))
     val tf = exploded
@@ -848,7 +873,8 @@ object TextAnalysis {
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
       nBuckets: Int = 256): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val bg = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    val bg = wide(docs)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("lang"), ngramsFromTokens(col("w"), 2).as("g"))
       .select(col("doc_id"), col("lang"), explode_outer(col("g")).as("bigram"))
       .select(col("doc_id"), col("lang"),

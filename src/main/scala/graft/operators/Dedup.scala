@@ -73,7 +73,13 @@ object Dedup {
     */
   private def shingleTable(docs: DataFrame, n: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // widenCpu: the tokenize→shingle→md5 chain is the pipeline's CPU,
+    // and it runs INSIDE the scan stage — split-bound parallelism, one
+    // task on single-row-group fixtures (StageProbe r18). Widen only
+    // when the scan provably can't reach the session's slots; no-op at
+    // production scale (see Tables.widenCpu).
+    graft.Tables.widenCpu(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
@@ -95,7 +101,9 @@ object Dedup {
     // bit-compatible with every other sha consumer (jaccard
     // verification, LSH) by construction, not by parallel copy
     val carried = extra.map { case (nm, _) => col(nm) }
-    docs.select(col("doc_id") +:
+    // same CPU-widen rationale as [[shingleTable]] — the whole-array
+    // form tokenizes and digests per row inside the scan stage too
+    graft.Tables.widenCpu(docs).select(col("doc_id") +:
         extra.map { case (nm, e) => e.as(nm) } :+
         tokens(col("text")).as("t"): _*)
       .select(col("doc_id") +: carried :+

@@ -205,6 +205,10 @@ object Similarity {
       embeddings.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           sqrt(normSqDecimal(col("embedding"))).as("q_norm")))
+    // NOT widened (r18): measured flat (0.29 → 0.32 s), and the widen's
+    // round-robin exchange would carry the embedding arrays — the exact
+    // shape the "no shuffle ever carries an embedding" plan pin exists
+    // to forbid (phase-1 already prunes with keys only).
     val corpus = embeddings.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("embedding"))
     // phase-1 pruning runs entirely in doubles — the corpus norm here is
@@ -228,9 +232,12 @@ object Similarity {
     */
   def nearDupPairs(embeddings: DataFrame, minSim: Double = 0.3): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    // norms once per vector (n rows), not once per pair (n² rows)
-    val withNorm = embeddings.select(col("label"), col("vec_id"),
-      col("embedding"), sqrt(normSqDecimal(col("embedding"))).as("nrm"))
+    // norms once per vector (n rows), not once per pair (n² rows);
+    // widenCpu parallelizes the per-row decimal norm out of the
+    // split-bound scan stage (no-op at production scale)
+    val withNorm = graft.Tables.widenCpu(embeddings)
+      .select(col("label"), col("vec_id"),
+        col("embedding"), sqrt(normSqDecimal(col("embedding"))).as("nrm"))
     val a = withNorm.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = withNorm.select(col("label"), col("vec_id").as("vec_b"),
@@ -439,7 +446,13 @@ object Similarity {
     */
   def kmeansAssign(embeddings: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    assignTo(embeddings, centroidVectors(embeddings))
+    // widenCpu: the per-row decimal norm + cell argmax in assignTo is
+    // the CPU core and runs map-side on the scan — split-bound
+    // parallelism (the srp parallelism-floor lesson, r15). Widened HERE
+    // rather than in assignTo so the pinned-exchange-pure IVF probe
+    // paths stay untouched. No-op at production scale.
+    assignTo(graft.Tables.widenCpu(embeddings),
+      centroidVectors(embeddings))
   }
 
   /** [[labelCentroids]] re-assembled into per-label centroid ARRAYS —
@@ -472,6 +485,10 @@ object Similarity {
     */
   def assignTo(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
+    // assignTo itself never widens: the IVF probe paths route through
+    // here and their plans are pinned exchange-pure (no shuffle may
+    // carry a vector array). The kmeans callers widen their corpus side
+    // before calling in — see kmeansAssign/kmeansLloyd.
     withAssignedCell(
       embeddings.select(col("vec_id"), vec(col("embedding")).as("v"),
         sqrt(normSqDecimal(col("embedding"))).as("nrm")),
@@ -549,7 +566,8 @@ object Similarity {
         col("assigned_label").as("label")).localCheckpoint()
       val relabeled = embeddings.select(col("vec_id"), col("embedding"))
         .join(labels, Seq("vec_id"))
-      assigned = assignTo(embeddings, centroidVectors(relabeled))
+      assigned = assignTo(graft.Tables.widenCpu(embeddings),
+        centroidVectors(relabeled))
       i += 1
     }
     assigned.select(col("vec_id"), col("assigned_label").as("cluster"),
