@@ -58,6 +58,11 @@ object GraphOps {
     val buildWidth = math.max(confWidth,
       math.ceil(graft.Tables.rowCount(spark, dir, "lineitem").toDouble /
         edgeRowsPerPartition(spark)).toInt)
+    // Conditional below the session width (NOT the coPurchaseEdges
+    // always-explicit form — measured 1.88 → 2.39 s at sf0.1 with it):
+    // the checkpointed edge list inherits the build's partitioning, and
+    // forcing 32 partitions of a toy graph taxes every iteration join
+    // 3× over, where triangle reads its edge list once per attach.
     def widenB(df: DataFrame, k: Column*): DataFrame =
       if (buildWidth > confWidth) df.repartition(buildWidth, k: _*) else df
     val forward = widenB(
@@ -345,8 +350,16 @@ object GraphOps {
     val width = math.max(confWidth,
       math.ceil(2.0 * graft.Tables.rowCount(spark, dir, "lineitem") /
         edgeRowsPerPartition(spark)).toInt)
+    // Explicit width ALWAYS (r18): the per-order pair explode and the
+    // pair distinct are CPU-dense (C(n,2) struct fan-out per order), and
+    // AQE's byte-based coalescing squeezed both to ~4 tasks at bench
+    // scale (StageProbe: 1.2 s of the query on 3-4 tasks). An explicit
+    // repartition count is exempt from coalescing, the groupBy/distinct
+    // reuse the partitioning (no extra exchange), and width stays the
+    // |E|-proportional rule above the session width — so at scale the
+    // plan is unchanged. Measured r18 (sf0.1, min-of-5): see SCALE.md.
     def widen(df: DataFrame, k: Column*): DataFrame =
-      if (width > confWidth) df.repartition(width, k: _*) else df
+      df.repartition(width, k: _*)
     widen(widen(li, col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -629,7 +642,23 @@ object GraphOps {
             .cast("long").as("c"))
           .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
       } else {
-        widen(widen(oriented, col("src"))
+        // Below-cap closing: both attaches broadcast, so the whole
+        // per-edge intersection runs map-side at the `oriented`
+        // checkpoint's partitioning — which is the edge BUILD's output
+        // width (AQE byte-coalesced; 3 partitions at sf0.1). Bytes are
+        // the wrong proxy for the intersection's CPU (sorted-array
+        // intersect per edge), so when the checkpoint has fewer
+        // partitions than the session has slots, round-robin the edge
+        // stream up to the slot count first — a below-cap graph is
+        // ≤ broadcastEdgeLimit rows by construction, so the repartition
+        // is bounded-cheap at ANY deployment, and a checkpoint already
+        // at ≥ slots partitions (every at-scale layout) skips it.
+        // Measured r18 (sf0.1, min-of-5 A/B): 3.69 → 2.93 s.
+        val slots = math.max(1,
+          oriented.sparkSession.sparkContext.defaultParallelism)
+        val probe = if (oriented.rdd.getNumPartitions < slots)
+          oriented.repartition(slots) else oriented
+        widen(widen(probe, col("src"))
             .join(broadcast(adjU), Seq("src")), col("dst"))
           .join(broadcast(adjV), Seq("dst"))
           .select(size(array_intersect(col("nu"), col("nv")))
