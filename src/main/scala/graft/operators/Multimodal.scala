@@ -97,7 +97,13 @@ object Multimodal {
   def syntheticImages(ids: DataFrame, idCol: String = "doc_id"): Dataset[Media] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    // widenCpu (r18): the codec encode AND the downstream decode both
+    // run at this frame's partitioning — split-bound (one task on the
+    // single-row-group fixtures) without the widen. The id column is
+    // bytes-trivial to shuffle; no-op at production scale, where media
+    // arrives from a many-split binary scan.
+    graft.Tables.widenCpu(ids.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         Media(id, "image/png",
           encodePng(id, 8 + (id % 9).toInt, 8 + (id % 7).toInt))
@@ -306,7 +312,9 @@ object Multimodal {
   def syntheticAudio(ids: DataFrame, idCol: String = "doc_id"): Dataset[Media] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    // widenCpu: see syntheticImages
+    graft.Tables.widenCpu(ids.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map(id => Media(id, "audio/wav",
         encodeWav(id, 400 + (id % 37).toInt)))
     }
@@ -457,7 +465,9 @@ object Multimodal {
   def syntheticVideos(ids: DataFrame, idCol: String = "doc_id"): Dataset[Media] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    // widenCpu: see syntheticImages
+    graft.Tables.widenCpu(ids.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         Media(id, "video/x-frame-packed",
           encodeVideo(id, 2 + (id % 3).toInt,
