@@ -350,9 +350,13 @@ object SparkEntry {
     "session_window_agg" -> ((s, dir) =>
       TimeSeriesOps.sessionWindowAgg(Tables.table(s, dir, "events"), 30)),
 
-    // exact interpolated median (percentile) per group
+    // exact interpolated median (percentile) per group. widenCpu (r18):
+    // percentile's partial buffers collect every value — that update
+    // loop ran on the single-split scan's ONE task; hash-keyed widen
+    // spreads it over the slots and the 3-group merge stays tiny.
+    // Exact percentile is partitioning-invariant. No-op at scale.
     "median_prices" -> ((s, dir) =>
-      Tables.table(s, dir, "lineitem")
+      Tables.widenCpu(Tables.table(s, dir, "lineitem"), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6)
           .as("median_price"),
@@ -379,6 +383,13 @@ object SparkEntry {
       // mixed 6.2 s vs 0.8 + 2.1 s split (r16; the cost was invisible
       // while count() pruned aggregate value expressions). The array
       // percentile shares one buffer/sort for both gate bounds.
+      // NOT widened (r18): tried widenCpu(l_orderkey) and measured it
+      // WORSE both ways in reversed-order same-window A/Bs (1.52→1.95,
+      // then 1.49→2.60 min-of-5) — with only 3 groups, merging 32
+      // serialized sketch/percentile partial buffers per branch costs
+      // more than the single-task update loop it parallelizes (the
+      // opposite of median_prices, whose one exact-percentile agg DID
+      // win). Each site carries its own measured number.
       val li = Tables.table(s, dir, "lineitem")
       val sketches = li.groupBy(col("l_returnflag"))
         .agg(
@@ -793,7 +804,12 @@ object SparkEntry {
       // quality gate + token count FUSED into one projection over the scan
       // (no semi-join against a separate quality table — the score is a
       // per-row expression, so a filter is the same result for less work)
-      docs.select(col("doc_id"), col("lang"),
+      // widenCpu (r18): the fused quality+token projection is a second
+      // scan-rooted tokenize pass (the jaccardPairs branch widens
+      // internally via shingleTable) — without it the whole chain ran
+      // on the single-split scan's one task. No-op at scale.
+      Tables.widenCpu(docs, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
           TextAnalysis.qualityCol(col("text")).as("quality"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
         .filter(col("quality") >= 0.5)

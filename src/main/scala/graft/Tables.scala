@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,7 +156,7 @@ object Tables {
     * order-independent (aggregates / joins / per-row maps), so results
     * are bit-identical — the oracle gate re-proves it per round.
     */
-  def widenCpu(df: DataFrame): DataFrame = {
+  def widenCpu(df: DataFrame, keys: Column*): DataFrame = {
     // Streaming frames pass through untouched: their micro-batch size is
     // unknowable at plan-construction time (optimizedPlan cannot even be
     // built before writeStream.start()), and the drains already derive
@@ -167,7 +167,21 @@ object Tables {
     val slots = math.max(1, spark.sparkContext.defaultParallelism)
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(maxSplit) * slots) df.repartition(slots) else df
+    if (bytes < BigInt(maxSplit) * slots) {
+      // Keyed form for aggregate/window pipelines: HASH-repartition on
+      // `keys` instead of round-robin. Two wins over the keyless form:
+      // (a) no sort-before-repartition pass on the (single) map task —
+      // hash placement is already retry-deterministic; (b) when `keys`
+      // is a subset of the downstream groupBy/Window clustering, the
+      // widen exchange SATISFIES that distribution (HashPartitioning ⊆
+      // ClusteredDistribution, SPARK-35703) and replaces the aggregate's
+      // own exchange — one shuffle buys both placement and parallelism.
+      // Callers must pick a key with ≫ slots distinct values (guide
+      // §2.5: 20–100× more keys than partitions) — lineitem callers use
+      // l_orderkey/l_partkey (150k/20k distinct at sf0.1).
+      if (keys.isEmpty) df.repartition(slots)
+      else df.repartition(slots, keys: _*)
+    } else df
   }
 
   private def resolveTable(spark: SparkSession, sfDir: String,

@@ -29,7 +29,12 @@ object Analytics {
     * pre-aggregated partials per (returnflag, linestatus) — 6 groups.
     */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+    // widenCpu (r18): the scan-side partial aggregate is the whole query
+    // — four DECIMAL accumulators over every row — and the single-split
+    // bench fixture ran it on ONE task. Keyed on l_orderkey (150k
+    // distinct) so the widen is a plain hash exchange, no local sort.
+    // No-op at production scale; decimal sums are partitioning-invariant.
+    Tables.widenCpu(table(spark, dir, "lineitem"), col("l_orderkey"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
@@ -117,7 +122,13 @@ object Analytics {
     */
   def largeQuantityOrders(spark: SparkSession, dir: String,
       minQty: Int = 250, k: Int = 100): DataFrame = {
-    val big = Tables.table(spark, dir, "lineitem")
+    // widenCpu on the HAVING aggregate's own key (r18): the widen
+    // exchange satisfies groupBy(l_orderkey)'s distribution, so the
+    // aggregate's exchange disappears — one shuffle buys placement AND
+    // parallelism where the single-split scan ran one task. No-op at
+    // production scale.
+    val big = Tables.widenCpu(Tables.table(spark, dir, "lineitem"),
+        col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("sum_qty_dec"))
       .filter(col("sum_qty_dec") > minQty)
@@ -245,7 +256,12 @@ object Analytics {
     */
   def dominantPartSuppliers(spark: SparkSession, dir: String,
       mult: Double = 3.0, minSuppliers: Int = 3): DataFrame = {
-    val l = table(spark, dir, "lineitem")
+    // widenCpu on l_partkey (r18): one hash exchange satisfies BOTH the
+    // (l_partkey, l_suppkey) aggregate (subset clustering) and the
+    // l_partkey window that follows — the plan's own two exchanges
+    // collapse into the widen. No-op at production scale.
+    val l = Tables.widenCpu(table(spark, dir, "lineitem"),
+      col("l_partkey"))
     val bySupp = l.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("sq"))
     // per-part totals derive from the (partkey, suppkey) aggregate via a
@@ -365,7 +381,9 @@ object Analytics {
 
   /** Broadcast dim⋈fact: per-brand sales stats (part is the small side). */
   def brandStats(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+    // widenCpu (r18): broadcast probe + DECIMAL partials off the
+    // single-split scan's one task. No-op at production scale.
+    Tables.widenCpu(table(spark, dir, "lineitem"), col("l_partkey"))
       .join(broadcast(table(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
@@ -404,6 +422,11 @@ object Analytics {
     * threshold compare is bit-identical to DuckDB's.
     */
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame =
+    // NOT widened (r18): widenCpu(l_partkey) on the shared view measured
+    // WORSE in reversed-order same-window A/Bs (0.68→0.82, 0.65→0.79
+    // min-of-5) — the view is scanned twice (main branch + decorrelated
+    // average), so the widen exchange is paid twice while each branch's
+    // per-row work is light. Each site carries its own measured number.
     withTempViews(spark, Seq(
       "lineitem_v" -> table(spark, dir, "lineitem"),
       "part_v" -> table(spark, dir, "part"))) { case Seq(li, pt) =>
@@ -508,7 +531,9 @@ object Analytics {
     */
   def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
     val zero = lit(0).cast("decimal(24,8)")
-    table(spark, dir, "lineitem")
+    // widenCpu (r18): part broadcasts, so probe + conditional DECIMAL
+    // revenue ran on the scan's one task at bench scale. No-op at scale.
+    Tables.widenCpu(table(spark, dir, "lineitem"), col("l_partkey"))
       .join(table(spark, dir, "part"), col("p_partkey") === col("l_partkey"))
       .groupBy(year(col("l_shipdate")).cast("int").as("l_year"))
       .agg(
@@ -569,8 +594,13 @@ object Analytics {
     */
   def importantPartValues(spark: SparkSession, dir: String,
       fraction: Double = 0.0005): DataFrame =
+    // widenCpu on the aggregate key (r18): the per-part groupBy's
+    // exchange is satisfied by the widen's partitioning and the global
+    // scalar sum's partials parallelize too. No-op at production scale.
     withTempViews(spark, Seq(
-      "q11_lineitem" -> table(spark, dir, "lineitem"))) { case Seq(li) =>
+      "q11_lineitem" ->
+        Tables.widenCpu(table(spark, dir, "lineitem"),
+          col("l_partkey")))) { case Seq(li) =>
       s"""SELECT l_partkey, CAST(val AS DOUBLE) AS value FROM (
          |  SELECT l_partkey,
          |    sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS val
@@ -609,7 +639,10 @@ object Analytics {
   def nationProfitByYear(spark: SparkSession, dir: String): DataFrame = {
     val cost = (col("p_retailprice") * col("l_quantity") * lit(0.1))
       .cast("decimal(24,8)")
-    table(spark, dir, "lineitem")
+    // widenCpu (r18): all four dimension joins broadcast, so the entire
+    // probe+DECIMAL-profit pipeline ran map-side on the single-split
+    // scan's ONE task. Hash-keyed widen spreads it; no-op at scale.
+    Tables.widenCpu(table(spark, dir, "lineitem"), col("l_orderkey"))
       .join(table(spark, dir, "part"), col("p_partkey") === col("l_partkey"))
       .join(table(spark, dir, "supplier"),
         col("s_suppkey") === col("l_suppkey"))
@@ -630,6 +663,10 @@ object Analytics {
   def priorityLineCounts(spark: SparkSession, dir: String,
       shipYear: Int = 1997): DataFrame = {
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    // NOT widened (r18): widenCpu after the year filter measured flat-
+    // to-worse (0.40→0.42, 0.33→0.42 min-of-5, reversed-order windows)
+    // — the post-filter CASE-count work is too light to buy back the
+    // exchange. Each site carries its own measured number.
     table(spark, dir, "lineitem")
       .filter(year(col("l_shipdate")) === shipYear)
       .join(table(spark, dir, "orders"),
