@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 /** Measurement harness (like PerfProbe/CountPlan — never part of a
   * declared query): generic per-STAGE cost table for any declared query,
@@ -48,7 +48,20 @@ object StageProbe {
     // wait out the warm run's tail BEFORE arming capture (r17 ADVICE).
     val seen = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var capture = false
+    // Per-stage task durations (r18): a stage that stays slow after a
+    // width fix is either SKEWED (max ≫ median task) or
+    // constant-dominated (max ≈ median, both small vs stage wall) —
+    // stage-level numbers cannot tell the two apart. Guide §2.5's
+    // max/median diagnostic, captured per stage.
+    val taskSecs = new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]]()
     val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (capture && e.taskInfo != null) taskSecs
+          .computeIfAbsent(e.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[
+              java.lang.Double]())
+          .add(e.taskInfo.duration / 1000.0)
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         seen.incrementAndGet()
         if (capture) {
@@ -109,16 +122,23 @@ object StageProbe {
       capture = false
       println(f"[stage] == $n: total $total%.2f s, ${rows.size} stages " +
         s"(warm run, noop sink, $sfDir) ==")
-      println("[stage] | stage | sec | tasks | shuf read MB | " +
-        "shuf write MB | spill mem MB | spill disk MB |")
+      println("[stage] | stage | sec | tasks | task max/med s | " +
+        "shuf read MB | shuf write MB | spill mem MB | spill disk MB |")
       val it = rows.iterator()
       var all = List.empty[Row]
       while (it.hasNext) all = it.next() :: all
       all.sortBy(-_.sec).foreach { r =>
+        val ts = Option(taskSecs.get(r.id)).map { q =>
+          val a = q.toArray(Array.empty[java.lang.Double])
+            .map(_.doubleValue).sorted
+          if (a.isEmpty) "-"
+          else f"${a.last}%.2f/${a(a.length / 2)}%.2f"
+        }.getOrElse("-")
         println(s"[stage] | ${r.id} ${r.name} | ${f"${r.sec}%.2f"} | " +
-          s"${r.tasks} | ${mb(r.shufRead)} | ${mb(r.shufWrite)} | " +
+          s"${r.tasks} | $ts | ${mb(r.shufRead)} | ${mb(r.shufWrite)} | " +
           s"${mb(r.spillMem)} | ${mb(r.spillDisk)} |")
       }
+      taskSecs.clear()
       Sessions.releaseCaches(spark)
       System.gc()
     }

@@ -149,7 +149,17 @@ object Dedup {
         collect_list(struct(col("doc_id"), col("n_sh")))
       else udaf(new graft.functions.CappedDocList(maxDf.toInt))
         .apply(col("doc_id"), col("n_sh"))
-    val pairs = sh
+    // Keyed widen BEFORE the group (r18): the pair-explode + size prune
+    // + count partials run in the stage AFTER the groupBy's exchange,
+    // and AQE byte-coalesced that stage to 4 tasks at bench scale
+    // (StageProbe: 1.07 s of the query's 3.9 s on 4 tasks — bytes are
+    // the wrong proxy for the df-quadratic combination explode). The
+    // explicit REPARTITION_BY_NUM exchange is exempt from coalescing
+    // and satisfies groupBy(shash)'s distribution, so it REPLACES the
+    // aggregate's own exchange — same shuffle count, full width. No-op
+    // at production scale (widenCpu's size predicate), where the
+    // groupBy's own exchange keeps the cluster's shuffle width.
+    val pairs = graft.Tables.widenCpu(sh, col("shash"))
       .groupBy(col("shash"))
       .agg(array_sort(collected).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -334,7 +344,14 @@ object Dedup {
     // non-discriminative (standard LSH practice is to drop them — their
     // members still pair up via their other bands). Default keeps exact
     // semantics.
-    val members = buckets.groupBy(col("band"), col("bucket"))
+    // Keyed widen before the bucket group (r18): same AQE-byte-coalesce
+    // disease as jaccardPairs — the member explode + candidate distinct
+    // run after this exchange and coalesce to a handful of tasks at
+    // bench scale. REPARTITION_BY_NUM is exempt and satisfies the
+    // group's distribution (no extra exchange). No-op at scale.
+    val members = graft.Tables
+      .widenCpu(buckets, col("band"), col("bucket"))
+      .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucketSize)
     val candidates = members
@@ -679,10 +696,16 @@ object Dedup {
         "60-bit simhash")
     val fp = simhashFingerprints(docs)
     val mask = (1L << bandBits) - 1
-    val banded = fp
+    // Keyed widen on the band join key (r18): both self-join sides
+    // derive from this frame, so each side's widen exchange satisfies
+    // the join's distribution — the join and the pair filter/distinct
+    // run at full width instead of AQE's byte-coalesced handful of
+    // tasks. No-op at production scale.
+    val banded = graft.Tables.widenCpu(fp
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("key", expr(s"(simhash >> (band * $bandBits)) & $mask"))
+      .withColumn("key", expr(s"(simhash >> (band * $bandBits)) & $mask")),
+      col("band"), col("key"))
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"),
       col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"),
@@ -716,7 +739,11 @@ object Dedup {
       maxDf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clusters = nearDupClusters(docs, n, minJaccard, maxDf = maxDf)
-    val scored = docs
+    // widenCpu (r18): the quality projection is a second scan-rooted
+    // tokenize pass (the cluster branch widens inside shingleTable) —
+    // unwidened it ran on the single-split scan's one task. No-op at
+    // production scale.
+    val scored = graft.Tables.widenCpu(docs, col("doc_id"))
       .select(col("doc_id"), TextAnalysis.qualityCol(col("text"))
         .as("quality"))
       .join(clusters, Seq("doc_id"), "left")
