@@ -555,12 +555,41 @@ object EventStreams {
     * scale this is raised, not lowered. Restored after the drain
     * (queries run sequentially in Bench/Verify).
     */
+  /** Skip the trailing NO-DATA micro-batch inside a bounded drain (r18,
+    * StreamProbe attribution at sf0.1): after the last data file,
+    * `AvailableNow` schedules one extra zero-row batch purely for eager
+    * state eviction — measured at 0.65–0.84 s of the 3.6 s
+    * `stream_followups` drain (state-store iteration + 16 store commits
+    * for 0 input rows), and comparable in every watermarked drain. For
+    * ALL FIVE declared drains that batch provably emits NOTHING, so the
+    * drained result is row-identical without it (oracle- and
+    * StreamingSpec-gated):
+    *  - inner interval join (followups): eviction emits only for OUTER
+    *    joins;
+    *  - update-mode aggregate (candles): eviction emits only in APPEND
+    *    mode;
+    *  - dropDuplicatesWithinWatermark (dedup): eviction never emits;
+    *  - flatMapGroupsWithState with NoTimeout (ema): the function is
+    *    only invoked for keys present in the batch;
+    *  - mergeStream: unwatermarked — no no-data batch is scheduled.
+    * The state the skipped batch would have evicted dies with the run
+    * root anyway (bounded drain, checkpoint discarded). A CONTINUOUS
+    * production query must keep the default `true`: append-mode sinks
+    * and event-time timeouts rely on no-data batches to flush final
+    * windows between arrivals — which is exactly why [[sessionStream]]
+    * is not drained here. Scoped set + restore, like the width conf.
+    */
+  private val noDataBatchKey =
+    "spark.sql.streaming.noDataMicroBatches.enabled"
+
   private def drainUpdateStream(spark: SparkSession, stream: DataFrame,
       runRoot: String, keyCols: Seq[String], schema: StructType,
       statePartitions: Int = 4,
       backend: Option[String] = None): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get(noDataBatchKey)
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    spark.conf.set(noDataBatchKey, "false")
     backend.foreach(p => spark.conf.set(stateProviderKey, p))
     try {
       stream.writeStream
@@ -575,6 +604,7 @@ object EventStreams {
         .awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set(noDataBatchKey, prevNoData)
       // autoBackend only ever SET when the key was unset — restore that
       if (backend.isDefined) spark.conf.unset(stateProviderKey)
     }
@@ -984,7 +1014,15 @@ object EventStreams {
       statePartitions: Int = 4,
       backend: Option[String] = None): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get(noDataBatchKey)
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // no-data batch skipped: see [[noDataBatchKey]] — the append-mode
+    // drains here are the inner interval join and NoTimeout
+    // flatMapGroupsWithState, neither of which can emit on a no-data
+    // batch (inner-join eviction and uninvoked state functions emit
+    // nothing; sessionStream, the append-mode aggregate that DOES flush
+    // on no-data batches, is deliberately not drained).
+    spark.conf.set(noDataBatchKey, "false")
     backend.foreach(p => spark.conf.set(stateProviderKey, p))
     try {
       stream.writeStream
@@ -998,6 +1036,7 @@ object EventStreams {
         .awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set(noDataBatchKey, prevNoData)
       // autoBackend only ever SET when the key was unset — restore that
       if (backend.isDefined) spark.conf.unset(stateProviderKey)
     }
