@@ -290,7 +290,14 @@ object TextAnalysis {
   def bigramCollocations(docs: DataFrame, minCount: Long = 3,
       topK: Int = 20): DataFrame = {
     // NOT widened (r18): measured 0.72 → 0.93 s with the scan widen —
-    // see tfidfTopTerms
+    // see tfidfTopTerms. Second session also tried tokenize-BEFORE-the-
+    // widen (single-task tokenize once, token-array exchange reused by
+    // all three branches): the skewed single-task stages did disappear
+    // (StageProbe: 0.68 + 0.52 s single-task → 0.33 s tokenize + three
+    // 32-wide branch stages) but the bench was FLAT (0.88 → 0.85
+    // min-of-5, same window) — branch scheduling overhead eats the
+    // parallel gain at this size, and above the widen threshold the
+    // form is identical to this one. Reverted; three scan passes stay.
     val bg = docs.select(tokens(col("text")).as("w"))
       .select(ngramsFromTokens(col("w"), 2).as("g"))
       .select(explode(col("g")).as("bigram"))

@@ -525,7 +525,16 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, k: Int = 5,
       minDf: Long = 2): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val sh = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // widenCpu (r18, second session): the tokenize + k-gram posexplode
+    // chain is this query's CPU and runs INSIDE the scan stage — one
+    // task on single-row-group fixtures (StageProbe: 0.82 of 1.33 s on
+    // ONE task). Keyless round-robin, same rationale as shingleTable;
+    // the df/island windows re-key on shash/doc_id right after, so
+    // results are bit-identical, and the PlanShapeSpec pin (one
+    // Generate, ≤2 hash exchanges) is untouched — round-robin is not a
+    // hash exchange. No-op at production scale.
+    val sh = graft.Tables.widenCpu(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("t")) - k),
